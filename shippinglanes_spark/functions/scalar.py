@@ -1,0 +1,221 @@
+"""SURVEY §2.8 — scalar function library (string/regex/date/math/array/JSON).
+
+One declared query per family exercising several functions in one SELECT.
+Everything is a built-in Catalyst expression (no Python UDFs): these all
+run inside WholeStageCodegen. The haversine primitive (the AIS-domain
+geo-distance) is a reusable composition of built-ins, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core import as_date
+from ..io import table
+from ..registry import register
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km, composed from built-in expressions.
+
+    The AIS-domain core primitive (vessel-track distances) — kept JVM-side
+    so it vectorizes inside codegen rather than crossing into Python.
+    """
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return F.lit(2 * 6371.0) * F.asin(F.sqrt(a))
+
+
+@register(
+    "fn_string",
+    section="2.8",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up,
+           LOWER(p_brand) AS lo,
+           CAST(LENGTH(p_name) AS BIGINT) AS len,
+           SUBSTRING(p_name, 1, 5) AS sub5,
+           CONCAT(p_brand, '_', p_type) AS bt,
+           REPLACE(p_name, ' ', '_') AS und,
+           LPAD(CAST(p_size AS VARCHAR), 3, '0') AS sz3,
+           TRIM(p_name) AS tr,
+           SPLIT_PART(p_name, ' ', 1) AS first_word
+    FROM part
+    """,
+)
+def fn_string(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").cast("long").alias("len"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.concat(F.col("p_brand"), F.lit("_"), F.col("p_type")).alias("bt"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("und"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("sz3"),
+        F.trim("p_name").alias("tr"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+    )
+
+
+@register(
+    "fn_regex",
+    section="2.8",
+    oracle=r"""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+           regexp_replace(c_name, '0+', '0', 'g') AS squeezed
+    FROM customer
+    """,
+    notes="DuckDB regexp_replace needs 'g' flag to match Spark's replace-all",
+)
+def fn_regex(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("cust_num"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+    )
+
+
+@register(
+    "fn_date",
+    section="2.8",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(YEAR(o_orderdate) AS INT) AS y,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           CAST(DAY(o_orderdate) AS INT) AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due
+    FROM orders
+    """,
+    notes="datediff arg order: Spark datediff(end,start) == DuckDB date_diff('day',start,end)",
+)
+def fn_date(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        as_date(od).alias("od"),
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.quarter(od).alias("q"),
+        F.dayofmonth(od).alias("d"),
+        as_date(F.date_trunc("month", od)).alias("month_start"),
+        F.datediff(as_date(od), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(as_date(od), 30).alias("due"),
+    )
+
+
+@register(
+    "fn_math",
+    section="2.8",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_extendedprice), 4) AS sq,
+           ROUND(LN(l_extendedprice), 6) AS lnp,
+           ROUND(LOG10(l_extendedprice), 6) AS lg,
+           CAST(CEIL(l_quantity) AS BIGINT) AS cq,
+           CAST(FLOOR(l_tax * 100) AS BIGINT) AS ft,
+           ROUND(ABS(l_discount - 0.05), 4) AS dd,
+           ROUND(POW(1 + l_discount, 2), 6) AS p2,
+           ROUND(2 * 6371.0 * ASIN(SQRT(
+             SIN(RADIANS(((l_orderkey % 180) - 90) - ((l_partkey % 180) - 90)) / 2) ^ 2
+             + COS(RADIANS((l_partkey % 180) - 90)) * COS(RADIANS((l_orderkey % 180) - 90))
+             * SIN(RADIANS((((l_partkey + l_suppkey) % 360) - 180)
+                           - ((l_suppkey % 360) - 180)) / 2) ^ 2)), 4) AS hav_km
+    FROM lineitem
+    """,
+    notes="haversine over synthetic lat/lon derived from keys (fixtures lack geo columns)",
+)
+def fn_math(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    lat1 = (F.col("l_partkey") % 180) - 90
+    lon1 = (F.col("l_suppkey") % 360) - 180
+    lat2 = (F.col("l_orderkey") % 180) - 90
+    lon2 = ((F.col("l_partkey") + F.col("l_suppkey")) % 360) - 180
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("lnp"),
+        F.round(F.log10("l_extendedprice"), 6).alias("lg"),
+        F.ceil("l_quantity").cast("long").alias("cq"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("ft"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("dd"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("p2"),
+        F.round(haversine_km(lat1, lon1, lat2, lon2), 4).alias("hav_km"),
+    )
+
+
+@register(
+    "fn_array",
+    section="2.8",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS emax,
+           ROUND(SQRT(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum')), 6) AS l2,
+           ROUND(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS esum
+    FROM embeddings
+    """,
+    notes="higher-order fns (transform/aggregate); both engines fold lists in order",
+)
+def fn_array(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    el_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("emax"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2"),
+        F.round(el_sum, 6).alias("esum"),
+    )
+
+
+@register(
+    "fn_json",
+    section="2.8",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) BETWEEN 10 AND 50
+    """,
+)
+def fn_json(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k").between(10, 50))
+        .select("event_id", "user_id", "k")
+    )

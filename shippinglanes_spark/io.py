@@ -1,0 +1,47 @@
+"""Table loading: parquet fixtures -> DataFrames with normalized types.
+
+The ten fixture tables (TESTDATA.md) are the engine's data model. Reads go
+through ``table()`` so every operator sees the same normalized schema:
+
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark cannot
+  read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` we read the
+  raw int64 nanoseconds and convert to a TimestampType at microsecond
+  precision (``timestamp_micros(ts div 1000)``) — exactly DuckDB's
+  truncation of the same column, so oracle comparisons agree to the µs.
+- Everything else is read straight from the parquet footer schema
+  (self-describing; never hand-declared), keeping predicate pushdown and
+  column pruning intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing the events timestamp."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}

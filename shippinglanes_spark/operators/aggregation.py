@@ -1,0 +1,237 @@
+"""SURVEY §2.4 — aggregation.
+
+Scale notes: every groupBy here compiles to partial (map-side) + final
+HashAggregate, so the shuffle carries pre-aggregated partials, not rows.
+ROUND on float aggregates keeps the driver's value-hash stable across
+summation orders (FIXTURES.md gotcha #2); DuckDB integer aggregates are
+CAST to BIGINT because sum(int) there is HUGEINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import money
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "agg_global",
+    section="2.4",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(MIN(l_discount), 4) AS min_disc,
+           ROUND(MAX(l_tax), 4) AS max_tax,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("l_quantity")).alias("sum_qty"),
+        money(F.avg("l_extendedprice")).alias("avg_price"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_tax"), 4).alias("max_tax"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_groupby",
+    section="2.4",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    notes="flagship: TPC-H Q1 shape (entry() runs this at sf0.001)",
+)
+def agg_groupby(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(disc_price)).alias("sum_disc_price"),
+            money(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    section="2.4",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    section="2.4",
+    oracle=None,
+    notes="HLL sketch; no exact oracle — ±5%-vs-exact asserted in tests/test_aggregation.py",
+)
+def agg_approx_distinct(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "agg_quantiles",
+    section="2.4",
+    oracle="""
+    SELECT event_type,
+           ROUND(MEDIAN(value), 4) AS med,
+           ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+    notes="exact interpolated quantiles on both sides (not approx sketches)",
+)
+def agg_quantiles(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("med"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+    )
+
+
+@register(
+    "agg_rollup",
+    section="2.4",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        money(F.sum("c_acctbal")).alias("total_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    section="2.4",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "agg_collect",
+    section="2.4",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+    notes="collect_list is order-nondeterministic -> array_sort + join to string",
+)
+def agg_collect(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias("order_keys")
+    )
+
+
+@register(
+    "agg_having",
+    section="2.4",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 60
+    """,
+)
+def agg_having(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 60)
+    )
+
+
+@register(
+    "agg_pivot",
+    section="2.4",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS clicks,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS views,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signups,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errors
+    FROM events GROUP BY user_id
+    """,
+    notes="pivot via conditional aggregation (one pass; same plan df.pivot emits)",
+)
+def agg_pivot(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def cnt(t, alias):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(alias)
+
+    return ev.groupBy("user_id").agg(
+        cnt("click", "clicks"),
+        cnt("view", "views"),
+        cnt("purchase", "purchases"),
+        cnt("signup", "signups"),
+        cnt("error", "errors"),
+    )

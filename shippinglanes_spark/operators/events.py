@@ -1,0 +1,193 @@
+"""SURVEY §2.10 — event-stream / sessionization / pattern operators.
+
+These are the AIS-domain semantics (voyage segmentation on time gaps,
+per-voyage stats, windowed traffic counts, pattern funnels) expressed over
+the batch `events` table. Each is a keyed window or keyed aggregation: one
+shuffle on user_id, never a per-user collect to the driver — the plans are
+identical on a 1000-executor cluster. The same expressions lift to
+Structured Streaming (streaming/lift.py) with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import as_date, epoch_us, money
+from ..io import table
+from ..registry import register
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def sessionized(spark, sf_dir):
+    """events + session_id column (30-min-gap segmentation). Shared by the
+    sessionize/session_stats queries and reusable as a library op."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", "value", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap > SESSION_GAP_US, 1).otherwise(0)
+    return e.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(wrun).cast("long")
+    )
+
+
+_SESSIONIZE_CTE = """
+    WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+               FROM events),
+    g AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id)
+                         > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+    s AS (SELECT *, CAST(SUM(new_sess) OVER (
+                      PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+          FROM g)
+"""
+
+
+@register(
+    "evt_sessionize",
+    section="2.10",
+    oracle=_SESSIONIZE_CTE
+    + """
+    SELECT user_id, event_id, session_id FROM s
+    """,
+    notes="AIS voyage segmentation: gap>30min starts a new session",
+)
+def evt_sessionize(spark, sf_dir):
+    return sessionized(spark, sf_dir).select("user_id", "event_id", "session_id")
+
+
+@register(
+    "evt_session_stats",
+    section="2.10",
+    oracle=_SESSIONIZE_CTE
+    + """
+    , w AS (SELECT *,
+        FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+          ORDER BY ts_us, event_id) AS first_type,
+        LAST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+          ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      FROM s)
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts_us) - MIN(ts_us) AS dur_us,
+           ROUND(SUM(value), 2) AS sum_value,
+           first_type, last_type
+    FROM w GROUP BY user_id, session_id, first_type, last_type
+    """,
+)
+def evt_session_stats(spark, sf_dir):
+    s = sessionized(spark, sf_dir)
+    wsess = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+    wfull = wsess.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withtypes = s.withColumn(
+        "first_type", F.first("event_type").over(wsess)
+    ).withColumn("last_type", F.last("event_type").over(wfull))
+    return withtypes.groupBy("user_id", "session_id", "first_type", "last_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+        money(F.sum("value")).alias("sum_value"),
+    ).select(
+        "user_id", "session_id", "n_events", "dur_us", "sum_value",
+        "first_type", "last_type",
+    )
+
+
+@register(
+    "evt_tumbling",
+    section="2.10",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_tumbling(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            as_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "evt_funnel",
+    section="2.10",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS conv_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+                   AND epoch_us(e.ts) >= s.signup_us
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_us, p.conv_us,
+           p.conv_us - s.signup_us AS delta_us
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    notes="signup->purchase conversion per user; time-to-convert in µs",
+)
+def evt_funnel(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", epoch_us("ts").alias("ts_us"))
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s.withColumnRenamed("user_id", "su"), F.col("user_id") == F.col("su"))
+        .where(F.col("ts_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("conv_us"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_us",
+        "conv_us",
+        (F.col("conv_us") - F.col("signup_us")).alias("delta_us"),
+    )
+
+
+@register(
+    "evt_late_dedup",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+               FROM events)
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_us, user_id) AS rn
+      FROM e)
+    WHERE rn = 1
+    """,
+    notes="out-of-order replay dedup: keep earliest copy of each event_id",
+)
+def evt_late_dedup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", "value", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("event_id").orderBy("ts_us", "user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )

@@ -1,0 +1,279 @@
+"""SURVEY §2.3 — joins.
+
+Scale notes: dims (region/nation/customer/supplier/part) sit far under the
+broadcast threshold, so every fact->dim join here compiles to a
+BroadcastHashJoin (no shuffle of the fact side); `join_broadcast` pins the
+hint explicitly. The theta/range join broadcasts the tiny bands table so it
+becomes a BroadcastNestedLoopJoin over a 3-row build side rather than a
+cartesian shuffle. The as-of join is the union+running-max idiom: one
+shuffle on the key, no point-in-time self-join explosion — the standard
+scalable formulation Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import epoch_us, money
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "join_inner_eq",
+    section="2.3",
+    oracle="""
+    SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 300000
+    """,
+)
+def join_inner_eq(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.where(F.col("o_totalprice") > 300000)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+@register(
+    "join_multi5",
+    section="2.3",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_multi5(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r.where(F.col("r_name") == "ASIA"), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    section="2.3",
+    oracle="""
+    SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS cust_cnt
+    FROM nation LEFT JOIN customer
+      ON c_nationkey = n_nationkey AND c_acctbal > 9000
+    GROUP BY n_name
+    """,
+)
+def join_left(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return (
+        n.join(c, (c.c_nationkey == n.n_nationkey) & (c.c_acctbal > 9000), "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("cust_cnt"))
+    )
+
+
+@register(
+    "join_full",
+    section="2.3",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS ns
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(nc, 0) AS nc, COALESCE(ns, 0) AS ns
+    FROM c FULL JOIN s ON c.k = s.k
+    """,
+)
+def join_full(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    c = (
+        cust.where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    s = (
+        sup.where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    return c.join(s, c.ck == s.sk, "full").select(
+        F.coalesce(c.ck, s.sk).alias("nationkey"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+        F.coalesce("ns", F.lit(0)).alias("ns"),
+    )
+
+
+@register(
+    "join_semi",
+    section="2.3",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    section="2.3",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast",
+    section="2.3",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cust_cnt,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cust_cnt"),
+            money(F.sum("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "join_theta_range",
+    section="2.3",
+    oracle="""
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 51.0, 'high'))
+         AS b(lo, hi, band)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 51.0, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    section="2.3",
+    oracle="""
+    WITH vp AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT user_id, event_id, ts_us, last_view_us
+    FROM vp WHERE event_type = 'purchase'
+    """,
+    notes="as-of via union + running max: one shuffle, no self-join explosion",
+)
+def join_asof(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    vp = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        vp.withColumn(
+            "last_view_us",
+            F.max(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts_us", "last_view_us")
+    )
+
+
+@register(
+    "join_self_pairs",
+    section="2.3",
+    oracle="""
+    SELECT a.n_name AS n1, b.n_name AS n2, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    """,
+)
+def join_self_pairs(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") < F.col("b.n_name")),
+    ).select(
+        F.col("a.n_name").alias("n1"),
+        F.col("b.n_name").alias("n2"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )

@@ -1,0 +1,68 @@
+"""SURVEY §2.6 — sort / limit / top-k / sample.
+
+Scale notes: global ORDER BY + LIMIT k compiles to TakeOrderedAndProject —
+per-partition top-k then a k-row merge on the driver, never a full sort
+shuffle. Verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "sort_multi",
+    section="2.6",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_multi(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "limit_topk",
+    section="2.6",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def limit_topk(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "sample_frac",
+    section="2.6",
+    oracle=None,
+    notes="seeded Bernoulli sample; rows-only check (sampling algorithms differ across engines)",
+)
+def sample_frac(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )

@@ -1,0 +1,203 @@
+"""SURVEY §2.5 — window functions.
+
+Scale notes: every window partitions by a key (user_id / o_custkey), so the
+single shuffle distributes by key and sorts within partitions — the same
+plan a 1000-executor cluster runs. The only global window (win_ntile_pct)
+is inherently single-partition; it is bounded input by construction.
+Deterministic ordering: every ORDER BY carries a unique tiebreak column
+(FIXTURES.md gotcha #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import epoch_us, money
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "win_rank",
+    section="2.5",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def win_rank(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    section="2.5",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+    SELECT user_id, event_id,
+           ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS next_us
+    FROM e
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", epoch_us("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("next_us"),
+    )
+
+
+@register(
+    "win_running",
+    section="2.5",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+    FROM orders
+    """,
+)
+def win_running(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum("o_totalprice").over(w)).alias("cum_spend"),
+    )
+
+
+@register(
+    "win_sliding_rows",
+    section="2.5",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+    FROM e
+    """,
+)
+def win_sliding_rows(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "value", epoch_us("ts").alias("ts_us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("ma5"),
+    )
+
+
+@register(
+    "win_range_time",
+    section="2.5",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS ts_s FROM events)
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS sum_1h
+    FROM e
+    """,
+    notes="trailing 1h value-based frame on epoch seconds (CPiX-style sliding agg)",
+)
+def win_range_time(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (epoch_us("ts") / F.lit(1000000)).cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        money(F.sum("value").over(w)).alias("sum_1h"),
+    )
+
+
+@register(
+    "win_first_last",
+    section="2.5",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM e
+    """,
+)
+def win_first_last(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
+
+
+@register(
+    "win_ntile_pct",
+    section="2.5",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_pct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory for the ShippingLanes-on-Spark engine.
+
+Design notes (100 TB mandate):
+- Everything is DataFrame/Catalyst; the session is configured so that the
+  same logical plans scale from local[32] to a 1000-executor cluster.
+- AQE stays ON: runtime shuffle coalescing, skew-join splitting and
+  broadcast-join demotion are the knobs that survive a 100x scale-up.
+- `spark.sql.shuffle.partitions` is a *local testing* default (small
+  fixtures); on a real cluster AQE's coalescing makes the initial number
+  mostly irrelevant as long as it is high enough.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs applied to ANY session that runs engine queries (including a
+# driver-provided session we did not create). All of these are documented
+# runtime-settable SQL confs.
+RUNTIME_CONFS = {
+    # The fixture `events` table stores TIMESTAMP(NANOS) which Spark's
+    # parquet reader rejects; read as int64 nanos and convert (see io.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle parity: DuckDB treats naive timestamps verbatim; with a UTC
+    # session TZ, Spark TIMESTAMP(=LTZ) epoch math agrees exactly.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be forbidden on a locked-down session; proceed
+
+
+def get_spark(
+    app_name: str = "shippinglanes-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else all cores.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.log.level", "ERROR")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    return spark

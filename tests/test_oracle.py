@@ -1,0 +1,28 @@
+"""Replica of the driver's oracle harness over every registered query.
+
+Runs at sf0.001 by default (fast inner loop); set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to match the driver's scale
+before declaring queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from shippinglanes_spark.registry import all_queries
+from shippinglanes_spark.testing import compare, duckdb_conn
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle(spark, sf_dir, oracle_con, name):
+    report = compare(spark, QUERIES[name], sf_dir, con=oracle_con)
+    assert report["rows"] >= 0
