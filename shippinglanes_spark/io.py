@@ -34,12 +34,24 @@ TABLES = (
 )
 
 
+# DataFrame *plans* are immutable and reusable; memoizing them avoids
+# re-listing files + re-reading parquet footers on every query (a fixed
+# ~100ms/table tax that dominates sub-second queries). Keyed by session
+# identity so a restarted session rebuilds its plans.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing the events timestamp."""
+    key = (id(spark), sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _PLAN_CACHE[key] = df
     return df
 
 
