@@ -1,0 +1,195 @@
+"""SURVEY §2.9 — sketch-based near-duplicate detection.
+
+Three sketches, all pure DataFrame + built-in hash functions (JVM-side,
+no Python in the per-row path):
+
+- MinHash + LSH banding: shingle -> per-seed min-hash signature -> band
+  hashes -> bucket self-join -> candidate pairs. The shuffle is on band
+  hash, so cost scales with bucket collisions, not n² — the standard
+  100 TB dedup shape. Candidates would feed text_ngram_jaccard's exact
+  re-rank.
+- SimHash: 64-bit signature from per-token hash bit votes; hamming
+  distance via xor+bit_count gives O(1) near-dup tests.
+- Random-hyperplane LSH over embeddings: sign-bit signature buckets,
+  exact cosine re-rank inside buckets only.
+
+No DuckDB oracles (engine-specific hash functions); planted-duplicate
+recall is asserted in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+from .text import shingles
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, h0..h{N-1}) min-hash signature per document."""
+    sh = (
+        docs.select(id_col, F.explode(shingles(F.col(text_col))).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    mins = [
+        F.min(F.hash("shingle", F.lit(seed))).alias(f"h{seed}")
+        for seed in range(N_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding (distinct id pairs)."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(N_BANDS)
+    ]
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "text_minhash_dedup",
+    section="2.9",
+    oracle=None,
+    notes="MinHash-LSH candidate pairs; fixtures have no near-dups (0 rows) — "
+    "planted-pair recall asserted in tests/test_dedup.py",
+)
+def text_minhash_dedup(spark, sf_dir):
+    return minhash_candidates(table(spark, sf_dir, "documents"))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash bigint): 64-bit SimHash over whitespace tokens."""
+    tok = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    h = F.xxhash64("token")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sim = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+@register(
+    "text_simhash",
+    section="2.9",
+    oracle=None,
+    notes="64-bit SimHash per document; hamming-distance neighbor test in tests/test_dedup.py",
+)
+def text_simhash(spark, sf_dir):
+    return simhash64(table(spark, sf_dir, "documents"))
+
+
+N_PLANES = 16
+COS_THRESHOLD = 0.95
+
+
+def embedding_neardups(spark, emb: DataFrame) -> DataFrame:
+    """Near-duplicate vector pairs: random-hyperplane LSH bucket join,
+    exact cosine re-rank inside buckets (cos >= COS_THRESHOLD)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(N_PLANES, 64)
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def signature(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (q @ pl.T) > 0
+            sig = (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+            nrm = np.linalg.norm(q, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "sig": sig,
+                    "embedding": pdf["embedding"],
+                    "nrm": nrm,
+                }
+            )
+
+    sigs = emb.select("vec_id", "embedding").mapInPandas(
+        signature,
+        schema="vec_id long, sig long, embedding array<float>, nrm double",
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= COS_THRESHOLD)
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    section="2.9",
+    oracle=None,
+    notes="hyperplane-LSH near-dup vectors; fixtures have none (0 rows) — "
+    "planted-pair recall asserted in tests/test_dedup.py",
+)
+def sim_ann_lsh(spark, sf_dir):
+    return embedding_neardups(spark, table(spark, sf_dir, "embeddings"))

@@ -131,3 +131,184 @@ def dedup_exact(spark, sf_dir):
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "fn_token_count",
+    section="2.9",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                x -> x <> '')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                              x -> x <> ''))) AS INT) AS n_unique
+    FROM documents
+    """,
+    notes="BPE-ish regex token counting (alnum runs), total + distinct",
+)
+def fn_token_count(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+_LANG_MARKERS = [("the", "en"), ("data", "es"), ("table", "fr"),
+                 ("join", "de"), ("window", "zh")]
+
+
+@register(
+    "text_langid",
+    section="2.9",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x = 'the')) AS c0,
+             len(list_filter(string_split(text, ' '), x -> x = 'data')) AS c1,
+             len(list_filter(string_split(text, ' '), x -> x = 'table')) AS c2,
+             len(list_filter(string_split(text, ' '), x -> x = 'join')) AS c3,
+             len(list_filter(string_split(text, ' '), x -> x = 'window')) AS c4
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN c0 > 0 AND c0 >= GREATEST(c1, c2, c3, c4) THEN 'en'
+                WHEN c1 > 0 AND c1 >= GREATEST(c2, c3, c4) THEN 'es'
+                WHEN c2 > 0 AND c2 >= GREATEST(c3, c4) THEN 'fr'
+                WHEN c3 > 0 AND c3 >= c4 THEN 'de'
+                WHEN c4 > 0 THEN 'zh'
+                ELSE 'und' END AS pred_lang,
+           CAST(CASE WHEN c0 > 0 AND c0 >= GREATEST(c1, c2, c3, c4) THEN 'en'
+                WHEN c1 > 0 AND c1 >= GREATEST(c2, c3, c4) THEN 'es'
+                WHEN c2 > 0 AND c2 >= GREATEST(c3, c4) THEN 'fr'
+                WHEN c3 > 0 AND c3 >= c4 THEN 'de'
+                WHEN c4 > 0 THEN 'zh'
+                ELSE 'und' END = lang AS INT) AS is_match
+    FROM c
+    """,
+    notes="marker-token argmax language ID (fixture vocab is shared across langs, "
+    "so accuracy is chance — the operator mechanism is what's exercised)",
+)
+def text_langid(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def count_marker(marker):
+        # single-arg lambda: a two-arg lambda would make F.filter pass
+        # (element, index) and compare tokens against positions
+        return F.size(F.filter(toks, lambda x: x == marker))
+
+    counts = [
+        count_marker(marker).alias(f"c{i}")
+        for i, (marker, _) in enumerate(_LANG_MARKERS)
+    ]
+    c = d.select("doc_id", "lang", *counts)
+    pred = F.lit("und")
+    for i in reversed(range(len(_LANG_MARKERS))):
+        ci = F.col(f"c{i}")
+        rest = [F.col(f"c{j}") for j in range(i + 1, len(_LANG_MARKERS))]
+        if len(rest) >= 2:
+            cond = (ci > 0) & (ci >= F.greatest(*rest))
+        elif len(rest) == 1:
+            cond = (ci > 0) & (ci >= rest[0])
+        else:
+            cond = ci > 0
+        pred = F.when(cond, _LANG_MARKERS[i][1]).otherwise(pred)
+    return c.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+def shingles(text_col, k: int = 3):
+    """k-gram word shingles as an array column (1-based element_at to
+    mirror DuckDB list indexing)."""
+    toks = F.split(text_col, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(k)]
+        ),
+    )
+
+
+@register(
+    "text_ngram_jaccard",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, i AS n_common,
+           ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz na ON id_a = na.doc_id
+    JOIN sz nb ON id_b = nb.doc_id
+    WHERE i >= 25
+    """,
+    notes="exact 3-gram Jaccard; integer intersection threshold so no float flip risk. "
+    "Scale path: MinHash-LSH candidates (minhash.py) feeding this exact re-rank",
+)
+def text_ngram_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .where(F.col("i") >= 25)
+    )
+    na = sz.alias("na")
+    nb = sz.alias("nb")
+    return (
+        inter.join(na, F.col("id_a") == F.col("na.doc_id"))
+        .join(nb, F.col("id_b") == F.col("nb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("i").alias("n_common"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na.n") + F.col("nb.n") - F.col("i")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "udtf_explode",
+    section="2.11",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(pos AS INT) AS pos, token FROM (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS token FROM s)
+    """,
+    notes="table function: one row per token with position (posexplode; "
+    "DuckDB side zips parallel unnests)",
+)
+def udtf_explode(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

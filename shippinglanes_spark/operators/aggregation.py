@@ -235,3 +235,26 @@ def agg_pivot(spark, sf_dir):
         cnt("signup", "signups"),
         cnt("error", "errors"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    section="2.4",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("o_totalprice")).alias("total"),
+    )

@@ -191,3 +191,32 @@ def evt_late_dedup(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@register(
+    "evt_sliding",
+    section="2.10",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) - INTERVAL 5 HOUR AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi
+               FROM events),
+    ws AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS w_start FROM b)
+    SELECT epoch_us(w_start) AS w_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ws JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 6 HOUR
+    GROUP BY w_start, event_type
+    """,
+    notes="6h windows sliding 1h; Spark F.window explodes rows, oracle joins a generated series — both epoch-hour aligned",
+)
+def evt_sliding(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+        )
+    )

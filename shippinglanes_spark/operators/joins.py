@@ -277,3 +277,29 @@ def join_self_pairs(spark, sf_dir):
         F.col("b.n_name").alias("n2"),
         F.col("a.n_regionkey").alias("regionkey"),
     )
+
+
+@register(
+    "join_interval",
+    section="2.3",
+    oracle="""
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_quick
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_orderkey
+    """,
+    notes="equi key + time-interval containment (ship within 30 days of order)",
+)
+def join_interval(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_quick"))
+    )

@@ -79,8 +79,11 @@ def _load_all() -> None:
         scans,
         setops,
         sorting,
+        udfs,
         windows,
     )
-    from .functions import scalar, similarity, text  # noqa: F401
+    from .functions import minhash, scalar, similarity, text  # noqa: F401
+    from .sources import io_roundtrip  # noqa: F401
+    from .streaming import lift  # noqa: F401
 
     _LOADED = True

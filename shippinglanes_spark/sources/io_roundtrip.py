@@ -1,0 +1,78 @@
+"""SURVEY §2.1 — sinks and non-parquet sources, proven by roundtrip.
+
+Both queries write engine output to a scratch dir inside the repo
+(.tmp/, gitignored), read it back through the corresponding source, and
+aggregate — the DuckDB oracle aggregates the original table directly, so
+a hash match proves write->read fidelity end to end.
+
+Scale notes: `sink_parquet` writes `partitionBy` layout — the layout that
+gives downstream readers partition pruning; CSV is schema-on-read with an
+explicit schema (never inferSchema on a 100 TB lake: it double-scans).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ..core import money
+from ..io import table
+from ..registry import register
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+)
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@register(
+    "sink_parquet",
+    section="2.1",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="write partitioned parquet, read back, aggregate; oracle aggregates the source",
+)
+def sink_parquet(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    out = _scratch(f"sink_parquet_{os.path.basename(sf_dir.rstrip('/'))}")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("l_quantity")).alias("qty"),
+    )
+
+
+@register(
+    "source_csv",
+    section="2.1",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    notes="CSV sink + schema'd CSV source roundtrip (AIS raw feeds are CSV)",
+)
+def source_csv(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    out = _scratch(f"source_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.csv(
+        out,
+        header=True,
+        schema="c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("c_acctbal")).alias("bal"),
+    )

@@ -1,0 +1,92 @@
+"""SURVEY §2.10 stream_lift — batch ops re-run as Structured Streaming.
+
+The engine's event operators are plain DataFrame expressions, so lifting
+them to a stream is a source swap: `readStream` over the same files, the
+same aggregation, a memory sink. `stream_lift` runs evt_tumbling's
+aggregation as a stream (availableNow trigger drains the source, complete
+mode emits every window) and its oracle is evt_tumbling's own SQL — the
+hash match IS the batch≡stream equivalence proof. Watermarked append-mode
+(the production late-data config) is exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..core import as_date, money
+from ..io import table
+from ..registry import register
+from ..session import apply_runtime_confs
+
+
+@register(
+    "stream_lift",
+    section="2.10",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    notes="evt_tumbling lifted to Structured Streaming; oracle = the batch SQL, "
+    "so the driver's hash check proves batch≡stream",
+)
+def stream_lift(spark, sf_dir):
+    apply_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file streaming source takes a directory; pathGlobFilter narrows
+    # it to the events table.
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = stream.groupBy(
+        as_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("value")).alias("sum_value"),
+    )
+    name = f"stream_lift_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+def tumbling_watermarked(spark, sf_dir, gap: str = "1 hour"):
+    """Production-shaped variant: event-time window + watermark, append
+    mode (late rows beyond the watermark are dropped). Used by the
+    streaming tests; not a declared query because append-mode emission
+    depends on watermark advancement, not on the data alone."""
+    apply_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file streaming source takes a directory; pathGlobFilter narrows
+    # it to the events table.
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return (
+        stream.withWatermark("ts", gap)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,85 @@
+"""Planted-duplicate tests for the sketch-based dedup operators
+(FIXTURES.md: the fixtures contain no dups, so recall must be proven on
+constructed inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shippinglanes_spark.functions.minhash import (
+    embedding_neardups,
+    minhash_candidates,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river bank under the bright morning sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("quick", "swift")),  # near-dup of 0 (1-word edit)
+        (3, BASE.replace("morning", "evening").replace("cat", "kitten")),
+        (4, "completely different text about database query engines and "
+            "distributed shuffle joins over columnar storage formats"),
+        (5, "another unrelated document describing vectorized execution "
+            "and adaptive partition coalescing in modern analytics systems"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b) for r in minhash_candidates(docs).collect()
+    }
+    # exact + near duplicates of doc 0 must be candidates
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs and (1, 2) in pairs
+    # unrelated docs must not pair with the duplicate cluster
+    assert not any(4 in p or 5 in p for p in pairs if p != (4, 5))
+
+
+def test_simhash_hamming_separation(spark, docs):
+    sig = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sig[0] == sig[1]  # identical text -> identical signature
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sig[0], sig[2]) <= 6  # 1-word edit stays close
+    assert hamming(sig[0], sig[4]) > 10  # unrelated text is far
+
+
+def test_embedding_lsh_finds_planted_neardup(spark):
+    base = [float(i % 7 - 3) for i in range(64)]
+    near = list(base)
+    near[0] += 0.01  # tiny perturbation -> cosine ~1
+    far = [float((i * 31) % 11 - 5) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b): r.cos for r in embedding_neardups(spark, emb).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.99
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_exact_dedup_on_planted(spark, docs):
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    groups = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n") > 1)
+        .collect()
+    )
+    assert len(groups) == 1
+    assert groups[0].n == 2 and groups[0].keeper == 0

@@ -1,0 +1,90 @@
+"""Sessionization edge cases (FIXTURES.md sessions_edge spec): gaps
+exactly at/around the 30-min threshold, single-event users, all-same-ts
+users — plus hypothesis invariants."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from shippinglanes_spark.operators.events import SESSION_GAP_US
+
+
+def sessionize_df(spark, rows):
+    """rows: (user_id, event_id, ts_us). Runs the engine's gap logic on a
+    constructed frame (same expressions as operators.events.sessionized)."""
+    from pyspark.sql import Window
+
+    e = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return e.withColumn(
+        "session_id",
+        F.sum(F.when(gap > SESSION_GAP_US, 1).otherwise(0)).over(wrun).cast("long"),
+    )
+
+
+def test_threshold_boundaries(spark):
+    t0 = 1_700_000_000_000_000
+    gap = SESSION_GAP_US
+    rows = [
+        (1, 0, t0),
+        (1, 1, t0 + gap - 1),          # 29:59.999999 -> same session
+        (1, 2, t0 + 2 * gap - 1),      # exactly 30:00 gap -> same session (strict >)
+        (1, 3, t0 + 3 * gap),          # 30:00.000001 gap -> NEW session
+    ]
+    got = {r.event_id: r.session_id for r in sessionize_df(spark, rows).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_single_event_and_same_ts_users(spark):
+    t0 = 1_700_000_000_000_000
+    rows = [(1, 0, t0)] + [(2, i, t0) for i in range(1, 4)]
+    out = sessionize_df(spark, rows).collect()
+    assert all(r.session_id == 0 for r in out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=4 * SESSION_GAP_US), max_size=25)
+)
+def test_sessionize_invariants(spark, gaps):
+    t, rows = 1_700_000_000_000_000, []
+    for i, g in enumerate(gaps):
+        t += g
+        rows.append((1, i, t))
+    if not rows:
+        return
+    out = sorted(sessionize_df(spark, rows).collect(), key=lambda r: r.ts_us)
+    sids = [r.session_id for r in out]
+    # session ids start at 0, increase by 0/1 in time order
+    assert sids[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:]))
+    # a session break happens iff the gap exceeds the threshold
+    for (a, b) in zip(out, out[1:]):
+        assert (b.session_id - a.session_id == 1) == (b.ts_us - a.ts_us > SESSION_GAP_US)
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    from shippinglanes_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, 0.05 * n)
