@@ -220,3 +220,58 @@ def evt_sliding(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "evt_track_length",
+    section="2.10",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             (value % 180) - 90 AS lat, ((value * 2) % 360) - 180 AS lon
+      FROM events),
+    hops AS (
+      SELECT user_id,
+             LAG(lat) OVER w AS lat1, LAG(lon) OVER w AS lon1, lat AS lat2, lon AS lon2
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+    SELECT user_id,
+           ROUND(SUM(2 * 6371.0 * ASIN(SQRT(
+             SIN(RADIANS(lat2 - lat1) / 2) ^ 2
+             + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+             * SIN(RADIANS(lon2 - lon1) / 2) ^ 2))), 2) AS track_km,
+           CAST(COUNT(lat1) AS BIGINT) AS n_hops
+    FROM hops GROUP BY user_id
+    """,
+    notes="AIS track length: per-vessel sum of consecutive-fix haversine hops "
+    "(synthetic lat/lon from value; fixtures lack geo columns)",
+)
+def evt_track_length(spark, sf_dir):
+    from ..functions.scalar import haversine_km
+
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        ((F.col("value") % 180) - 90).alias("lat"),
+        (((F.col("value") * 2) % 360) - 180).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = pts.select(
+        "user_id",
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    return hops.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                haversine_km(
+                    F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+                )
+            ),
+            2,
+        ).alias("track_km"),
+        F.count("lat1").alias("n_hops"),
+    )

@@ -82,7 +82,13 @@ def _load_all() -> None:
         udfs,
         windows,
     )
-    from .functions import minhash, scalar, similarity, text  # noqa: F401
+    from .functions import (  # noqa: F401
+        minhash,
+        multimodal,
+        scalar,
+        similarity,
+        text,
+    )
     from .sources import io_roundtrip  # noqa: F401
     from .streaming import lift  # noqa: F401
 
