@@ -88,3 +88,29 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, 0.05 * n)
+
+
+def test_session_window_agrees_with_gap_sessionize(spark, sf_dir):
+    """Cross-validation: Spark's built-in session_window (30-min gap
+    merge) must produce the same per-user session count as the engine's
+    lag/running-sum sessionization."""
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.operators.events import sessionized
+
+    ev = table(spark, sf_dir, "events")
+    via_builtin = {
+        r.user_id: r.n
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    via_engine = {
+        r.user_id: r.n
+        for r in sessionized(spark, sf_dir)
+        .groupBy("user_id")
+        .agg((F.max("session_id") + 1).alias("n"))
+        .collect()
+    }
+    assert via_builtin == via_engine

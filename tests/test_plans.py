@@ -4,6 +4,8 @@ actually produces the plans the operator docstrings claim (SURVEY §4.1).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from shippinglanes_spark.registry import all_queries
 
 Q = all_queries()
@@ -52,3 +54,24 @@ def test_sessionize_single_shuffle(spark, sf_dir):
 def test_semi_anti_join_types(spark, sf_dir):
     assert "LeftSemi" in plan(spark, sf_dir, "join_semi")
     assert "LeftAnti" in plan(spark, sf_dir, "join_anti")
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """Reading back a partitionBy layout with a partition-key filter must
+    prune at the file index (PartitionFilters), not scan-and-filter."""
+    import os
+
+    from shippinglanes_spark.io import table
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".tmp", "prune_check")
+    li = table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "A")
+    p = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "simple"
+    )
+    assert "PartitionFilters: [isnotnull(l_returnflag" in p
+    n_a = back.count()
+    assert n_a == li.where(F.col("l_returnflag") == "A").count()
+

@@ -40,3 +40,40 @@ def test_watermarked_append_runs(spark, sf_dir):
     days = {r.w.start.day for r in out}
     assert len(days) >= 25
     assert all(r.n > 0 for r in out)
+
+
+def test_stateful_totals_equal_batch(spark, sf_dir):
+    import uuid as _uuid
+
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.streaming.stateful import running_user_totals
+    from pyspark.sql import functions as F
+
+    out = running_user_totals(spark, sf_dir)
+    name = f"stateful_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # update mode re-emits a user's row per batch; the last emission per
+    # user is the final state
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
