@@ -133,3 +133,59 @@ def sim_knn(spark, sf_dir):
             )
 
     return e.mapInPandas(top1, schema="vec_id long, nn_id long, sim double")
+
+
+@register(
+    "sim_knn_topk",
+    section="2.9",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 SQRT(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+          FROM v),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+    SELECT id_a AS vec_id, id_b AS nn_id, ROUND(cos, 4) AS sim,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+               ORDER BY cos DESC, id_b) AS rn FROM p)
+    WHERE rn <= 3
+    """,
+    notes="top-3 neighbors per vector; same broadcast block-matmul, "
+    "lexicographic (sim desc, id asc) tie-break on both sides",
+)
+def sim_knn_topk(spark, sf_dir):
+    import numpy as np
+
+    K = 3
+    e, b_ids, b_mat = _broadcast_index(spark, sf_dir)
+
+    def topk(batches):
+        idx_ids = b_ids.value
+        idx = b_mat.value
+        for pdf in batches:
+            q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ idx.T
+            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            sims[qids[:, None] == idx_ids[None, :]] = -np.inf
+            # exact order: sim desc, then neighbor id asc (ids are sorted,
+            # lexsort is stable)
+            order = np.lexsort((np.broadcast_to(idx_ids, sims.shape), -sims), axis=1)
+            top = order[:, :K]
+            rows = np.repeat(qids, K)
+            cols = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "vec_id": rows,
+                    "nn_id": idx_ids[cols],
+                    "sim": np.round(sims[np.repeat(np.arange(len(qids)), K), cols], 4),
+                    "rank": np.tile(np.arange(1, K + 1, dtype=np.int32), len(qids)),
+                }
+            )
+
+    return e.mapInPandas(
+        topk, schema="vec_id long, nn_id long, sim double, rank int"
+    )

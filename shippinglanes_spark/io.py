@@ -57,3 +57,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the ten tables as temp views so `spark.sql(...)` works —
+    same names the DuckDB oracle uses (region, nation, ..., embeddings)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
