@@ -41,7 +41,9 @@ HEADLINE = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="shippinglanes-bench", cpus=cpus)
+    # 8 shuffle partitions: at sf0.1 the fixed per-task cost dominates;
+    # on a real cluster AQE coalescing makes the initial count moot.
+    spark = get_spark(app_name="shippinglanes-bench", cpus=cpus, shuffle_partitions=8)
     registry = all_queries()
 
     # Warm the JVM / parquet footer caches with a trivial action so the

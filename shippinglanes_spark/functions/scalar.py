@@ -219,3 +219,38 @@ def fn_json(spark, sf_dir):
         .where(F.col("k").between(10, 50))
         .select("event_id", "user_id", "k")
     )
+
+
+@register(
+    "fn_misc",
+    section="2.8",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(GREATEST(o_totalprice, 250000.0), 2) AS hi,
+           ROUND(LEAST(o_totalprice, 250000.0), 2) AS lo,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status2,
+           CAST(o_orderkey & 255 AS BIGINT) AS lo_byte,
+           CAST(o_orderkey | 1 AS BIGINT) AS odd_key,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+           CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS size_tag
+    FROM orders
+    """,
+    notes="greatest/least, ifnull-style coalesce, bitwise and/or/xor, modulo",
+)
+def fn_misc(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(250000.0)), 2).alias("hi"),
+        F.round(F.least(F.col("o_totalprice"), F.lit(250000.0)), 2).alias("lo"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status2"),
+        key.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        key.bitwiseOR(F.lit(1)).alias("odd_key"),
+        key.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        (key % 7).alias("mod7"),
+        F.when(F.col("o_totalprice") > 250000, "big").otherwise("small").alias("size_tag"),
+    )
