@@ -275,3 +275,66 @@ def evt_track_length(spark, sf_dir):
         ).alias("track_km"),
         F.count("lat1").alias("n_hops"),
     )
+
+
+@register(
+    "evt_retention",
+    section="2.10",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE)) AS day_n
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT CAST(day_n AS INT) AS day_n,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity WHERE day_n <= 14 GROUP BY day_n
+    """,
+    notes="classic D0..D14 retention: per-user first-seen day, distinct active days since",
+)
+def evt_retention(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    day = as_date(F.date_trunc("day", F.col("ts")))
+    e = ev.select("user_id", day.alias("d"))
+    first = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    activity = (
+        e.join(first, "user_id")
+        .select("user_id", F.datediff(F.col("d"), F.col("d0")).alias("day_n"))
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_n") <= 14)
+        .groupBy("day_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "evt_top_sessions",
+    section="2.10",
+    oracle=_SESSIONIZE_CTE
+    + """
+    , agg AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id, session_id, n_events, sum_value
+    FROM agg ORDER BY sum_value DESC, user_id, session_id LIMIT 25
+    """,
+    notes="composite: sessionize -> aggregate -> global top-k by session value",
+)
+def evt_top_sessions(spark, sf_dir):
+    s = sessionized(spark, sf_dir)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy(F.desc("sum_value"), "user_id", "session_id")
+        .limit(25)
+    )

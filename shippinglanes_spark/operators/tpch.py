@@ -1,0 +1,244 @@
+"""TPC-H-adapted query pack (classic relational analytics end to end).
+
+Adaptations of the canonical TPC-H shapes to the fixture schema (which
+carries a column subset — no ship modes/comments). These compose the
+operator inventory into the multi-join + aggregate + top-k pipelines a
+reference user actually runs; each is oracle-checked like everything
+else. Plan shapes: broadcast dims, partial aggregation, one shuffle per
+grouping — verified in aggregate by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import as_date, money
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    section="2.12",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, odate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            money(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", as_date("o_orderdate").alias("odate")
+        )
+        .orderBy(F.desc("revenue"), "odate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    section="2.12",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    section="2.12",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        .join(li.where(F.col("l_returnflag") == "R"), li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            money(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    section="2.12",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    notes="fixture p_type domain has 6 values; 'PROMO' plays the promo branch",
+)
+def tpch_q14(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    section="2.12",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+           ROUND(o_totalprice, 2) AS total,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > 150
+    ORDER BY total DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money(F.sum("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 150)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            as_date("o_orderdate").alias("odate"),
+            money(F.col("o_totalprice")).alias("total"),
+            "qty",
+        )
+        .orderBy(F.desc("total"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "tpch_q19_bracketed",
+    section="2.12",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    notes="disjunction of bracketed predicates across the join (Q19 shape)",
+)
+def tpch_q19(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+
+    def bracket(brand, slo, shi, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .where(
+            bracket("Brand#1", 1, 15, 1, 20)
+            | bracket("Brand#2", 10, 30, 10, 30)
+            | bracket("Brand#3", 20, 50, 20, 50)
+        )
+        .agg(
+            money(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

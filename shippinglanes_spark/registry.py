@@ -79,6 +79,7 @@ def _load_all() -> None:
         scans,
         setops,
         sorting,
+        tpch,
         udfs,
         windows,
     )
