@@ -1,0 +1,100 @@
+"""Empirical scaling probe: replicate the sf0.1 facts 10x (disjoint key
+ranges) into .tmp/, then time the core operator shapes at 1x and 10x.
+Near-linear wall-time growth on local[32] is the evidence that the plans
+have no accidental O(n²) or driver-side bottleneck. Appends nothing; run
+manually and paste results into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from shippinglanes_spark.io import table
+from shippinglanes_spark.session import get_spark
+
+SF = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "scale10")
+COPIES = 10
+
+
+def build(spark):
+    if os.path.exists(os.path.join(SCRATCH, "events", "_SUCCESS")):
+        return
+    ev = table(spark, SF, "events")
+    li = table(spark, SF, "lineitem")
+    o = table(spark, SF, "orders")
+    copies = F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("c")
+    # disjoint key spaces per copy so cardinalities scale linearly
+    ev10 = ev.select("*", copies).withColumn(
+        "user_id", F.col("user_id") + F.col("c") * 1_000_000
+    ).withColumn("event_id", F.col("event_id") + F.col("c") * 100_000_000).drop("c")
+    li10 = li.select("*", copies).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("c") * 100_000_000
+    ).drop("c")
+    o10 = o.select("*", copies).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("c") * 100_000_000
+    ).withColumn("o_custkey", F.col("o_custkey") + F.col("c") * 1_000_000).drop("c")
+    ev10.write.mode("overwrite").parquet(f"{SCRATCH}/events")
+    li10.write.mode("overwrite").parquet(f"{SCRATCH}/lineitem")
+    o10.write.mode("overwrite").parquet(f"{SCRATCH}/orders")
+
+
+def shapes(spark, ev, li, o):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = ev.select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    sess = e.withColumn(
+        "sid",
+        F.sum(
+            F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0)
+        ).over(wrun),
+    )
+    return {
+        "agg_groupby": lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+        .collect(),
+        "join_fact": lambda: li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        "sessionize": lambda: sess.groupBy().agg(F.max("sid")).collect(),
+        "topk": lambda: li.orderBy(F.desc("l_extendedprice")).limit(10).collect(),
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
+    build(spark)
+    one = {
+        "ev": table(spark, SF, "events"),
+        "li": table(spark, SF, "lineitem"),
+        "o": table(spark, SF, "orders"),
+    }
+    ten = {
+        "ev": spark.read.parquet(f"{SCRATCH}/events").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        if "bigint" in dict(spark.read.parquet(f"{SCRATCH}/events").dtypes).get("ts", "")
+        else spark.read.parquet(f"{SCRATCH}/events"),
+        "li": spark.read.parquet(f"{SCRATCH}/lineitem"),
+        "o": spark.read.parquet(f"{SCRATCH}/orders"),
+    }
+    for label, t in (("1x", one), ("10x", ten)):
+        fns = shapes(spark, t["ev"], t["li"], t["o"])
+        for name, fn in fns.items():
+            fn()  # warm
+            t0 = time.perf_counter()
+            fn()
+            print(f"{label} {name}: {time.perf_counter() - t0:.3f}s")
+
+
+if __name__ == "__main__":
+    main()
