@@ -258,3 +258,18 @@ def agg_grouping_sets(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         money(F.sum("o_totalprice")).alias("total"),
     )
+
+
+@register(
+    "agg_quantile_sketch",
+    section="2.4",
+    oracle=None,
+    notes="percentile_approx sketch (mergeable across partitions); "
+    "accuracy vs exact asserted in tests/test_events_edge.py",
+)
+def agg_quantile_sketch(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("med_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    )

@@ -338,3 +338,37 @@ def evt_top_sessions(spark, sf_dir):
         .orderBy(F.desc("sum_value"), "user_id", "session_id")
         .limit(25)
     )
+
+
+@register(
+    "evt_anomaly",
+    section="2.10",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, ROUND(e.value, 2) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.sigma > 0 AND ABS((e.value - s.mu) / s.sigma) > 2.5
+    """,
+    notes="per-key z-score outliers (monitoring/pattern detection); "
+    "population stddev on both sides",
+)
+def evt_anomaly(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("user_id").alias("su")).agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(stats, ev.user_id == F.col("su"))
+        .where((F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -114,3 +114,31 @@ def test_session_window_agrees_with_gap_sessionize(spark, sf_dir):
         .collect()
     }
     assert via_builtin == via_engine
+
+
+def test_quantile_sketch_close_to_exact(spark, sf_dir):
+    from shippinglanes_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    approx = {
+        r.event_type: (r.med_approx, r.p95_approx)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("med_approx"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: (r.med, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.median("value").alias("med"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    for k, (m, p) in exact.items():
+        am, ap = approx[k]
+        assert abs(am - m) <= max(1.0, 0.05 * abs(m))
+        assert abs(ap - p) <= max(1.0, 0.05 * abs(p))

@@ -126,3 +126,22 @@ def test_register_views_enables_sql(spark, sf_dir):
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
     ).collect()
     assert len(out) == 5 and all(r.n == 5 for r in out)
+
+
+def test_csv_permissive_bad_records(spark, tmp_path):
+    """Schema'd CSV reads tolerate malformed rows via PERMISSIVE mode +
+    _corrupt_record capture (lake-ingest robustness)."""
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\n1,alpha\nnot_an_int,beta\n3,gamma\n")
+    df = spark.read.csv(
+        str(p),
+        header=True,
+        schema="k long, v string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.k for r in good} == {1, 3}
+    assert len(bad) == 1 and "not_an_int" in bad[0]._corrupt_record
