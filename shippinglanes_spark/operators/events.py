@@ -372,3 +372,35 @@ def evt_anomaly(spark, sf_dir):
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "evt_session_window",
+    section="2.10",
+    oracle=_SESSIONIZE_CTE
+    + """
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    notes="built-in F.session_window (gap-merge) vs the window-SQL sessionize "
+    "CTE as oracle — proves the two formulations share semantics",
+)
+def evt_session_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -90,3 +90,50 @@ def tumbling_watermarked(spark, sf_dir, gap: str = "1 hour"):
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _events_stream(spark, sf_dir):
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: each purchase joined to the same user's
+    views from the preceding hour. Watermarks on both sides bound the
+    join state (Spark drops buffered rows older than watermark+bound) —
+    the production shape for event-correlation at scale. Inner-join
+    emissions are watermark-independent, so the drained result equals the
+    batch interval join (asserted in tests/test_streaming.py)."""
+    apply_runtime_confs(spark)
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("p_user", "purchase_id", "view_id")

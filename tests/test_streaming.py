@@ -77,3 +77,50 @@ def test_stateful_totals_equal_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.streaming.lift import stream_stream_join
+
+    out = stream_stream_join(spark, sf_dir)
+    name = f"ssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        (r.p_user, r.purchase_id, r.view_id) for r in spark.table(name).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r.p_user, r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .select("p_user", "purchase_id", "view_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
