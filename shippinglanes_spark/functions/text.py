@@ -312,3 +312,32 @@ def udtf_explode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@register(
+    "text_sentiment",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ('fast', 'small'))) AS BIGINT) AS pos,
+           CAST(len(list_filter(toks, x -> x IN ('slow', 'big'))) AS BIGINT) AS neg,
+           ROUND((len(list_filter(toks, x -> x IN ('fast', 'small')))
+                  - len(list_filter(toks, x -> x IN ('slow', 'big'))))
+                 / CAST(len(toks) AS DOUBLE), 4) AS score
+    FROM t
+    """,
+    notes="lexicon-based sentiment scoring (EDBT'16 Spark-sentiment theme); "
+    "lexicon drawn from the fixture vocabulary",
+)
+def text_sentiment(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pos = F.size(F.filter(toks, lambda x: x.isin("fast", "small")))
+    neg = F.size(F.filter(toks, lambda x: x.isin("slow", "big")))
+    return d.select(
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        neg.cast("long").alias("neg"),
+        F.round((pos - neg) / F.size(toks).cast("double"), 4).alias("score"),
+    )

@@ -404,3 +404,71 @@ def evt_session_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@register(
+    "evt_multi_pattern",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+               FROM events),
+    w AS (SELECT *,
+        MAX(CASE WHEN event_type = 'signup' THEN ts_us END) OVER uw AS last_signup,
+        MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER uw AS last_view,
+        MAX(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER uw AS last_purchase
+      FROM e
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id,
+           CAST(MAX(CASE WHEN event_type = 'purchase' AND last_signup IS NOT NULL
+                    THEN 1 ELSE 0 END) AS INT) AS signup_to_purchase,
+           CAST(MAX(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                    AND ts_us - last_view <= 600000000 THEN 1 ELSE 0 END) AS INT)
+             AS view_click_10m,
+           CAST(MAX(CASE WHEN event_type = 'error' AND last_purchase IS NOT NULL
+                    AND ts_us - last_purchase <= 3600000000 THEN 1 ELSE 0 END) AS INT)
+             AS purchase_error_1h
+    FROM w GROUP BY user_id
+    """,
+    notes="one-pass multi-pattern detection (SIGMOD'19 theme): three ordered "
+    "patterns evaluated from one shared running-max window",
+)
+def evt_multi_pattern(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def last_of(t):
+        return F.max(F.when(F.col("event_type") == t, F.col("ts_us"))).over(uw)
+
+    w = (
+        e.withColumn("last_signup", last_of("signup"))
+        .withColumn("last_view", last_of("view"))
+        .withColumn("last_purchase", last_of("purchase"))
+    )
+    is_p1 = F.when(
+        (F.col("event_type") == "purchase") & F.col("last_signup").isNotNull(), 1
+    ).otherwise(0)
+    is_p2 = F.when(
+        (F.col("event_type") == "click")
+        & F.col("last_view").isNotNull()
+        & (F.col("ts_us") - F.col("last_view") <= 600_000_000),
+        1,
+    ).otherwise(0)
+    is_p3 = F.when(
+        (F.col("event_type") == "error")
+        & F.col("last_purchase").isNotNull()
+        & (F.col("ts_us") - F.col("last_purchase") <= 3_600_000_000),
+        1,
+    ).otherwise(0)
+    return w.groupBy("user_id").agg(
+        F.max(is_p1).cast("int").alias("signup_to_purchase"),
+        F.max(is_p2).cast("int").alias("view_click_10m"),
+        F.max(is_p3).cast("int").alias("purchase_error_1h"),
+    )
