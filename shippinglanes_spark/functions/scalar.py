@@ -94,15 +94,15 @@ def fn_regex(spark, sf_dir):
     section="2.8",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS od,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od,
            CAST(YEAR(o_orderdate) AS INT) AS y,
            CAST(MONTH(o_orderdate) AS INT) AS m,
            CAST(QUARTER(o_orderdate) AS INT) AS q,
            CAST(DAY(o_orderdate) AS INT) AS d,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
              AS days_since,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due
     FROM orders
     """,
     notes="datediff arg order: Spark datediff(end,start) == DuckDB date_diff('day',start,end)",
@@ -112,14 +112,14 @@ def fn_date(spark, sf_dir):
     od = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        as_date(od).alias("od"),
+        as_date(od).cast("string").alias("od"),
         F.year(od).alias("y"),
         F.month(od).alias("m"),
         F.quarter(od).alias("q"),
         F.dayofmonth(od).alias("d"),
-        as_date(F.date_trunc("month", od)).alias("month_start"),
+        as_date(F.date_trunc("month", od)).cast("string").alias("month_start"),
         F.datediff(as_date(od), F.lit("1995-01-01").cast("date")).alias("days_since"),
-        F.date_add(as_date(od), 30).alias("due"),
+        F.date_add(as_date(od), 30).cast("string").alias("due"),
     )
 
 

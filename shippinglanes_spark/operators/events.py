@@ -105,7 +105,7 @@ def evt_session_stats(spark, sf_dir):
     "evt_tumbling",
     section="2.10",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 2) AS sum_value
     FROM events GROUP BY 1, 2
@@ -115,7 +115,7 @@ def evt_tumbling(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            as_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            as_date(F.date_trunc("day", F.col("ts"))).cast("string").alias("day"),
             "event_type",
         )
         .agg(

@@ -108,7 +108,7 @@ def case_when(spark, sf_dir):
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
-           CAST(o_orderdate AS DATE) AS odate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_str
     FROM orders
     """,
@@ -120,7 +120,7 @@ def cast_types(spark, sf_dir):
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.floor(F.col("o_totalprice")).cast("long").alias("price_int"),
-        as_date("o_orderdate").alias("odate"),
+        as_date("o_orderdate").cast("string").alias("odate"),
         as_date("o_orderdate").cast("string").alias("odate_str"),
     )
 

@@ -25,13 +25,13 @@ _LI_COLS = (
     "scan_parquet",
     section="2.1",
     oracle=f"""
-    SELECT {', '.join(_LI_COLS)}, CAST(l_shipdate AS DATE) AS l_shipdate
+    SELECT {', '.join(_LI_COLS)}, CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS l_shipdate
     FROM lineitem
     """,
 )
 def scan_parquet(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    return li.select(*_LI_COLS, as_date("l_shipdate").alias("l_shipdate"))
+    return li.select(*_LI_COLS, as_date("l_shipdate").cast("string").alias("l_shipdate"))
 
 
 @register(

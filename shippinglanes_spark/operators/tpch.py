@@ -23,7 +23,7 @@ from ..registry import register
     oracle="""
     SELECT l_orderkey,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(o_orderdate AS DATE) AS odate
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -53,7 +53,7 @@ def tpch_q3(spark, sf_dir):
             ).alias("revenue")
         )
         .select(
-            "l_orderkey", "revenue", as_date("o_orderdate").alias("odate")
+            "l_orderkey", "revenue", as_date("o_orderdate").cast("string").alias("odate")
         )
         .orderBy(F.desc("revenue"), "odate", "l_orderkey")
         .limit(10)
@@ -167,7 +167,7 @@ def tpch_q14(spark, sf_dir):
     "tpch_q18_large_orders",
     section="2.12",
     oracle="""
-    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+    SELECT c_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
            ROUND(o_totalprice, 2) AS total,
            ROUND(SUM(l_quantity), 2) AS qty
     FROM customer
@@ -192,7 +192,7 @@ def tpch_q18(spark, sf_dir):
         .select(
             "c_custkey",
             "o_orderkey",
-            as_date("o_orderdate").alias("odate"),
+            as_date("o_orderdate").cast("string").alias("odate"),
             money(F.col("o_totalprice")).alias("total"),
             "qty",
         )

@@ -25,7 +25,7 @@ from ..session import apply_runtime_confs
     "stream_lift",
     section="2.10",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 2) AS sum_value
     FROM events GROUP BY 1, 2
@@ -48,7 +48,7 @@ def stream_lift(spark, sf_dir):
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     agg = stream.groupBy(
-        as_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        as_date(F.date_trunc("day", F.col("ts"))).cast("string").alias("day"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
