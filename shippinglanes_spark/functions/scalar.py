@@ -254,3 +254,29 @@ def fn_misc(spark, sf_dir):
         (key % 7).alias("mod7"),
         F.when(F.col("o_totalprice") > 250000, "big").otherwise("small").alias("size_tag"),
     )
+
+
+@register(
+    "fn_array2",
+    section="2.8",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(toks[1:3], ',') AS first3,
+           CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+           CAST(list_position(toks, 'data') AS INT) AS data_pos,
+           array_to_string(list_sort(toks[1:5]), ',') AS sorted5
+    FROM t
+    """,
+    notes="array slice/contains/position/sort; DuckDB 1-based slices == Spark F.slice(start=1)",
+)
+def fn_array2(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.array_position(toks, "data").cast("int").alias("data_pos"),
+        F.array_join(F.array_sort(F.slice(toks, 1, 5)), ",").alias("sorted5"),
+    )

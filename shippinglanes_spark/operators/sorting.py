@@ -66,3 +66,18 @@ def sample_frac(spark, sf_dir):
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+
+
+@register(
+    "sample_stratified",
+    section="2.6",
+    oracle=None,
+    notes="per-stratum seeded sampling (df.sampleBy); rows-only — fraction "
+    "accuracy asserted in tests/test_events_edge.py",
+)
+def sample_stratified(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.0}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "user_id", "event_type"
+    )

@@ -201,3 +201,34 @@ def win_ntile_pct(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "win_nth",
+    section="2.5",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           NTH_VALUE(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price,
+           FIRST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS top_price
+    FROM orders
+    """,
+    notes="nth_value over a full frame: per-customer 2nd-highest order value",
+)
+def win_nth(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first("o_totalprice").over(w).alias("top_price"),
+    ).distinct()

@@ -142,3 +142,26 @@ def test_quantile_sketch_close_to_exact(spark, sf_dir):
         am, ap = approx[k]
         assert abs(am - m) <= max(1.0, 0.05 * abs(m))
         assert abs(ap - p) <= max(1.0, 0.05 * abs(p))
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from shippinglanes_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.0}
+    got = {
+        r.event_type: r.n
+        for r in ev.sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    base = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "error" not in got  # fraction 0 -> stratum absent
+    assert got["purchase"] == base["purchase"]  # fraction 1 -> all kept
+    for t, frac in (("click", 0.5), ("view", 0.1)):
+        # Bernoulli sampling: allow generous tolerance at fixture sizes
+        assert abs(got[t] / base[t] - frac) < 0.15
