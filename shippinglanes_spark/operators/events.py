@@ -472,3 +472,82 @@ def evt_multi_pattern(spark, sf_dir):
         F.max(is_p2).cast("int").alias("view_click_10m"),
         F.max(is_p3).cast("int").alias("purchase_error_1h"),
     )
+
+
+@register(
+    "evt_scd2",
+    section="2.10",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events WHERE event_type = 'signup'
+    ),
+    chg AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, ts_us, k,
+               LAG(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_k
+        FROM e)
+      WHERE prev_k IS NULL OR k <> prev_k
+    )
+    SELECT user_id, k, ts_us AS valid_from_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+             AS valid_to_us
+    FROM chg
+    """,
+    notes="SCD2 dimension build from a change stream: collapse repeats, then "
+    "LEAD closes each validity interval (open interval = current row)",
+)
+def evt_scd2(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = (
+        e.withColumn("prev_k", F.lag("k").over(w))
+        .where(F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k")))
+    )
+    return chg.select(
+        "user_id",
+        "k",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+
+
+@register(
+    "evt_transitions",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+               FROM events),
+    bi AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               AS to_type
+      FROM e)
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    notes="event-type bigram transition counts (markov-chain sequence analytics)",
+)
+def evt_transitions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
