@@ -273,3 +273,32 @@ def agg_quantile_sketch(spark, sf_dir):
         F.percentile_approx("value", 0.5, 10000).alias("med_approx"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
     )
+
+
+@register(
+    "agg_stats",
+    section="2.4",
+    oracle="""
+    SELECT event_type,
+           ROUND(CORR(value, CAST(json_extract(props, '$.k') AS INT)), 6) AS corr_vk,
+           ROUND(COVAR_POP(value, CAST(json_extract(props, '$.k') AS INT)), 4)
+             AS covar_vk,
+           ROUND(VAR_POP(value), 4) AS var_v,
+           ROUND(STDDEV_POP(value), 4) AS std_v,
+           CAST(BOOL_AND(value > 0) AS INT) AS all_pos,
+           CAST(BOOL_OR(value > 400) AS INT) AS any_big
+    FROM events GROUP BY event_type
+    """,
+    notes="statistical aggregates: Pearson corr, population covar/var/stddev, bool_and/or",
+)
+def agg_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", k), 6).alias("corr_vk"),
+        F.round(F.covar_pop("value", k), 4).alias("covar_vk"),
+        F.round(F.var_pop("value"), 4).alias("var_v"),
+        F.round(F.stddev_pop("value"), 4).alias("std_v"),
+        F.bool_and(F.col("value") > 0).cast("int").alias("all_pos"),
+        F.bool_or(F.col("value") > 400).cast("int").alias("any_big"),
+    )
