@@ -280,3 +280,60 @@ def fn_array2(spark, sf_dir):
         F.array_position(toks, "data").cast("int").alias("data_pos"),
         F.array_join(F.array_sort(F.slice(toks, 1, 5)), ",").alias("sorted5"),
     )
+
+
+@register(
+    "fn_date2",
+    section="2.8",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR)
+             AS month_end,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy
+    FROM orders
+    """,
+    notes="last_day / dayofyear / ISO weekofyear (parity probed: both engines ISO weeks)",
+)
+def fn_date2(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(as_date(od)).cast("string").alias("month_end"),
+        F.dayofyear(od).alias("doy"),
+        F.weekofyear(od).alias("woy"),
+    )
+
+
+@register(
+    "fn_fuzzy",
+    section="2.8",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_size = 1)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+    notes="fuzzy string matching: edit-distance pair join on a pruned subset "
+    "(at scale this runs behind a blocking key, e.g. first-token equality)",
+)
+def fn_fuzzy(spark, sf_dir):
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 1)
+        .select("p_partkey", "p_name")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .where(dist <= 5)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
