@@ -242,3 +242,72 @@ def tpch_q19(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    section="2.12",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    notes="Q4 shape: correlated EXISTS with a cross-table date predicate -> "
+    "left-semi join on (key, range) in Spark",
+)
+def tpch_q4(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    window = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    return (
+        window.join(
+            li,
+            (li.l_orderkey == window.o_orderkey)
+            & (li.l_shipdate > window.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q22_global_balance",
+    section="2.12",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    notes="Q22 shape: scalar aggregate subquery (broadcast 1-row cross join) "
+    "+ anti join",
+)
+def tpch_q22(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            money(F.sum("c_acctbal")).alias("total_bal"),
+        )
+    )

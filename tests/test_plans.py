@@ -75,3 +75,23 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     n_a = back.count()
     assert n_a == li.where(F.col("l_returnflag") == "A").count()
 
+
+
+def test_observation_metrics(spark, sf_dir):
+    """The Observation API collects row-level metrics during a real action
+    without a second pass — the engine's runtime-monitoring hook."""
+    from pyspark.sql import Observation
+
+    from shippinglanes_spark.io import table
+
+    obs = Observation("li_metrics")
+    li = table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    n = observed.where(F.col("l_quantity") > 25).count()
+    assert obs.get["rows"] == li.count()  # metric covers ALL scanned rows
+    assert n < obs.get["rows"]
+    assert obs.get["qty"] > 0
