@@ -1,0 +1,48 @@
+"""Driver-contract invariants: the SURVEY §2 inventory must stay declared
+under these exact names (the driver's metric is keyed on them), every
+oracle key must have a query, and entry() must smoke."""
+
+from __future__ import annotations
+
+import __spark_entry__ as contract
+
+# Every row of SURVEY.md §2 (the binding inventory) by its §2 id.
+SURVEY_S2_IDS = """
+scan_parquet scan_pruned sink_parquet source_csv
+project_arith filter_pred filter_like case_when cast_types null_handling
+join_inner_eq join_multi5 join_left join_full join_semi join_anti
+join_broadcast join_theta_range join_asof join_interval join_self_pairs
+agg_global agg_groupby agg_distinct agg_approx_distinct agg_quantiles
+agg_rollup agg_cube agg_grouping_sets agg_collect agg_having agg_pivot
+win_rank win_lag_lead win_running win_sliding_rows win_range_time
+win_ntile_pct win_first_last
+sort_multi limit_topk sample_frac
+set_union set_intersect set_except distinct_rows dedup_keep_latest
+fn_string fn_regex fn_date fn_math fn_array fn_json
+text_tokenize_tf text_stats text_minhash_dedup sim_cosine_pairs sim_knn
+multimodal_cols
+evt_sessionize evt_session_stats evt_tumbling evt_sliding evt_funnel
+evt_late_dedup stream_lift
+udf_scalar_pandas udaf_grouped udtf_explode
+""".split()
+
+
+def test_survey_inventory_fully_declared():
+    qs = contract.queries()
+    missing = [n for n in SURVEY_S2_IDS if n not in qs]
+    assert not missing, f"SURVEY §2 ids missing from queries(): {missing}"
+
+
+def test_oracles_subset_of_queries():
+    qs, orc = contract.queries(), contract.oracle_sql()
+    assert set(orc) <= set(qs)
+    assert all(isinstance(sql, str) and sql.strip() for sql in orc.values())
+
+
+def test_entry_smoke(spark):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 6  # all returnflag x linestatus combos at sf0.001
+    assert {f.name for f in df.schema.fields} >= {
+        "l_returnflag", "l_linestatus", "sum_qty", "count_order",
+    }

@@ -165,3 +165,71 @@ def test_stratified_sample_fractions(spark, sf_dir):
     for t, frac in (("click", 0.5), ("view", 0.1)):
         # Bernoulli sampling: allow generous tolerance at fixture sizes
         assert abs(got[t] / base[t] - frac) < 0.15
+
+
+from hypothesis import given as _given, settings as _settings, strategies as _st
+
+
+@_settings(max_examples=12, deadline=None)
+@_given(
+    vals=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=1, max_value=3),   # key
+            _st.integers(min_value=0, max_value=100), # ts
+            _st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        max_size=20,
+    )
+)
+def test_running_sum_matches_python_model(spark, vals):
+    from pyspark.sql import Window
+
+    rows = [(k, i, t, v) for i, (k, t, v) in enumerate(vals)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, rid long, ts long, v double")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r.rid: r.cum
+        for r in df.withColumn("cum", F.round(F.sum("v").over(w), 6)).collect()
+    }
+    by_key: dict = {}
+    for k, rid, t, v in sorted(rows, key=lambda r: (r[2], r[1])):
+        by_key.setdefault(k, 0.0)
+        by_key[k] += v
+        assert abs(got[rid] - round(by_key[k], 6)) < 1e-6
+
+
+@_settings(max_examples=12, deadline=None)
+@_given(
+    vals=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=1, max_value=3),
+            _st.integers(min_value=0, max_value=20),  # ts with collisions
+        ),
+        max_size=20,
+    )
+)
+def test_dedup_keep_latest_matches_python_model(spark, vals):
+    from pyspark.sql import Window
+
+    rows = [(k, i, t) for i, (k, t) in enumerate(vals)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, rid long, ts long")
+    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("rid"))
+    got = {
+        r.k: r.rid
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    want: dict = {}
+    for k, rid, t in rows:
+        if k not in want or (t, rid) > want[k][:2]:
+            want[k] = (t, rid)
+    assert got == {k: rid for k, (t, rid) in want.items()}
