@@ -36,14 +36,15 @@ TABLES = (
 
 # DataFrame *plans* are immutable and reusable; memoizing them avoids
 # re-listing files + re-reading parquet footers on every query (a fixed
-# ~100ms/table tax that dominates sub-second queries). Keyed by session
-# identity so a restarted session rebuilds its plans.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# ~100ms/table tax that dominates sub-second queries). Keyed by the
+# SparkContext applicationId (not id(spark): address reuse after a
+# session restart would otherwise serve plans bound to a dead context).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing the events timestamp."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
