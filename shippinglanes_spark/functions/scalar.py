@@ -339,3 +339,32 @@ def fn_fuzzy(spark, sf_dir):
             dist.cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "fn_math2",
+    section="2.8",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(EXP(l_discount), 6) AS e_disc,
+           ROUND(TAN(l_tax), 6) AS tan_tax,
+           ROUND(DEGREES(l_discount), 6) AS deg_disc,
+           CAST(SIGN(l_quantity - 25) AS INT) AS qsign,
+           ROUND(LOG(2, l_quantity), 6) AS log2_q,
+           CAST(FACTORIAL(CAST(l_linenumber AS INT)) AS BIGINT) AS lfact
+    FROM lineitem
+    """,
+    notes="exp/tan/degrees/sign/log2/factorial; Spark log(base, x) == DuckDB log(base, x)",
+)
+def fn_math2(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.exp("l_discount"), 6).alias("e_disc"),
+        F.round(F.tan("l_tax"), 6).alias("tan_tax"),
+        F.round(F.degrees("l_discount"), 6).alias("deg_disc"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qsign"),
+        F.round(F.log(2.0, "l_quantity"), 6).alias("log2_q"),
+        F.factorial(F.col("l_linenumber").cast("int")).cast("long").alias("lfact"),
+    )

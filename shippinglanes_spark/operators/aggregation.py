@@ -302,3 +302,31 @@ def agg_stats(spark, sf_dir):
         F.bool_and(F.col("value") > 0).cast("int").alias("all_pos"),
         F.bool_or(F.col("value") > 400).cast("int").alias("any_big"),
     )
+
+
+@register(
+    "agg_argminmax",
+    section="2.4",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(arg_max(o_orderkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey)
+             AS BIGINT) AS priciest_order,
+           CAST(arg_min(o_orderkey,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey)
+             AS BIGINT) AS cheapest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    notes="arg_max/arg_min == max_by/min_by; ordering key is an integer "
+    "(cents*1e10 + key) so ties are impossible and both engines agree",
+)
+def agg_argminmax(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    ordkey = (
+        F.floor(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ordkey).alias("priciest_order"),
+        F.min_by("o_orderkey", ordkey).alias("cheapest_order"),
+    )

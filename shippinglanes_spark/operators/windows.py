@@ -232,3 +232,29 @@ def win_nth(spark, sf_dir):
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.first("o_totalprice").over(w).alias("top_price"),
     ).distinct()
+
+
+@register(
+    "win_lag_default",
+    section="2.5",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+    SELECT user_id, event_id,
+           ROUND(LAG(value, 2, -1.0) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id), 2) AS lag2,
+           ROUND(LEAD(value, 3, 0.0) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id), 2) AS lead3
+    FROM e
+    """,
+    notes="lag/lead with offset>1 and explicit defaults",
+)
+def win_lag_default(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "value", epoch_us("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value", 2, -1.0).over(w), 2).alias("lag2"),
+        F.round(F.lead("value", 3, 0.0).over(w), 2).alias("lead3"),
+    )
