@@ -2,10 +2,11 @@
 
 Scale notes: every window partitions by a key (user_id / o_custkey), so the
 single shuffle distributes by key and sorts within partitions — the same
-plan a 1000-executor cluster runs. The only global window (win_ntile_pct)
-is inherently single-partition; it is bounded input by construction.
-Deterministic ordering: every ORDER BY carries a unique tiebreak column
-(FIXTURES.md gotcha #4).
+plan a 1000-executor cluster runs. The one *global* ranking query
+(win_ntile_pct) is reformulated as a two-pass value-bucketed rank so even
+it has no single-partition exchange (the naive global-window form survives
+only as a test cross-check). Deterministic ordering: every ORDER BY
+carries a unique tiebreak column (FIXTURES.md gotcha #4).
 """
 
 from __future__ import annotations
@@ -181,6 +182,9 @@ def win_first_last(spark, sf_dir):
     ).distinct()
 
 
+N_RANK_BUCKETS = 32
+
+
 @register(
     "win_ntile_pct",
     section="2.5",
@@ -191,15 +195,57 @@ def win_first_last(spark, sf_dir):
            ROUND(CUME_DIST() OVER w, 6) AS cd
     FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
     """,
+    notes="distributed two-pass global rank: value-bucketed local windows "
+    "+ bounded bucket-count offsets; no single-partition exchange",
 )
 def win_ntile_pct(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Global ntile/percent_rank/cume_dist WITHOUT a single-partition
+    window: rows are bucketed by deterministic value boundaries
+    (percentile_approx), each bucket ranks locally under a keyed window,
+    and per-bucket counts (N_RANK_BUCKETS rows — metadata-scale) give the
+    offsets that turn local ranks global. The only shuffle is keyed on
+    bucket, so the plan survives a 100x scale-up; the tie-broken ORDER BY
+    (o_totalprice, o_orderkey) makes rank == row_number, from which all
+    three window functions derive in closed form."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    fracs = [i / N_RANK_BUCKETS for i in range(1, N_RANK_BUCKETS)]
+    bounds = o.select(
+        F.percentile_approx("o_totalprice", fracs, 10_000).alias("b")
+    ).first()["b"]
+    # bucket = #boundaries strictly below the value: pure function of the
+    # row, so it is identical across the counts job and the final job
+    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucketed = o.withColumn(
+        "bucket", F.size(F.filter(bounds_arr, lambda b: b < F.col("o_totalprice")))
+    )
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.lit(0)
+    for b, off in offsets.items():
+        offset_col = F.when(F.col("bucket") == b, off).otherwise(offset_col)
+
+    w = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+    rn = (F.row_number().over(w) + offset_col).cast("long")
+    # NTILE(k): first n%k tiles take ceil(n/k) rows, the rest floor(n/k)
+    k = 4
+    q, r = n // k, n % k
+    big_span = r * (q + 1)
+    quartile = F.when(
+        rn <= big_span, F.ceil(rn / F.lit(q + 1))
+    ).otherwise(r + F.ceil((rn - big_span) / F.lit(max(q, 1))))
+    pr = (rn - 1) / F.lit(max(n - 1, 1))
+    return bucketed.select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        quartile.cast("long").alias("quartile"),
+        F.round(pr, 6).alias("pr"),
+        F.round(rn / F.lit(n), 6).alias("cd"),
     )
 
 

@@ -29,7 +29,17 @@ def salted_join(
     The dim side is replicated n_salts times (explode of a literal
     sequence) — acceptable when dim << fact, which is exactly the skewed
     case this targets.
+
+    Only ``inner`` and ``left`` are supported: with the dim side
+    replicated, a right/full outer join would emit each *unmatched* dim
+    row once per salt instead of once, silently multiplying rows.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated dim side would duplicate unmatched rows under "
+            "right/full outer semantics"
+        )
     salted_fact = fact.withColumn(
         SALT_COL, (F.rand(seed=42) * n_salts).cast("int")
     )

@@ -5,9 +5,15 @@ rollup maintenance — the operational half of a 100 TB parquet lake.
   (small-file explosion is the classic lake pathology: every file costs
   a task + a footer read; compaction restores scan efficiency).
 - `incremental_rollup(...)`: maintain a daily aggregate table with
-  Structured Streaming `foreachBatch` — each micro-batch upserts its
-  days into the rollup by overwriting affected partitions, so reruns are
-  idempotent and the rollup equals the batch aggregate at every point.
+  Structured Streaming `foreachBatch`. Each micro-batch writes its
+  *partial* aggregate as a delta partitioned by (day, batch); a replayed
+  batch overwrites exactly its own (day, batch) partitions (dynamic
+  partition overwrite), so reruns are idempotent AND a day whose events
+  span multiple micro-batches keeps every batch's contribution — the two
+  properties a blind per-day overwrite cannot have at once. Readers go
+  through `read_rollup(...)`, which folds the deltas (sums are algebraic,
+  so folding partials is exact); a periodic `compact(...)` of the delta
+  directory bounds file count at scale.
 """
 
 from __future__ import annotations
@@ -49,20 +55,31 @@ def compact(
     return len(glob.glob(f"{dst_dir}/*.parquet"))
 
 
-def incremental_rollup(spark: SparkSession, sf_dir: str, rollup_dir: str):
+def incremental_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    rollup_dir: str,
+    glob: str = "events.parquet",
+):
     """Maintain a per-(day, event_type) rollup of events via foreachBatch.
 
-    Each micro-batch aggregates its rows and overwrites the affected day
-    partitions (dynamic partition overwrite), making replays idempotent.
+    Each micro-batch writes its partial aggregate as a delta partitioned
+    by (day, batch=batch_id). Dynamic partition overwrite means a
+    *replayed* batch replaces exactly its own delta partitions
+    (idempotent), while distinct batches touching the same day coexist —
+    so the folded rollup (`read_rollup`) equals the batch aggregate even
+    when one day's events arrive across many micro-batches. Deltas keep
+    raw (unrounded) sums: rounding happens once at read time, because
+    round-then-sum of partials diverges from sum-then-round of the whole.
     Returns the streaming query (caller awaits termination)."""
     apply_runtime_confs(spark)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    static = spark.read.option("pathGlobFilter", glob).parquet(src_dir)
     stream = (
         spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
+        .parquet(src_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -73,14 +90,26 @@ def incremental_rollup(spark: SparkSession, sf_dir: str, rollup_dir: str):
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            money(F.sum("value")).alias("sum_value"),
-        )
-        # dynamic mode: only partitions present in `agg` are replaced
-        agg.write.mode("overwrite").partitionBy("day").parquet(rollup_dir)
+            F.sum("value").alias("sum_value"),
+        ).withColumn("batch", F.lit(batch_id))
+        # dynamic mode: only this batch's (day, batch) partitions replaced
+        agg.write.mode("overwrite").partitionBy("day", "batch").parquet(rollup_dir)
 
     return (
         stream.writeStream.foreachBatch(upsert)
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{rollup_dir}_ckpt")
         .start()
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Fold the rollup's per-batch deltas into the current aggregate.
+
+    Sum/count are algebraic, so folding partials is exact; the monetary
+    rounding contract is applied here, once, over the full sum."""
+    deltas = spark.read.parquet(rollup_dir)
+    return deltas.groupBy("day", "event_type").agg(
+        F.sum("n").alias("n"),
+        money(F.sum("sum_value")).alias("sum_value"),
     )

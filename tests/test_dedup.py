@@ -83,3 +83,32 @@ def test_exact_dedup_on_planted(spark, docs):
     )
     assert len(groups) == 1
     assert groups[0].n == 2 and groups[0].keeper == 0
+
+
+def test_shingles_short_docs_empty_not_crash(spark):
+    """Docs with fewer than k=3 tokens must yield an empty shingle array
+    (DuckDB returns an empty list for the same input; unguarded
+    sequence(1, size-2) would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT)."""
+    from shippinglanes_spark.functions.text import shingles
+
+    rows = [(0, "one"), (1, "two words"), (2, "exactly three tokens"),
+            (3, ""), (4, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.sh for r in
+           df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()}
+    assert got[0] == [] and got[1] == [] and got[3] == []
+    assert got[2] == ["exactly three tokens"]
+    assert got[4] == ["a b c", "b c d"]
+
+
+def test_minhash_tolerates_short_docs(spark):
+    """minhash_signatures / candidates must not crash when the corpus
+    contains sub-k-token documents; they simply produce no signature."""
+    from shippinglanes_spark.functions.minhash import minhash_signatures
+
+    rows = [(0, "hi"), (1, "a b"), (2, BASE), (3, BASE)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == {2, 3}
+    pairs = {(r.id_a, r.id_b) for r in minhash_candidates(df).collect()}
+    assert (2, 3) in pairs

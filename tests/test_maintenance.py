@@ -8,7 +8,11 @@ import shutil
 from pyspark.sql import functions as F
 
 from shippinglanes_spark.io import table
-from shippinglanes_spark.sources.maintenance import compact, incremental_rollup
+from shippinglanes_spark.sources.maintenance import (
+    compact,
+    incremental_rollup,
+    read_rollup,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TMP = os.path.join(REPO, ".tmp")
@@ -38,7 +42,7 @@ def test_incremental_rollup_equals_batch(spark, sf_dir):
     q.stop()
     got = {
         (str(r.day), r.event_type): (r.n, r.sum_value)
-        for r in spark.read.parquet(rollup).collect()
+        for r in read_rollup(spark, rollup).collect()
     }
     ev = table(spark, sf_dir, "events")
     want = {
@@ -59,9 +63,40 @@ def test_incremental_rollup_equals_batch(spark, sf_dir):
     q2.stop()
     again = {
         (str(r.day), r.event_type): (r.n, r.sum_value)
-        for r in spark.read.parquet(rollup).collect()
+        for r in read_rollup(spark, rollup).collect()
     }
     assert again == want
+
+
+def test_incremental_rollup_day_split_across_batches(spark, sf_dir):
+    """A day whose events span multiple input files (one file per
+    micro-batch) must keep every batch's contribution — the failure mode
+    of a blind per-day overwrite."""
+    src = os.path.join(TMP, "split_events")
+    rollup = os.path.join(TMP, "split_rollup")
+    for d in (src, rollup, rollup + "_ckpt"):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    # two files, both containing rows from every day (odd/even event_id)
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/half=0")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/half=1")
+    q = incremental_rollup(spark, src, rollup, glob="*.parquet")
+    q.awaitTermination()
+    q.stop()
+    got = {
+        (str(r.day), r.event_type): (r.n, r.sum_value)
+        for r in read_rollup(spark, rollup).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.n, r.sum_value)
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_schema_evolution_mergeschema(spark):

@@ -95,3 +95,28 @@ def test_observation_metrics(spark, sf_dir):
     assert obs.get["rows"] == li.count()  # metric covers ALL scanned rows
     assert n < obs.get["rows"]
     assert obs.get["qty"] > 0
+
+def test_ntile_pct_distributed_and_matches_global_window(spark, sf_dir):
+    """The bucketed two-pass global rank must (a) contain no
+    single-partition exchange and (b) agree row-for-row with the naive
+    global-window formulation it replaced."""
+    from pyspark.sql import Window
+
+    from shippinglanes_spark.io import table
+
+    p = plan(spark, sf_dir, "win_ntile_pct", mode="simple")
+    assert "Exchange SinglePartition" not in p
+    assert "Exchange hashpartitioning" in p  # bucket-keyed shuffle instead
+
+    got = {r.o_orderkey: (r.quartile, r.pr, r.cd)
+           for r in Q["win_ntile_pct"].fn(spark, sf_dir).collect()}
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {r.o_orderkey: (r.quartile, r.pr, r.cd)
+            for r in o.select(
+                "o_orderkey",
+                F.ntile(4).over(w).cast("long").alias("quartile"),
+                F.round(F.percent_rank().over(w), 6).alias("pr"),
+                F.round(F.cume_dist().over(w), 6).alias("cd"),
+            ).collect()}
+    assert got == want
