@@ -30,3 +30,21 @@ def money(col: Column, dp: int = 2) -> Column:
 def as_date(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("date")
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Redistribute a narrow DataFrame whose source has fewer splits than
+    the cluster has cores, so a compute-heavy downstream expression (JSON
+    parse, regex, UDF) parallelizes.
+
+    Single-file single-row-group parquet inputs scan as ONE task no
+    matter what maxPartitionBytes says (a row group is the atomic split
+    unit), serializing everything fused into the scan stage. A 100 TB
+    table has thousands of row groups and never needs this; it exists for
+    the small-source + expensive-map shape and is a no-op when the input
+    is already split at least as wide as the session's parallelism.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

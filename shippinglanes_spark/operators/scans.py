@@ -9,11 +9,37 @@ everything.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..core import as_date
 from ..io import table
 from ..registry import register
+
+# Derived partitioned layouts live under the repo (fixtures are read-only);
+# one layout per (sf_dir) is materialized on first use and reused after.
+_DERIVED_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".derived",
+)
+
+
+def partitioned_orders_path(spark, sf_dir: str) -> str:
+    """Materialize (once) an orders copy partitioned by order year —
+    the hive-style layout a 100 TB lake would maintain for its fact
+    tables — and return its path."""
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = os.path.join(_DERIVED_ROOT, tag, "orders_by_year")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = table(spark, sf_dir, "orders")
+        (
+            o.withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(out)
+        )
+    return out
 
 _LI_COLS = (
     "l_orderkey l_partkey l_suppkey l_linenumber l_quantity l_extendedprice "
@@ -49,3 +75,34 @@ def scan_pruned(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
         & (F.col("l_quantity") < 10)
     ).select("l_orderkey", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "scan_partition_pruned",
+    section="2.1",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+    """,
+    notes="reads a hive-partitioned (o_year=...) layout with a partition-key "
+    "predicate: the filter prunes DIRECTORIES at the file index "
+    "(PartitionFilters, asserted in tests/test_plans.py), so non-matching "
+    "years are never opened - the oracle proves the pruned read equals the "
+    "full-scan-and-filter semantics",
+)
+def scan_partition_pruned(spark, sf_dir):
+    path = partitioned_orders_path(spark, sf_dir)
+    o = spark.read.parquet(path)
+    return (
+        o.where(F.col("o_year").isin(1996, 1997))
+        .groupBy(F.col("o_year").cast("int").alias("o_year"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

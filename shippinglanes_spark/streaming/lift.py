@@ -67,6 +67,62 @@ def stream_lift(spark, sf_dir):
     return spark.table(name)
 
 
+@register(
+    "stream_session_window",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+               FROM events),
+    g AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id)
+                         > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+    s AS (SELECT *, CAST(SUM(new_sess) OVER (
+                      PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+          FROM g)
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    notes="F.session_window as a STREAMING stateful aggregation (gap-merge "
+    "session state, availableNow drain, complete mode); oracle = the batch "
+    "window-SQL sessionize CTE, so the driver's hash check proves "
+    "batch-sessionize ≡ stream-session-window on identical input",
+)
+def stream_session_window(spark, sf_dir):
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
 def tumbling_watermarked(spark, sf_dir, gap: str = "1 hour"):
     """Production-shaped variant: event-time window + watermark, append
     mode (late rows beyond the watermark are dropped). Used by the

@@ -233,3 +233,25 @@ def test_dedup_keep_latest_matches_python_model(spark, vals):
         if k not in want or (t, rid) > want[k][:2]:
             want[k] = (t, rid)
     assert got == {k: rid for k, (t, rid) in want.items()}
+
+
+def test_exact_quantiles_high_cardinality_groups(spark):
+    """The exact percentile aggregate is safe on the group-COUNT axis:
+    many small groups each buffer only their own rows (SCALING.md's
+    routing rule — the dangerous axis is rows-per-group, covered by the
+    sketch). 50k single-digit-row groups must aggregate exactly."""
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 50_000).alias("k"),
+            (F.col("id") * 7 % 1000).cast("double").alias("v"),
+        )
+    )
+    got = df.groupBy("k").agg(F.percentile("v", 0.5).alias("med"))
+    assert got.count() == 50_000
+    # spot-check one group against a hand computation: k=0 holds
+    # ids {0, 50k, 100k, 150k} -> v = {0, 350000%1000, ...}
+    vals = sorted(((i * 7) % 1000) for i in (0, 50_000, 100_000, 150_000))
+    want = (vals[1] + vals[2]) / 2
+    row = got.where(F.col("k") == 0).first()
+    assert abs(row.med - want) < 1e-9

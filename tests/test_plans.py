@@ -120,3 +120,12 @@ def test_ntile_pct_distributed_and_matches_global_window(spark, sf_dir):
                 F.round(F.cume_dist().over(w), 6).alias("cd"),
             ).collect()}
     assert got == want
+
+def test_declared_partition_pruned_scan(spark, sf_dir):
+    """scan_partition_pruned must hit PartitionFilters (directory-level
+    pruning), carry no data filter for the year predicate, and scan
+    strictly fewer files than the unfiltered layout."""
+    p = plan(spark, sf_dir, "scan_partition_pruned", mode="simple")
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters: [")[1][:200]
+    assert "o_year" in pf and "IN(1996,1997" in pf.replace(" ", "")
