@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core import fan_out
 from ..io import table
 from ..registry import register
 from .text import shingles
@@ -34,11 +35,16 @@ N_BANDS = 8  # 4 rows per band
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, h0..h{N-1}) min-hash signature per document."""
+    """(id, h0..h{N-1}) min-hash signature per document.
+
+    No shingle-dedup pass: min() over repeated shingles equals min()
+    over the distinct set, so the signature is set-semantics-exact
+    without paying a distinct's extra shuffle. fan_out lifts the
+    explode off a single-split source (see core.fan_out)."""
     sh = (
-        docs.select(id_col, F.explode(shingles(F.col(text_col))).alias("shingle"))
+        fan_out(docs.select(id_col, text_col))
+        .select(id_col, F.explode(shingles(F.col(text_col))).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
     mins = [
         F.min(F.hash("shingle", F.lit(seed))).alias(f"h{seed}")
@@ -47,8 +53,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return sh.groupBy(id_col).agg(*mins)
 
 
+MAX_BUCKET = 1000  # drop degenerate LSH buckets (everything-matches-everything)
+
+
 def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding (distinct id pairs)."""
+    """Candidate near-duplicate pairs via LSH banding (distinct id pairs).
+
+    Single-pass formulation: one groupBy on (band, band-hash) collects
+    each bucket's ids and emits the in-bucket pairs with a higher-order
+    transform — the signature pipeline (shingle explode + 32-way min
+    aggregation, the expensive part) is computed ONCE. The equivalent
+    band self-join evaluates it twice: the broadcast side's subtree
+    differs from the probe side's, so Catalyst cannot reuse the exchange.
+    Buckets larger than MAX_BUCKET are dropped as degenerate (a bucket
+    that big means the band matches boilerplate, not near-duplication —
+    the standard LSH too-common-bucket guard, which also caps the
+    quadratic in-bucket pair expansion)."""
     sig = minhash_signatures(docs, text_col, id_col)
     rows_per_band = N_HASHES // N_BANDS
     bands = [
@@ -63,18 +83,23 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     exploded = sig.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids").between(2, MAX_BUCKET))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -92,7 +117,7 @@ def text_minhash_dedup(spark, sf_dir):
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash bigint): 64-bit SimHash over whitespace tokens."""
-    tok = docs.select(
+    tok = fan_out(docs.select(id_col, text_col)).select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).where(F.col("token") != "")
     h = F.xxhash64("token")

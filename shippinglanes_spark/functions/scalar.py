@@ -145,7 +145,9 @@ def fn_date(spark, sf_dir):
     notes="haversine over synthetic lat/lon derived from keys (fixtures lack geo columns)",
 )
 def fn_math(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
+    # fan_out: per-row trig dominates; the one-row-group fixture would
+    # otherwise evaluate it all on a single core
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     lat1 = (F.col("l_partkey") % 180) - 90
     lon1 = (F.col("l_suppkey") % 360) - 180
     lat2 = (F.col("l_orderkey") % 180) - 90

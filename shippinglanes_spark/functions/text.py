@@ -274,20 +274,33 @@ def text_ngram_jaccard(spark, sf_dir):
     3-gram intersection is computed *only for candidates* by joining the
     pair list against each side's shingles — cost scales with candidate
     count x shingles/doc, never with all matching-shingle pairs."""
+    from ..core import fan_out
     from .minhash import minhash_candidates
 
     d = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(d)
+    # Prune FIRST: only documents appearing in a candidate pair need
+    # their shingle sets materialized — at scale this is the difference
+    # between re-ranking a few near-dup clusters and re-shuffling the
+    # whole corpus's shingles.
+    cand_docs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     sh = (
-        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        fan_out(d.select("doc_id", "text"))
+        .join(F.broadcast(cand_docs), "doc_id")
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand = minhash_candidates(d)
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (
-        cand.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        F.broadcast(cand)
+        .join(sa, F.col("id_a") == F.col("sa.doc_id"))
         .join(
             sb,
             (F.col("id_b") == F.col("sb.doc_id"))
