@@ -373,3 +373,125 @@ def text_sentiment(spark, sf_dir):
         neg.cast("long").alias("neg"),
         F.round((pos - neg) / F.size(toks).cast("double"), 4).alias("score"),
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    section="2.9",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             LENGTH(text) AS L,
+             md5(lower(trim(text))) AS fp
+      FROM documents),
+    filt AS (SELECT * FROM scored WHERE L BETWEEN 50 AND 5000),
+    keep AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM filt)
+    SELECT doc_id, lang, source, n_chars FROM keep WHERE rn = 1
+    """,
+    notes="composed training-data cleaning pass: length/quality gate -> "
+    "exact-dup removal keeping the lowest doc_id per fingerprint -> "
+    "projected clean corpus. One window + one filter; no extra shuffles "
+    "beyond the dedup key",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The end-to-end shape of an LLM-data cleaning stage, composed from
+    the engine's own primitives: quality gate (length bounds), exact
+    near-dup collapse (md5 fingerprint, keep smallest doc_id), and final
+    projection. Single keyed shuffle on the fingerprint."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.length("text").alias("L"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    ).where(F.col("L").between(50, 5000))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "text_neardup_clusters",
+    section="2.9",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM inter
+              UNION ALL SELECT id_b, id_a FROM inter),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src
+    )
+    SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM cc GROUP BY id
+    """,
+    notes="near-dup CLUSTERING: connected components over the >=25-common-"
+    "shingle pair graph via distributed min-label propagation (bounded "
+    "iterations, localCheckpoint per round); oracle = recursive-CTE "
+    "transitive closure in DuckDB - a full value oracle for an iterative "
+    "graph algorithm",
+)
+def text_neardup_clusters(spark, sf_dir):
+    """Collapse near-duplicate pairs into clusters (the step between
+    pair detection and keep-one-per-cluster dedup). Distributed
+    min-label propagation: every node starts as its own label; each
+    round, labels flow across edges and each node keeps the minimum —
+    fixpoint = connected components, labelled by the smallest doc_id.
+    Rounds are bounded by the component diameter (near-dup clusters are
+    shallow); each round is one keyed join + aggregate, checkpointed so
+    the plan does not grow with iterations."""
+    pairs = text_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components(pairs, max_iters: int = 20):
+    """Distributed min-label propagation over an undirected pair list
+    (id_a, id_b) -> (id, label) where label is the smallest member id of
+    each connected component. One keyed join + aggregate per round,
+    localCheckpoint keeps the plan flat; rounds needed = component
+    diameter (shallow for near-dup clusters)."""
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

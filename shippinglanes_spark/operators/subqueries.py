@@ -1,0 +1,71 @@
+"""Subquery shapes: scalar and correlated aggregates.
+
+Spark's Catalyst de-correlates subqueries into joins; these operators
+express the de-correlated form directly in the DataFrame API — a
+broadcast of a 1-row aggregate for the scalar case, an aggregate-join
+for the correlated case — which is exactly the physical plan a SQL
+subquery compiles to, minus the rewrite step. Both shapes stay fully
+keyed/broadcast (no nested-loop re-execution per outer row, which is
+how a naive interpreter runs correlated subqueries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import money
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "subquery_scalar",
+    section="2.3",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
+             AS above_avg_by
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+    """,
+    notes="scalar subquery as broadcast of a 1-row global aggregate "
+    "(the TPC-H Q22 idiom); the only 'cross join' is against one row",
+)
+def subquery_scalar(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("avg_price") * 1.5)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            money(F.col("o_totalprice") - F.col("avg_price")).alias("above_avg_by"),
+        )
+    )
+
+
+@register(
+    "subquery_correlated",
+    section="2.3",
+    oracle="""
+    SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > 1.8 * (SELECT AVG(c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    notes="correlated aggregate subquery, de-correlated to "
+    "group-aggregate + equi-join (Catalyst's own rewrite, hand-expressed)",
+)
+def subquery_correlated(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    per_nation = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(per_nation), c.c_nationkey == per_nation.nk)
+        .where(F.col("c_acctbal") > 1.8 * F.col("nation_avg"))
+        .select(
+            "c_custkey", "c_nationkey", money(F.col("c_acctbal")).alias("bal")
+        )
+    )

@@ -98,6 +98,7 @@ def _load_all() -> None:
         scans,
         setops,
         sorting,
+        subqueries,
         tpch,
         udfs,
         windows,

@@ -123,6 +123,61 @@ def stream_session_window(spark, sf_dir):
     return spark.table(name)
 
 
+@register(
+    "stream_dedup",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+               FROM events)
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts_us, user_id) AS rn
+      FROM e)
+    WHERE rn = 1
+    """,
+    notes="streaming replay-dedup: keep the earliest copy per event_id via a "
+    "min(struct) stateful aggregation (arrival-order independent, unlike "
+    "stream dropDuplicates); oracle = the batch evt_late_dedup SQL, so the "
+    "hash check proves batch≡stream dedup",
+)
+def stream_dedup(spark, sf_dir):
+    """Duplicate/late-replay consolidation as a streaming stateful
+    aggregation: min over struct(ts, tiebreak, payload) per event_id is
+    deterministic regardless of arrival order — the property file-order-
+    based dropDuplicates lacks — and its state is one struct per key,
+    mergeable across micro-batches."""
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    first_copy = F.min(
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    ).alias("fc")
+    agg = (
+        stream.groupBy("event_id")
+        .agg(first_copy)
+        .select(
+            "event_id",
+            F.col("fc.user_id").alias("user_id"),
+            F.col("fc.event_type").alias("event_type"),
+            F.col("fc.value").alias("value"),
+        )
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
 def tumbling_watermarked(spark, sf_dir, gap: str = "1 hour"):
     """Production-shaped variant: event-time window + watermark, append
     mode (late rows beyond the watermark are dropped). Used by the

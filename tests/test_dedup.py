@@ -112,3 +112,29 @@ def test_minhash_tolerates_short_docs(spark):
     assert {r.doc_id for r in sigs.select("doc_id").collect()} == {2, 3}
     pairs = {(r.id_a, r.id_b) for r in minhash_candidates(df).collect()}
     assert (2, 3) in pairs
+
+
+def test_connected_components_transitive(spark):
+    """Near-dup clustering must be transitive: a chain a-b-c collapses to
+    one cluster labelled by its smallest id even though (a, c) was never
+    a pair; disjoint pairs stay separate."""
+    from shippinglanes_spark.functions.text import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21), (30, 31), (31, 30)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs ~diameter rounds — exercises the iteration
+    loop beyond one hop."""
+    from shippinglanes_spark.functions.text import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a long, id_b long"
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {100} and len(got) == 13
