@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..core import money
+from ..core import fan_out, money
 from ..io import table
 from ..registry import register
 
@@ -292,8 +292,10 @@ def agg_quantile_sketch(spark, sf_dir):
     notes="statistical aggregates: Pearson corr, population covar/var/stddev, bool_and/or",
 )
 def agg_stats(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # fan_out + variant: the JSON parse dominates and the fixture scans
+    # as one split (see core.fan_out)
+    ev = fan_out(table(spark, sf_dir, "events").select("event_type", "value", "props"))
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'int')")
     return ev.groupBy("event_type").agg(
         F.round(F.corr("value", k), 6).alias("corr_vk"),
         F.round(F.covar_pop("value", k), 4).alias("covar_vk"),
