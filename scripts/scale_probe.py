@@ -70,9 +70,54 @@ def shapes(spark, ev, li, o):
     }
 
 
+def build_docs(spark):
+    """10x documents with per-copy token salting: every token gets a
+    _c<i> suffix, so shingle spaces are fully disjoint across copies
+    (no cross-copy near-dup pairs) while the within-copy near-dup
+    structure is preserved — candidate/pair counts scale linearly."""
+    if os.path.exists(os.path.join(SCRATCH, "documents", "_SUCCESS")):
+        return
+    d = table(spark, SF, "documents")
+    parts = []
+    for c in range(COPIES):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", rf"$1_c{c}").alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SCRATCH}/documents")
+
+
+def round2_shapes(spark, docs, orders):
+    """The operator shapes rewritten in round 2: single-pass LSH banding,
+    connected components, two-pass global rank, binned range join is
+    events-shaped (covered via sessionize events probe)."""
+    from shippinglanes_spark.functions.minhash import minhash_candidates
+    from shippinglanes_spark.functions.text import connected_components
+    from shippinglanes_spark.operators.windows import bucketed_global_rank
+
+    def rank():
+        ranked, n = bucketed_global_rank(
+            orders.select("o_orderkey", "o_totalprice"), "o_totalprice", "o_orderkey"
+        )
+        ranked.groupBy().agg(F.max("rn")).collect()
+
+    cand = minhash_candidates(docs)
+    return {
+        "minhash_candidates": lambda: cand.count(),
+        "neardup_clusters": lambda: connected_components(cand).count(),
+        "global_rank_2pass": rank,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
+    build_docs(spark)
     one = {
         "ev": table(spark, SF, "events"),
         "li": table(spark, SF, "lineitem"),
@@ -87,8 +132,11 @@ def main() -> None:
         "li": spark.read.parquet(f"{SCRATCH}/lineitem"),
         "o": spark.read.parquet(f"{SCRATCH}/orders"),
     }
+    one["docs"] = table(spark, SF, "documents")
+    ten["docs"] = spark.read.parquet(f"{SCRATCH}/documents")
     for label, t in (("1x", one), ("10x", ten)):
         fns = shapes(spark, t["ev"], t["li"], t["o"])
+        fns.update(round2_shapes(spark, t["docs"], t["o"]))
         for name, fn in fns.items():
             fn()  # warm
             t0 = time.perf_counter()

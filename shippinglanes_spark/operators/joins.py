@@ -307,3 +307,54 @@ def join_interval(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_quick"))
     )
+
+
+@register(
+    "join_range_binned",
+    section="2.3",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+    e AS (SELECT ts AS e_ts FROM events WHERE event_type = 'error')
+    SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+    FROM p JOIN e ON e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR
+    GROUP BY p_id
+    """,
+    notes="PURE range join (no equi key) done the scale-safe way: hour-bin "
+    "bucketing turns it into an equi-join on bin + exact residual filter. "
+    "Each probe interval spans <=2 bins and each event belongs to exactly "
+    "one, so no dedup is needed. The naive plan is a BroadcastNestedLoop "
+    "over |purchases| x |errors|; the binned plan shuffles once on bin "
+    "(asserted BNLJ-free in tests/test_plans.py). Oracle = DuckDB's IEJoin "
+    "over the same predicate",
+)
+def join_range_binned(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    # a [ts, ts+1h) interval overlaps exactly the bins of its endpoints
+    p_bins = p.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("p_ts")),
+                F.date_trunc("hour", F.col("p_ts") + hour),
+                hour,
+            )
+        ),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("bin"),
+    )
+    return (
+        p_bins.join(e, "bin")
+        .where(
+            (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") < F.col("p_ts") + hour)
+        )
+        .groupBy("p_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )

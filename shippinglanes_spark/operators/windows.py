@@ -185,6 +185,43 @@ def win_first_last(spark, sf_dir):
 N_RANK_BUCKETS = 32
 
 
+def bucketed_global_rank(df, value_col: str, tiebreak_col: str):
+    """Distributed global rank: (df + 'rn' column, total row count n).
+
+    Rows are bucketed by deterministic value boundaries
+    (percentile_approx), each bucket ranks locally under a keyed window,
+    and per-bucket counts (N_RANK_BUCKETS rows — metadata-scale) give the
+    offsets that turn local ranks global. The only shuffle is keyed on
+    bucket, so the plan survives a 100x scale-up; a unique tiebreak makes
+    rank == row_number, from which ntile/percent_rank/cume_dist derive in
+    closed form."""
+    fracs = [i / N_RANK_BUCKETS for i in range(1, N_RANK_BUCKETS)]
+    bounds = df.select(
+        F.percentile_approx(value_col, fracs, 10_000).alias("b")
+    ).first()["b"]
+    # bucket = #boundaries strictly below the value: pure function of the
+    # row, so it is identical across the counts job and the final job
+    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucketed = df.withColumn(
+        "bucket", F.size(F.filter(bounds_arr, lambda b: b < F.col(value_col)))
+    )
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.lit(0)
+    for b, off in offsets.items():
+        offset_col = F.when(F.col("bucket") == b, off).otherwise(offset_col)
+    w = Window.partitionBy("bucket").orderBy(value_col, tiebreak_col)
+    rn = (F.row_number().over(w) + offset_col).cast("long")
+    return bucketed.withColumn("rn", rn), n
+
+
 @register(
     "win_ntile_pct",
     section="2.5",
@@ -200,39 +237,10 @@ N_RANK_BUCKETS = 32
 )
 def win_ntile_pct(spark, sf_dir):
     """Global ntile/percent_rank/cume_dist WITHOUT a single-partition
-    window: rows are bucketed by deterministic value boundaries
-    (percentile_approx), each bucket ranks locally under a keyed window,
-    and per-bucket counts (N_RANK_BUCKETS rows — metadata-scale) give the
-    offsets that turn local ranks global. The only shuffle is keyed on
-    bucket, so the plan survives a 100x scale-up; the tie-broken ORDER BY
-    (o_totalprice, o_orderkey) makes rank == row_number, from which all
-    three window functions derive in closed form."""
+    window — see bucketed_global_rank for the two-pass formulation."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    fracs = [i / N_RANK_BUCKETS for i in range(1, N_RANK_BUCKETS)]
-    bounds = o.select(
-        F.percentile_approx("o_totalprice", fracs, 10_000).alias("b")
-    ).first()["b"]
-    # bucket = #boundaries strictly below the value: pure function of the
-    # row, so it is identical across the counts job and the final job
-    bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
-    bucketed = o.withColumn(
-        "bucket", F.size(F.filter(bounds_arr, lambda b: b < F.col("o_totalprice")))
-    )
-    counts = {
-        r["bucket"]: r["cnt"]
-        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(counts.values())
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    offset_col = F.lit(0)
-    for b, off in offsets.items():
-        offset_col = F.when(F.col("bucket") == b, off).otherwise(offset_col)
-
-    w = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
-    rn = (F.row_number().over(w) + offset_col).cast("long")
+    ranked, n = bucketed_global_rank(o, "o_totalprice", "o_orderkey")
+    rn = F.col("rn")
     # NTILE(k): first n%k tiles take ceil(n/k) rows, the rest floor(n/k)
     k = 4
     q, r = n // k, n % k
@@ -241,7 +249,7 @@ def win_ntile_pct(spark, sf_dir):
         rn <= big_span, F.ceil(rn / F.lit(q + 1))
     ).otherwise(r + F.ceil((rn - big_span) / F.lit(max(q, 1))))
     pr = (rn - 1) / F.lit(max(n - 1, 1))
-    return bucketed.select(
+    return ranked.select(
         "o_orderkey",
         quartile.cast("long").alias("quartile"),
         F.round(pr, 6).alias("pr"),

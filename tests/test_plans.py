@@ -129,3 +129,10 @@ def test_declared_partition_pruned_scan(spark, sf_dir):
     assert "PartitionFilters: [" in p
     pf = p.split("PartitionFilters: [")[1][:200]
     assert "o_year" in pf and "IN(1996,1997" in pf.replace(" ", "")
+
+def test_range_join_is_binned_not_nested_loop(spark, sf_dir):
+    """The pure (no-equi-key) range join must compile to an equi-join on
+    the time bin, never a nested-loop/cartesian plan."""
+    p = plan(spark, sf_dir, "join_range_binned", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
