@@ -332,3 +332,31 @@ def agg_argminmax(spark, sf_dir):
         F.max_by("o_orderkey", ordkey).alias("priciest_order"),
         F.min_by("o_orderkey", ordkey).alias("cheapest_order"),
     )
+
+
+@register(
+    "agg_mode",
+    section="2.4",
+    oracle="""
+    WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type AS top_type, n AS n_top FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY n DESC, event_type) AS rn FROM c)
+    WHERE rn = 1
+    """,
+    notes="per-key mode (most frequent value) with deterministic "
+    "lexicographic tie-break - count + windowed argmax, two keyed "
+    "shuffles, no value buffering (unlike a naive collect-and-count)",
+)
+def agg_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), F.col("n").alias("n_top"))
+    )

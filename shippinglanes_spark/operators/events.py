@@ -551,3 +551,60 @@ def evt_transitions(spark, sf_dir):
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "evt_resample_ffill",
+    section="2.10",
+    oracle="""
+    WITH u AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi
+               FROM events WHERE user_id < 50 GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+             FROM u),
+    hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      ROUND(SUM(value), 2) AS sum_value
+               FROM events WHERE user_id < 50 GROUP BY 1, 2)
+    SELECT g.user_id, epoch_us(g.hr) AS hr_us,
+           COALESCE(h.n, 0) AS n,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+    """,
+    notes="time-series resample to an hourly grid + forward-fill (the AIS "
+    "track-regularization primitive): per-key bounds -> sequence explode "
+    "grid -> left join hourly agg -> last-ignore-nulls carry. All keyed "
+    "shuffles; grid size is bounded by key span, never by row count",
+)
+def evt_resample_ffill(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    hour = F.expr("INTERVAL 1 HOUR")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi", hour)).alias("hr")
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("value")).alias("sum_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            epoch_us("hr").alias("hr_us"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("carried"),
+        )
+    )
