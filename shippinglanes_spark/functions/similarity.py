@@ -282,6 +282,10 @@ def ivf_knn(spark, emb, n_clusters: int = 16, n_probe: int = 4, k: int = 1):
         assign_and_probe,
         schema="vec_id long, emb_n array<double>, list_id int, probes array<int>",
     )
+    # both cogroup sides (members + probe fan-out) read `assigned`; without
+    # a materialization barrier each side re-runs the assignment pass
+    # (mapInPandas has no exchange for Catalyst to reuse)
+    assigned = assigned.localCheckpoint()
     members = assigned.select("list_id", F.col("vec_id").alias("m_id"), "emb_n")
     queries = assigned.select(
         "vec_id", F.col("emb_n").alias("q_emb"),
