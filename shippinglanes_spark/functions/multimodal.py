@@ -141,3 +141,66 @@ def decode_features(blobs: DataFrame, n_features: int = 4) -> DataFrame:
 )
 def multimodal_decode(spark, sf_dir):
     return decode_features(with_blob(table(spark, sf_dir, "documents")))
+
+
+N_FRAMES = 4
+FRAME_LEN = 16
+
+
+@register(
+    "multimodal_framesample",
+    section="2.9",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, text, n_chars,
+                      unnest(range({N_FRAMES})) AS frame_idx
+               FROM documents)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * n_chars // {N_FRAMES} AS INT) AS byte_off,
+           md5(substring(text, frame_idx * n_chars // {N_FRAMES} + 1, {FRAME_LEN}))
+             AS frame_md5
+    FROM f
+    """,
+    notes="frame sampling plumbing: one input row explodes to N evenly-"
+    "spaced frame rows (the batch shape of video processing); frame "
+    "extraction is a deterministic slice+digest here (codec absent), so "
+    "offsets AND content digests are oracle-exact",
+)
+def multimodal_framesample(spark, sf_dir):
+    """Evenly-spaced frame sampling over an opaque payload. The real
+    pipeline shape: row -> N frame rows via explode, then a per-frame
+    decode. The slice+md5 stands in for the codec; the explode, offset
+    arithmetic, and per-frame row layout are the real plumbing."""
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id", "text", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(N_FRAMES - 1))).alias("frame_idx"),
+    )
+    off = (F.col("frame_idx") * F.col("n_chars") / N_FRAMES).cast("int")
+    return f.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        off.alias("byte_off"),
+        F.md5(F.encode(F.expr(
+            f"substring(text, frame_idx * n_chars div {N_FRAMES} + 1, {FRAME_LEN})"
+        ), "UTF-8")).alias("frame_md5"),
+    )
+
+
+def resize_blob(blobs: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize plumbing over binary payloads (STUB codec: truncate/zero-pad
+    to target_bytes stands in for an image resample — media libs absent).
+    Real parts: Arrow binary in/out, metadata restamp, per-partition
+    batching."""
+
+    def resize(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf["blob"]:
+                raw = bytes(b)[:target_bytes]
+                out.append(raw + b"\x00" * (target_bytes - len(raw)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "blob": out,
+                 "n_bytes": [len(b) for b in out]}
+            )
+
+    return blobs.mapInPandas(resize, schema="doc_id long, blob binary, n_bytes int")

@@ -32,3 +32,16 @@ def test_decode_shape_and_determinism(spark, sf_dir):
     assert all(len(f) == 4 for _, f in a.values())
     # feature[0] is the byte length; must agree with the metadata column
     assert all(f[0] == nb for nb, f in a.values())
+
+
+def test_resize_blob_shapes(spark, sf_dir):
+    """Resize plumbing: binary in/out, exact target width, deterministic."""
+    from shippinglanes_spark.functions.multimodal import resize_blob, with_blob
+    from shippinglanes_spark.io import table
+
+    blobs = with_blob(table(spark, sf_dir, "documents").limit(20))
+    out = resize_blob(blobs, target_bytes=32).collect()
+    assert len(out) == 20
+    assert all(r.n_bytes == 32 and len(bytes(r.blob)) == 32 for r in out)
+    again = resize_blob(blobs, target_bytes=32).collect()
+    assert sorted(bytes(r.blob) for r in out) == sorted(bytes(r.blob) for r in again)
