@@ -136,3 +136,19 @@ def test_range_join_is_binned_not_nested_loop(spark, sf_dir):
     p = plan(spark, sf_dir, "join_range_binned", mode="simple")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+def test_bucketed_global_rank_is_exact_permutation(spark):
+    """On synthetic data with heavy value duplication, the two-pass rank
+    must produce exactly 1..n, ordered identically to a global sort on
+    (value, tiebreak)."""
+    from shippinglanes_spark.operators.windows import bucketed_global_rank
+
+    df = spark.range(5000).select(
+        ((F.col("id") * 37) % 101).cast("double").alias("v"), F.col("id")
+    )
+    ranked, n = bucketed_global_rank(df, "v", "id")
+    rows = ranked.select("v", "id", "rn").collect()
+    assert n == 5000
+    assert sorted(r.rn for r in rows) == list(range(1, 5001))
+    by_rank = [(r.v, r.id) for r in sorted(rows, key=lambda r: r.rn)]
+    assert by_rank == sorted(by_rank)
