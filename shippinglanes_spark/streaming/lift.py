@@ -215,6 +215,66 @@ def _events_stream(spark, sf_dir):
     return stream
 
 
+def _drain(agg, name_prefix: str, output_mode: str):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the drained table."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return agg.sparkSession.table(name)
+
+
+@register(
+    "stream_join",
+    section="2.10",
+    oracle="""
+    WITH v AS (SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT p_user, purchase_id, view_id
+    FROM p JOIN v ON p_user = v_user
+       AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts
+    """,
+    notes="stream-stream inner join (watermark-bounded state) drained and "
+    "hash-compared to the batch interval join - inner-join emissions are "
+    "watermark-independent, so the equality is exact",
+)
+def stream_join(spark, sf_dir):
+    return _drain(stream_stream_join(spark, sf_dir), "stream_join", "append")
+
+
+@register(
+    "stream_stateful_totals",
+    section="2.10",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    notes="applyInPandasWithState custom accumulator (explicit GroupState) "
+    "drained; the fixture is one file = one micro-batch, so the final "
+    "update per user equals the batch aggregate - a full value oracle for "
+    "the custom-stateful-operator surface",
+)
+def stream_stateful_totals(spark, sf_dir):
+    from .stateful import running_user_totals
+
+    out = _drain(
+        running_user_totals(spark, sf_dir), "stream_totals", "update"
+    )
+    return out.select(
+        "user_id", "n_events", money(F.col("sum_value")).alias("sum_value")
+    )
+
+
 def stream_stream_join(spark, sf_dir):
     """Stream-stream inner join: each purchase joined to the same user's
     views from the preceding hour. Watermarks on both sides bound the
