@@ -100,6 +100,7 @@ def _load_all() -> None:
         sorting,
         subqueries,
         tpch,
+        tpch2,
         udfs,
         windows,
     )
