@@ -1,0 +1,241 @@
+"""Training-data pipeline operators (SURVEY §2.9 — LLM-data-pipeline pack).
+
+The ops a large-scale training-data pipeline needs between "raw corpus"
+and "training shards", composed from the engine's own primitives:
+
+- `pipeline_split`: deterministic hash-based train/val/test assignment.
+  Content-addressed (md5 of a salted key), so the split is stable across
+  runs, machines, and engines — never `rand()`, which is neither
+  reproducible nor join-stable. One narrow projection, no shuffle.
+- `pipeline_pack_sequences`: sequence packing — assign documents to
+  fixed-token-budget packs (the batch-construction step before LLM
+  training). Deterministic running-token-count formulation: a per-shard
+  window cumsum, pack = floor(exclusive_cumsum / budget). One keyed
+  shuffle on the shard key; pack ids are local to a shard, so the
+  window never needs a global sort.
+- `dedup_embedding`: embedding-cosine near-dup dedup — exact cosine
+  pair graph (broadcast block-matmul, similarity.py) -> connected
+  components (distributed min-label propagation, text.py) -> keep the
+  smallest vec_id per cluster. The full semantic-dedup composition;
+  at 100 TB the pair stage runs behind LSH buckets (sim_ann_lsh) and
+  the rest of the pipeline is unchanged.
+- `etl_merge_upsert`: MERGE INTO semantics (upsert + delete) as a
+  full-outer join + per-row resolution — the batch form of a CDC apply
+  step. One keyed shuffle (or broadcast when the change set is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import money
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "pipeline_split",
+    section="2.9",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                     BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    notes="deterministic content-addressed train/val/test split: first md5 "
+    "hex nibble of a salted key -> 12/2/2 of 16 buckets (75/12.5/12.5). "
+    "Stable across runs and engines, unlike rand()",
+)
+def pipeline_split(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    nibble = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    return d.select(
+        "doc_id",
+        F.when(nibble.between("0", "b"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    section="2.9",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(tokens_before / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    notes="sequence packing to a 2048-token budget: per-shard (source) "
+    "exclusive running token count, pack = floor(cumsum/budget). "
+    "Deterministic, one keyed shuffle, pack ids shard-local (no global sort)",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counted = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return counted.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(before / 2048.0).cast("long").alias("pack_id"),
+    )
+
+
+@register(
+    "dedup_embedding",
+    section="2.9",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 SQRT(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+          FROM v),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+                    >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src
+    ),
+    labels AS (SELECT id, MIN(label) AS label FROM cc GROUP BY id)
+    SELECT emb.vec_id,
+           CAST(COALESCE(l.label, emb.vec_id) AS BIGINT) AS cluster_id,
+           CAST(COALESCE(l.label, emb.vec_id) = emb.vec_id AS INT) AS keep
+    FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.id
+    """,
+    notes="embedding-cosine near-dup dedup: exact cosine pair graph "
+    "(broadcast block-matmul) -> connected components (min-label "
+    "propagation) -> keep the smallest vec_id per cluster; oracle = "
+    "recursive-CTE transitive closure over the same ROUNDed-threshold "
+    "pair set",
+)
+def dedup_embedding(spark, sf_dir):
+    """Semantic dedup over the embedding column: vectors whose cosine
+    similarity rounds to >= 0.3 are near-dups; each connected cluster
+    keeps its smallest vec_id as representative (keep=1), everything
+    else is dropped (keep=0). At 100 TB the exact pair stage is replaced
+    by LSH-bucketed candidates (sim_ann_lsh) — the clustering and
+    keep-rule stages are shape-identical."""
+    from .similarity import sim_cosine_pairs
+    from .text import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = sim_cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    cluster = F.coalesce(F.col("label"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.id, "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).cast("int").alias("keep"),
+        )
+    )
+
+
+@register(
+    "etl_merge_upsert",
+    section="2.7",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS key, 'U' AS op, c_name AS name,
+             ROUND(c_acctbal + 100, 2) AS acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', c_name, c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey + 10000000, 'I', 'NEW_' || CAST(c_custkey AS VARCHAR),
+             0.0
+      FROM customer WHERE c_custkey % 13 = 1
+    )
+    SELECT COALESCE(ch.key, b.c_custkey) AS c_custkey,
+           CASE WHEN ch.op IN ('U', 'I') THEN ch.name ELSE b.c_name END AS c_name,
+           ROUND(CASE WHEN ch.op IN ('U', 'I') THEN ch.acctbal
+                      ELSE b.c_acctbal END, 2) AS acctbal,
+           CASE WHEN ch.op = 'U' THEN 'updated'
+                WHEN ch.op = 'I' THEN 'inserted'
+                ELSE 'base' END AS src
+    FROM customer b FULL JOIN changes ch ON b.c_custkey = ch.key
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    """,
+    notes="MERGE INTO semantics (update/delete/insert from a CDC change "
+    "set) as a full-outer join + per-row resolution; the change set here "
+    "is derived deterministically from the base so both engines build the "
+    "identical merge input",
+)
+def etl_merge_upsert(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    updates = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("U").alias("op"),
+        F.col("c_name").alias("name"),
+        money(F.col("c_acctbal") + 100).alias("acctbal"),
+    )
+    deletes = c.where(
+        (F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") % 7 == 3)
+    ).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    inserts = c.where(F.col("c_custkey") % 13 == 1).select(
+        (F.col("c_custkey") + 10000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias("name"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    upserted = F.col("op").isin("U", "I")
+    return (
+        c.join(changes, c.c_custkey == changes.key, "full")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("key"), F.col("c_custkey")).alias("c_custkey"),
+            F.when(upserted, F.col("name")).otherwise(F.col("c_name")).alias(
+                "c_name"
+            ),
+            money(
+                F.when(upserted, F.col("acctbal")).otherwise(F.col("c_acctbal"))
+            ).alias("acctbal"),
+            F.when(F.col("op") == "U", "updated")
+            .when(F.col("op") == "I", "inserted")
+            .otherwise("base")
+            .alias("src"),
+        )
+    )

@@ -358,3 +358,98 @@ def join_range_binned(spark, sf_dir):
         .groupBy("p_id")
         .agg(F.count(F.lit(1)).alias("n_errors"))
     )
+
+
+@register(
+    "join_spatial_grid",
+    section="2.3",
+    oracle="""
+    WITH fixes AS (
+      SELECT user_id, (value % 180) - 90 AS lat, ((value * 2) % 360) - 180 AS lon
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1)
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           FLOOR(GREATEST(ABS(a.lat - b.lat), ABS(a.lon - b.lon)) * 100) / 100.0
+             AS cheb_deg
+    FROM fixes a JOIN fixes b
+      ON a.user_id < b.user_id
+     AND ABS(a.lat - b.lat) <= 5 AND ABS(a.lon - b.lon) <= 5
+    """,
+    notes="spatial proximity self-join (vessels whose latest fixes sit "
+    "within a 5-degree box) via GRID-CELL BUCKETING: one side replicates "
+    "to its 3x3 neighbor cells, the other stays home, so the join is a "
+    "plain equi-join on cell id + exact residual filter — no "
+    "BroadcastNestedLoop/cartesian (the 2D analogue of join_range_binned; "
+    "each pair meets in exactly one cell, so no dedup pass). Oracle = "
+    "DuckDB's IEJoin over the raw predicate. Distance presented as "
+    "floor(x*100)/100 (exact IEEE ops; ROUND(double) is not cross-engine "
+    "stable)",
+)
+def join_spatial_grid(spark, sf_dir):
+    """AIS proximity screening: which vessel pairs are currently near each
+    other. Grid cells of edge = the search radius (5 deg) guarantee every
+    qualifying pair shares (probe cell of a) = (home cell of b) for
+    exactly one of the 9 probe cells, turning the pure spatial theta-join
+    into a keyed shuffle that scales with cell occupancy, not n^2."""
+    EPS = 5.0
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(epoch_us("ts")), F.desc("event_id")
+    )
+    fixes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            ((F.col("value") % 180) - 90).alias("lat"),
+            (((F.col("value") * 2) % 360) - 180).alias("lon"),
+        )
+    )
+    cx = F.floor(F.col("lon") / EPS)
+    cy = F.floor(F.col("lat") / EPS)
+    home = fixes.select(
+        F.col("user_id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    cells = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    offsets = F.expr(f"explode(array({cells}))")
+    probe = fixes.select(
+        F.col("user_id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        cx.alias("pcx"),
+        cy.alias("pcy"),
+        offsets.alias("o"),
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        (F.col("pcx") + F.col("o.dx")).alias("cx"),
+        (F.col("pcy") + F.col("o.dy")).alias("cy"),
+    )
+    cheb = F.greatest(
+        F.abs(F.col("lat_a") - F.col("lat_b")),
+        F.abs(F.col("lon_a") - F.col("lon_b")),
+    )
+    return (
+        probe.join(home, ["cx", "cy"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("lat_a") - F.col("lat_b")) <= EPS)
+            & (F.abs(F.col("lon_a") - F.col("lon_b")) <= EPS)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(cheb * 100) / 100.0).alias("cheb_deg"),
+        )
+    )

@@ -107,6 +107,7 @@ def _load_all() -> None:
     from .functions import (  # noqa: F401
         minhash,
         multimodal,
+        pipeline,
         scalar,
         similarity,
         text,

@@ -76,3 +76,53 @@ def source_csv(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         money(F.sum("c_acctbal")).alias("bal"),
     )
+
+
+@register(
+    "source_json",
+    section="2.1",
+    oracle="""
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(p_retailprice), 2) AS retail
+    FROM part GROUP BY p_type
+    """,
+    notes="NDJSON sink + schema'd JSON source roundtrip; explicit schema "
+    "(inferSchema double-scans a lake)",
+)
+def source_json(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    out = _scratch(f"source_json_{os.path.basename(sf_dir.rstrip('/'))}")
+    p.write.mode("overwrite").json(out)
+    back = spark.read.json(
+        out,
+        schema="p_partkey long, p_name string, p_brand string, "
+        "p_type string, p_size int, p_retailprice double",
+    )
+    return back.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("p_retailprice")).alias("retail"),
+    )
+
+
+@register(
+    "source_orc",
+    section="2.1",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(MAX(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS max_year
+    FROM orders GROUP BY o_orderpriority
+    """,
+    notes="ORC sink + source roundtrip (the other columnar lake format); "
+    "the max_year aggregate proves timestamp fidelity through ORC",
+)
+def source_orc(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    out = _scratch(f"source_orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("o_totalprice")).alias("total"),
+        F.max(F.year("o_orderdate")).cast("bigint").alias("max_year"),
+    )

@@ -1,0 +1,97 @@
+"""Property tests for the training-data pipeline pack (functions/pipeline.py).
+
+The oracle harness (test_oracle.py) already value-checks each query vs
+DuckDB; these tests assert the *semantic contracts* the oracle can't see:
+split determinism and ratios, pack budget invariants, dedup cluster
+properties, merge row accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shippinglanes_spark.functions.pipeline import (
+    dedup_embedding,
+    etl_merge_upsert,
+    pipeline_pack_sequences,
+    pipeline_split,
+)
+from shippinglanes_spark.functions.similarity import sim_cosine_pairs
+from shippinglanes_spark.io import table
+
+
+def test_split_deterministic_and_ratio(spark, sf_dir):
+    a = pipeline_split(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = pipeline_split(spark, sf_dir).toPandas().sort_values("doc_id")
+    # content-addressed: identical across invocations
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    n = len(a)
+    frac = a["split"].value_counts() / n
+    # 12/16, 2/16, 2/16 nominal; md5 is uniform, allow sampling noise
+    assert abs(frac["train"] - 0.75) < 0.08
+    assert abs(frac.get("val", 0) - 0.125) < 0.06
+    assert abs(frac.get("test", 0) - 0.125) < 0.06
+    # exhaustive + disjoint by construction (one row per doc)
+    assert a["doc_id"].is_unique
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    BUDGET = 2048
+    out = pipeline_pack_sequences(spark, sf_dir).toPandas()
+    for _, shard in out.groupby("source"):
+        shard = shard.sort_values("doc_id").reset_index(drop=True)
+        # pack ids are non-decreasing in doc order and start at 0
+        assert shard["pack_id"].iloc[0] == 0
+        assert (shard["pack_id"].diff().dropna() >= 0).all()
+        # recompute: pack = floor(exclusive running token count / budget)
+        before = shard["n_tokens"].cumsum().shift(1).fillna(0)
+        assert (shard["pack_id"] == (before // BUDGET)).all()
+
+
+def test_dedup_embedding_cluster_contract(spark, sf_dir):
+    out = dedup_embedding(spark, sf_dir)
+    pairs = sim_cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    # keep=1 iff the row is its own cluster representative
+    bad = out.where(
+        (F.col("keep") == 1) != (F.col("cluster_id") == F.col("vec_id"))
+    ).count()
+    assert bad == 0
+    # cluster label is the minimum member id
+    mins = out.groupBy("cluster_id").agg(F.min("vec_id").alias("mn"))
+    assert mins.where(F.col("cluster_id") != F.col("mn")).count() == 0
+    # no near-dup pair survives with both endpoints kept
+    kept = out.where(F.col("keep") == 1).select("vec_id")
+    both = (
+        pairs.join(kept, pairs.id_a == kept.vec_id, "left_semi")
+        .join(kept, F.col("id_b") == kept.vec_id, "left_semi")
+        .count()
+    )
+    assert both == 0
+
+
+def test_merge_upsert_row_accounting(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    out = etl_merge_upsert(spark, sf_dir)
+    n_base = c.count()
+    n_del = c.where(
+        (F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") % 7 == 3)
+    ).count()
+    n_ins = c.where(F.col("c_custkey") % 13 == 1).count()
+    assert out.count() == n_base - n_del + n_ins
+    # deleted keys are gone
+    deleted = c.where(
+        (F.col("c_custkey") % 10 != 0) & (F.col("c_custkey") % 7 == 3)
+    ).select("c_custkey")
+    assert out.join(deleted, "c_custkey", "left_semi").count() == 0
+    # updated rows carry the +100 balance
+    upd = (
+        out.where(F.col("src") == "updated")
+        .join(c, "c_custkey")
+        .where(F.abs(F.col("acctbal") - F.round(F.col("c_acctbal") + 100, 2)) > 1e-9)
+        .count()
+    )
+    assert upd == 0
+    # inserted keys are the shifted ones and zero-balanced
+    ins = out.where(F.col("src") == "inserted")
+    assert ins.where(F.col("c_custkey") <= 10000000).count() == 0
+    assert ins.where(F.col("acctbal") != 0.0).count() == 0
