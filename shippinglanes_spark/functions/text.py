@@ -278,7 +278,12 @@ def text_ngram_jaccard(spark, sf_dir):
     from .minhash import minhash_candidates
 
     d = table(spark, sf_dir, "documents")
-    cand = minhash_candidates(d)
+    # The candidate list feeds two consumers (doc prune + pair join) and
+    # the shingle set three (both join sides + sizes); without a
+    # materialization barrier each consumer re-runs the whole upstream
+    # pipeline (broadcast subtrees defeat exchange reuse — see STATE.md),
+    # so both are checkpointed once.
+    cand = minhash_candidates(d).localCheckpoint()
     # Prune FIRST: only documents appearing in a candidate pair need
     # their shingle sets materialized — at scale this is the difference
     # between re-ranking a few near-dup clusters and re-shuffling the
@@ -294,6 +299,7 @@ def text_ngram_jaccard(spark, sf_dir):
         .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
+        .localCheckpoint()
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.alias("sa")

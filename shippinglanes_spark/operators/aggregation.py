@@ -360,3 +360,28 @@ def agg_mode(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_type"), F.col("n").alias("n_top"))
     )
+
+
+@register(
+    "agg_sketch_merge",
+    section="2.4",
+    oracle=None,
+    notes="the 100 TB pre-aggregation pattern: per-day HLL sketches "
+    "(hll_sketch_agg) union-merged to per-type totals (hll_union_agg) — "
+    "sketches are mergeable state, so daily rollups re-aggregate without "
+    "touching raw data; merged-vs-single-pass equality and ±5%-vs-exact "
+    "asserted in tests/test_aggregation2.py",
+)
+def agg_sketch_merge(spark, sf_dir):
+    """Distinct users per event type computed by MERGING daily sketches,
+    never re-reading raw events: the shape that lets a lake keep compact
+    per-partition sketch columns and answer distinct-count queries over
+    arbitrary date ranges by union-merge alone. HLL union (same lgConfigK)
+    is lossless, so the merged estimate equals the single-pass one."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )

@@ -312,3 +312,30 @@ def win_lag_default(spark, sf_dir):
         F.round(F.lag("value", 2, -1.0).over(w), 2).alias("lag2"),
         F.round(F.lead("value", 3, 0.0).over(w), 2).alias("lead3"),
     )
+
+
+@register(
+    "win_cume_dist",
+    section="2.5",
+    oracle="""
+    SELECT event_id, event_type,
+           CUME_DIST() OVER w AS cume,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    notes="cume_dist + percent_rank per event type: the tiebreak key makes "
+    "every ORDER BY key unique, so both are exact integer ratios (k/n) — "
+    "identical IEEE divisions on both engines, no rounding needed. "
+    "Partitioned by a real key (unlike the global-rank family), so the "
+    "window parallelizes per group",
+)
+def win_cume_dist(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )

@@ -152,3 +152,11 @@ def test_bucketed_global_rank_is_exact_permutation(spark):
     assert sorted(r.rn for r in rows) == list(range(1, 5001))
     by_rank = [(r.v, r.id) for r in sorted(rows, key=lambda r: r.rn)]
     assert by_rank == sorted(by_rank)
+
+
+def test_spatial_grid_join_is_equi(spark, sf_dir):
+    """The 2D pure spatial join must compile to an equi-join on the grid
+    cell (plus residual filter), never a nested-loop/cartesian plan."""
+    p = plan(spark, sf_dir, "join_spatial_grid", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
