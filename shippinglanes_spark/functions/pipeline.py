@@ -239,3 +239,52 @@ def etl_merge_upsert(spark, sf_dir):
             .alias("src"),
         )
     )
+
+
+@register(
+    "text_vocab_topk",
+    section="2.9",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 500)
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(total AS DOUBLE) AS coverage
+    FROM top, tot
+    """,
+    notes="tokenizer-training prep: corpus token counts -> top-500 "
+    "vocabulary with cumulative corpus coverage. Counting is a map-side-"
+    "combined groupBy; top-k is TakeOrderedAndProject; only the K "
+    "surviving rows pass through the (bounded, K-row) ranking window — "
+    "coverage is an exact-integer cumsum divided by the exact total, so "
+    "no rounding is needed",
+)
+def text_vocab_topk(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    counts = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.desc("n"), "token").limit(500)
+    w = Window.orderBy(F.desc("n"), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("n"), "token")).cast("long"))
+        .withColumn(
+            "coverage",
+            F.sum("n").over(w).cast("double") / F.col("total").cast("double"),
+        )
+        .select("token", "n", "rank", "coverage")
+    )

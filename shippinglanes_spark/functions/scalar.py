@@ -373,3 +373,33 @@ def fn_math2(spark, sf_dir):
         F.round(F.log(2.0, "l_quantity"), 6).alias("log2_q"),
         F.factorial(F.col("l_linenumber").cast("int")).cast("long").alias("lfact"),
     )
+
+
+@register(
+    "fn_map",
+    section="2.8",
+    oracle="""
+    SELECT event_id,
+           m['type'][1] AS etype,
+           CAST(cardinality(m) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys
+    FROM (SELECT event_id,
+                 MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)} AS m
+          FROM events) t
+    """,
+    notes="map construction + element access + key introspection; DuckDB "
+    "map subscript returns a 1-element list, hence m[k][1] vs Spark's "
+    "scalar element_at — keys sorted before joining so both engines agree",
+)
+def fn_map(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("etype"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+    )

@@ -385,3 +385,56 @@ def agg_sketch_merge(spark, sf_dir):
     return daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
+
+
+@register(
+    "profile_columns",
+    section="2.4",
+    oracle="""
+    SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS VARCHAR) AS min_v,
+           CAST(MAX(l_quantity) AS VARCHAR) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+    FROM lineitem
+    """,
+    notes="data-profiling pass (lake onboarding / data-quality gate): "
+    "per-column row count, null count, exact distinct, min/max — one scan, "
+    "all aggregates partial map-side; values stringified so heterogeneous "
+    "column types share one result schema. CAST(qty AS VARCHAR) prints "
+    "'1.0' on both engines for double; dates go through DATE for a "
+    "format-stable string",
+)
+def profile_columns(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+
+    def prof(col, minmax=None):
+        c = F.col(col)
+        mn = minmax(F.min(c)) if minmax else F.min(c).cast("string")
+        mx = minmax(F.max(c)) if minmax else F.max(c).cast("string")
+        return li.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.count_distinct(c).alias("n_distinct"),
+            mn.alias("min_v"),
+            mx.alias("max_v"),
+        ).select(F.lit(col).alias("col"), "n", "n_null", "n_distinct", "min_v", "max_v")
+    as_date_str = lambda e: e.cast("date").cast("string")  # noqa: E731
+    return (
+        prof("l_quantity")
+        .unionByName(prof("l_returnflag"))
+        .unionByName(prof("l_shipdate", minmax=as_date_str))
+    )

@@ -608,3 +608,82 @@ def evt_resample_ffill(spark, sf_dir):
             F.last("sum_value", ignorenulls=True).over(w).alias("carried"),
         )
     )
+
+
+@register(
+    "evt_attribution",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
+               FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    m AS (SELECT *, MAX(CASE WHEN event_type <> 'purchase' THEN ts_us END) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch_us
+          FROM e),
+    p AS (SELECT user_id, event_id AS p_id, value, last_touch_us FROM m
+          WHERE event_type = 'purchase' AND last_touch_us IS NOT NULL),
+    t AS (SELECT user_id, ts_us, event_id AS t_id, event_type AS touch_type
+          FROM e WHERE event_type <> 'purchase'),
+    j AS (SELECT p.value, t.touch_type,
+                 ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_id DESC) AS rn
+          FROM p JOIN t ON p.user_id = t.user_id AND t.ts_us = p.last_touch_us)
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM j WHERE rn = 1 GROUP BY touch_type
+    """,
+    notes="last-touch attribution: each purchase credits the user's most "
+    "recent preceding click/view (running-max as-of, one keyed shuffle - "
+    "never a per-purchase self-join), ties on timestamp broken by highest "
+    "event id; revenue rolled up by touch type",
+)
+def evt_attribution(spark, sf_dir):
+    """Marketing/conversion attribution composed from the as-of idiom:
+    the last-touch timestamp is a running max over the interleaved
+    (touch|purchase) stream - the same union+window shape as join_asof,
+    so cost is one shuffle on user_id regardless of purchase count -
+    then one equi-join recovers the touch row to get its type."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.where(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us("ts").alias("ts_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = e.withColumn(
+        "last_touch_us",
+        F.max(
+            F.when(F.col("event_type") != "purchase", F.col("ts_us"))
+        ).over(w),
+    )
+    p = m.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_touch_us").isNotNull()
+    ).select("user_id", F.col("event_id").alias("p_id"), "value", "last_touch_us")
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts_us").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    wp = Window.partitionBy("p_id").orderBy(F.desc("t_id"))
+    return (
+        p.join(
+            t,
+            (p.user_id == t.t_user) & (t.t_ts == p.last_touch_us),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            money(F.sum("value")).alias("attributed_value"),
+        )
+    )

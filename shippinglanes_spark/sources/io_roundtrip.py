@@ -126,3 +126,53 @@ def source_orc(spark, sf_dir):
         money(F.sum("o_totalprice")).alias("total"),
         F.max(F.year("o_orderdate")).cast("bigint").alias("max_year"),
     )
+
+
+@register(
+    "sink_bucketed",
+    section="2.1",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    notes="bucketed saveAsTable roundtrip: both fact tables written "
+    "bucketed+sorted on the join key, re-read via the catalog, and joined "
+    "WITHOUT any Exchange (the zero-shuffle fact-to-fact layout; plan "
+    "asserted in tests/test_bucketing.py) — oracle aggregates the raw join",
+)
+def sink_bucketed(spark, sf_dir):
+    """The co-located join layout at lake scale: writing both sides
+    bucketed by the join key means every future join on that key skips
+    its shuffle entirely; bucket count scales with cluster width. The
+    declared query proves the written layout joins value-identically to
+    the raw tables."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o_name, l_name = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    # Bucketed outputs are external tables on scratch paths: a fresh
+    # session's empty in-memory catalog + a leftover managed-table dir
+    # would otherwise fail CTAS with LOCATION_ALREADY_EXISTS.
+    o_path, l_path = _scratch(o_name), _scratch(l_name)
+    for name, path in [(o_name, o_path), (l_name, l_path)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (o.write.mode("overwrite").format("parquet").option("path", o_path)
+     .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_name))
+    (li.write.mode("overwrite").format("parquet").option("path", l_path)
+     .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(l_name))
+    ob, lb = spark.table(o_name), spark.table(l_name)
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money(F.sum("l_quantity")).alias("qty"),
+        )
+    )

@@ -308,3 +308,37 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("v_ts") <= F.col("p_ts")),
     ).select("p_user", "purchase_id", "view_id")
+
+
+@register(
+    "stream_sliding",
+    section="2.10",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) - INTERVAL 5 HOUR AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi
+               FROM events),
+    ws AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS w_start FROM b)
+    SELECT epoch_us(w_start) AS w_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ws JOIN events ON ts >= w_start AND ts < w_start + INTERVAL 6 HOUR
+    GROUP BY w_start, event_type
+    """,
+    notes="evt_sliding lifted to Structured Streaming: overlapping 6h/1h "
+    "windows as a streaming stateful aggregation (each event updates 6 "
+    "window states), availableNow drain; oracle = the batch evt_sliding "
+    "SQL, so the hash check proves batch≡stream for overlapping windows",
+)
+def stream_sliding(spark, sf_dir):
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.select(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+    return _drain(agg, "stream_sliding", "complete")
