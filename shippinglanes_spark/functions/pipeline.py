@@ -288,3 +288,61 @@ def text_vocab_topk(spark, sf_dir):
         )
         .select("token", "n", "rank", "coverage")
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS shingle
+           FROM t),
+    bench AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+    bsh AS (SELECT DISTINCT shingle FROM sh JOIN bench USING (doc_id)),
+    hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (shingle))
+    SELECT d.doc_id,
+           CAST(d.doc_id IN (SELECT doc_id FROM hits) AS INT) AS contaminated
+    FROM documents d WHERE d.doc_id % 50 <> 0
+    """,
+    notes="benchmark decontamination: flag training docs sharing any "
+    "3-gram with the held-out set (doc_id % 50 = 0 plays the benchmark). "
+    "The benchmark's shingle set is tiny and broadcast; the corpus side "
+    "is one distinct + semi-join — contamination screening never "
+    "all-pairs-joins the corpus",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """The n-gram-overlap decontamination pass every serious training
+    pipeline runs before a model sees the data: any document sharing an
+    n-gram with the evaluation set is flagged. Composed from the same
+    shingle machinery as the dedup family; the benchmark side collapses
+    to a broadcast set, so cost is one scan + one keyed distinct over
+    the corpus shingles."""
+    from .text import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    bench_ids = d.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    bsh = (
+        sh.join(bench_ids, "doc_id", "left_semi").select("shingle").distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bsh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.where(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("hit"), F.lit(0)).alias("contaminated")
+        )
+    )
