@@ -1,0 +1,320 @@
+"""Training-data pipeline pack, part 2 (SURVEY §2.9 continued).
+
+The curation stages between "deduped corpus" and "training shards" that
+part 1 (pipeline.py) doesn't cover:
+
+- `pipeline_quality_gopher`: repetition/quality heuristics in the style
+  of published corpus-filtering rules (token-count bounds, unique-token
+  ratio, most-frequent-token fraction, mean token length, duplicate
+  3-gram ratio) -> keep/drop flag. All signals are exact integer ratios,
+  so the filter is engine-deterministic — no float fuzz in the gate.
+- `pipeline_domain_mix`: deterministic mixture resampling — each source
+  gets a target retention rate and rows are kept when a salted-md5 hex
+  prefix falls under the rate's hex threshold. Lexicographic compare of
+  fixed-width lowercase hex IS the numeric compare, so no engine ever
+  parses hex to int and the sample is stable across runs AND engines
+  (`rand()` is neither).
+- `pipeline_shuffle_shards`: the global-shuffle-before-training step,
+  done the scale-safe way: hash-assign each doc to a shard (md5 nibble),
+  then order *within* the shard by the hash — equivalent in distribution
+  to a global random permutation but needs only a per-shard sort, never
+  a total order over the corpus.
+- `pipeline_pii_scrub`: regex redaction of synthetic PII (emails /
+  phone numbers injected deterministically from doc_id so both engines
+  see identical inputs); proves the scrub by redaction flags + scrubbed
+  digest, all inside Catalyst regexp_replace (no Python in the row path).
+- `text_heavy_hitters`: corpus-level frequent-token mining — tokens
+  holding >= 1% of corpus mass. Map-side-combined count + broadcast
+  scalar total; the 100 TB shape (the heavy-hitter set is tiny by
+  definition, the count is one keyed shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+from .text import shingles
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "pipeline_quality_gopher",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, COUNT(*) AS n FROM u GROUP BY doc_id, tok),
+    s AS (SELECT doc_id,
+                 CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_unique,
+                 CAST(MAX(n) AS BIGINT) AS max_cnt,
+                 CAST(SUM(n * len(tok)) AS BIGINT) AS sum_len
+          FROM c GROUP BY doc_id),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i+1] || ' ' ||
+                         string_split(text, ' ')[i+2])) AS shingle
+           FROM documents),
+    g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+                 CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_sh_uniq
+          FROM sh GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens,
+           CAST(s.n_unique AS DOUBLE) / s.n_tokens AS unique_ratio,
+           CAST(s.max_cnt AS DOUBLE) / s.n_tokens AS top_frac,
+           CAST(s.sum_len AS DOUBLE) / s.n_tokens AS mean_len,
+           CASE WHEN COALESCE(g.n_sh, 0) = 0 THEN 0.0
+                ELSE 1.0 - CAST(g.n_sh_uniq AS DOUBLE) / g.n_sh END
+             AS dup_3gram_ratio,
+           CAST(s.n_tokens BETWEEN 20 AND 90
+                AND CAST(s.n_unique AS DOUBLE) / s.n_tokens >= 0.35
+                AND CAST(s.max_cnt AS DOUBLE) / s.n_tokens <= 0.15
+                AND CAST(s.sum_len AS DOUBLE) / s.n_tokens BETWEEN 3.8 AND 5.2
+                AS INT) AS keep
+    FROM s LEFT JOIN g ON s.doc_id = g.doc_id
+    """,
+    notes="Gopher-style quality gate: token-count bounds, unique-token "
+    "ratio, top-token fraction, mean token length, duplicate-3-gram "
+    "ratio -> keep flag. Signals are exact integer divisions (engine-"
+    "deterministic); two map-side-combined aggregations joined on doc_id",
+)
+def pipeline_quality_gopher(spark, sf_dir):
+    """Per-document repetition/quality signals in the style of published
+    corpus-filtering heuristics, ending in a keep/drop gate. The
+    most-frequent-token count needs a per-(doc, token) aggregate — done
+    as an explode + two-level groupBy (both levels partial-agg
+    combinable), never a per-row Python pass. The duplicate-shingle
+    branch reuses the dedup family's shingles()."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    per_tok = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.max("n").cast("long").alias("max_cnt"),
+        F.sum(F.col("n") * F.length("tok")).cast("long").alias("sum_len"),
+    )
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    gram = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+        F.countDistinct("shingle").cast("long").alias("n_sh_uniq"),
+    )
+    unique_ratio = F.col("n_unique").cast("double") / F.col("n_tokens")
+    top_frac = F.col("max_cnt").cast("double") / F.col("n_tokens")
+    mean_len = F.col("sum_len").cast("double") / F.col("n_tokens")
+    dup_ratio = F.when(
+        F.coalesce(F.col("n_sh"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.lit(1.0) - F.col("n_sh_uniq").cast("double") / F.col("n_sh"))
+    keep = (
+        F.col("n_tokens").between(20, 90)
+        & (unique_ratio >= 0.35)
+        & (top_frac <= 0.15)
+        & mean_len.between(3.8, 5.2)
+    )
+    return (
+        stats.join(gram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            unique_ratio.alias("unique_ratio"),
+            top_frac.alias("top_frac"),
+            mean_len.alias("mean_len"),
+            dup_ratio.alias("dup_3gram_ratio"),
+            keep.cast("int").alias("keep"),
+        )
+    )
+
+
+@register(
+    "pipeline_domain_mix",
+    section="2.9",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                CASE CAST(substr(source, 4) AS INT) % 4
+                     WHEN 0 THEN 'g'
+                     WHEN 1 THEN '80000000'
+                     WHEN 2 THEN '40000000'
+                     ELSE '20000000' END
+                AS INT) AS kept
+    FROM documents
+    """,
+    notes="deterministic mixture resampling: per-source target rates "
+    "(1.0 / 0.5 / 0.25 / 0.125 by source id mod 4) applied by comparing "
+    "a salted-md5 hex prefix against the rate's hex threshold — "
+    "fixed-width lowercase hex compares lexicographically AS numerically, "
+    "so the sample is reproducible across engines with zero randomness",
+)
+def pipeline_domain_mix(spark, sf_dir):
+    """The domain-mixture step of corpus curation: down-sample each
+    source toward a target mixture. Hash-threshold sampling keeps the
+    decision row-local (no shuffle at all) and content-addressed, so
+    re-running over a grown corpus keeps every previously-kept row —
+    exactly what incremental pipeline runs need. 'g' sorts after every
+    hex digit, so rate 1.0 keeps all rows."""
+    d = table(spark, sf_dir, "documents")
+    h8 = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    src_mod = (F.substring("source", 4, 10).cast("int") % 4)
+    threshold = (
+        F.when(src_mod == 0, "g")
+        .when(src_mod == 1, "80000000")
+        .when(src_mod == 2, "40000000")
+        .otherwise("20000000")
+    )
+    return d.select(
+        "doc_id", "source", (h8 < threshold).cast("int").alias("kept")
+    )
+
+
+@register(
+    "pipeline_shuffle_shards",
+    section="2.9",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents)
+    SELECT doc_id,
+           CAST(instr('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id) AS BIGINT)
+             AS pos
+    FROM h
+    """,
+    notes="deterministic global shuffle into 16 training shards: shard = "
+    "first md5 nibble, position = rank of the full hash within the shard. "
+    "Distributionally a global permutation, but executed as a keyed "
+    "per-shard sort — no total order over the corpus, no single-partition "
+    "window",
+)
+def pipeline_shuffle_shards(spark, sf_dir):
+    """Shuffling a corpus before training without a global sort: a
+    uniform hash splits docs into shards AND orders them within the
+    shard, so the only data movement is one shuffle keyed by shard and
+    each shard sorts independently — the formulation that survives a
+    corpus too large to totally order."""
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(F.substring("hx", 1, 1)).orderBy("hx", "doc_id")
+    return d.select("doc_id", hx.alias("hx")).select(
+        "doc_id",
+        (
+            F.expr("instr('0123456789abcdef', substring(hx, 1, 1))") - 1
+        ).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "pipeline_pii_scrub",
+    section="2.9",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 <> 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS raw
+      FROM documents),
+    s AS (SELECT doc_id, raw,
+                 regexp_replace(
+                   regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                   '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+          FROM aug)
+    SELECT doc_id,
+           CAST(scrubbed LIKE '%<EMAIL>%' AS INT) AS had_email,
+           CAST(scrubbed LIKE '%<PHONE>%' AS INT) AS had_phone,
+           CAST(len(scrubbed) AS BIGINT) AS scrubbed_len,
+           md5(scrubbed) AS scrubbed_fp
+    FROM s
+    """,
+    notes="PII redaction: synthetic emails/phones injected "
+    "deterministically from doc_id (both engines build identical raw "
+    "text), then regex-redacted; proven by redaction flags + scrubbed "
+    "length + md5 digest. Pure Catalyst regexp_replace — no Python",
+)
+def pipeline_pii_scrub(spark, sf_dir):
+    """The redaction pass run before text reaches a training corpus.
+    The fixture corpus contains no real PII, so deterministic synthetic
+    PII is appended (keyed off doc_id — identical on the oracle side)
+    and then scrubbed; the digest comparison proves byte-level
+    equivalence of the scrubbed output."""
+    d = table(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    raw = F.concat(F.col("text"), email, phone)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, "[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"),
+        "555-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.contains("<EMAIL>").cast("int").alias("had_email"),
+        scrubbed.contains("<PHONE>").cast("int").alias("had_phone"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    section="2.9",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT token, n, CAST(n AS DOUBLE) / total AS share
+    FROM c, tot
+    WHERE CAST(n AS DOUBLE) / total >= 0.01
+    """,
+    notes="corpus heavy hitters: tokens holding >= 1% of corpus mass. "
+    "Map-side-combined token count + broadcast scalar total; output is "
+    "tiny by definition (<= 100 rows at any corpus size)",
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Frequent-token mining over the corpus — the exact formulation:
+    one combinable count per token, one scalar total broadcast back.
+    The result set is bounded (at most 1/threshold rows) regardless of
+    corpus size, so this shape is constant-output at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    counts = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(share >= 0.01)
+        .select("token", "n", share.alias("share"))
+    )

@@ -81,3 +81,37 @@ def sample_stratified(spark, sf_dir):
     return ev.sampleBy("event_type", fractions, seed=42).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "sample_per_key",
+    section="2.6",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 5
+    """,
+    notes="deterministic fixed-size per-key sample (5 docs per source): "
+    "rank by a salted md5 within each key. Unlike seeded Bernoulli "
+    "sampling this is content-addressed — reproducible across engines "
+    "AND stable under corpus growth — so it gets a full value oracle "
+    "where sample_frac/sample_stratified are rows-only",
+)
+def sample_per_key(spark, sf_dir):
+    """Fixed-size uniform sample per key without rand(): order each
+    key's rows by a salted hash and keep the first k. One keyed shuffle;
+    the window never sees more than one key's rows per partition."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rn"))
+        .where(F.col("rn") <= 5)
+    )

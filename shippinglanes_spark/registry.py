@@ -108,6 +108,7 @@ def _load_all() -> None:
         minhash,
         multimodal,
         pipeline,
+        pipeline2,
         scalar,
         similarity,
         text,

@@ -176,3 +176,51 @@ def sink_bucketed(spark, sf_dir):
             money(F.sum("l_quantity")).alias("qty"),
         )
     )
+
+
+@register(
+    "source_binaryfile",
+    section="2.1",
+    oracle="""
+    SELECT doc_id, CAST(len(text) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS fp
+    FROM documents WHERE doc_id < 100
+    """,
+    notes="binaryFile source — the multimodal ingestion path (one blob "
+    "per object): write each document as its own file, read the tree "
+    "back as (path, length, content) binary rows, recover the key from "
+    "the path and digest the bytes; oracle digests the source text "
+    "directly (+ the text writer's trailing newline)",
+)
+def source_binaryfile(spark, sf_dir):
+    """How image/audio/video blobs enter the engine at lake scale:
+    `binaryFile` reads whole objects as binary rows with path metadata,
+    and keys are recovered from the storage layout (here a hive-style
+    doc_id= partition dir per document). The digest match proves
+    byte-exact fidelity through write -> list -> read. The one-file-
+    per-row layout is the realistic multimodal shape; at 100 TB the
+    same reader runs over the object store listing, partitioned by
+    Spark's file-index splitter."""
+    d = table(spark, sf_dir, "documents")
+    out = _scratch(f"source_binaryfile_{os.path.basename(sf_dir.rstrip('/'))}")
+    # Fixed 100-object subset: the roundtrip PROOF needs only a bounded
+    # file count (file-write task overhead is per-object, and the declared
+    # query re-runs at every sf); the reader path being proven is
+    # object-count-independent.
+    (
+        d.where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(out)
+    )
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+    )
+    return back.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("fp"),
+    )

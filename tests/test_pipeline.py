@@ -95,3 +95,70 @@ def test_merge_upsert_row_accounting(spark, sf_dir):
     ins = out.where(F.col("src") == "inserted")
     assert ins.where(F.col("c_custkey") <= 10000000).count() == 0
     assert ins.where(F.col("acctbal") != 0.0).count() == 0
+
+
+def test_domain_mix_rates(spark, sf_dir):
+    from shippinglanes_spark.functions.pipeline2 import pipeline_domain_mix
+
+    out = pipeline_domain_mix(spark, sf_dir).toPandas()
+    out["grp"] = out["source"].str[3:].astype(int) % 4
+    rates = out.groupby("grp")["kept"].mean()
+    # targets 1.0 / 0.5 / 0.25 / 0.125; md5 is uniform, allow noise
+    assert rates[0] == 1.0
+    assert abs(rates[1] - 0.5) < 0.15
+    assert abs(rates[2] - 0.25) < 0.15
+    assert abs(rates[3] - 0.125) < 0.12
+    # content-addressed: the kept set is identical across invocations
+    again = pipeline_domain_mix(spark, sf_dir).toPandas()
+    assert out[["doc_id", "kept"]].sort_values("doc_id").reset_index(drop=True).equals(
+        again[["doc_id", "kept"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_shuffle_shards_balance_and_density(spark, sf_dir):
+    from shippinglanes_spark.functions.pipeline2 import pipeline_shuffle_shards
+
+    out = pipeline_shuffle_shards(spark, sf_dir).toPandas()
+    assert out["doc_id"].is_unique
+    sizes = out.groupby("shard").size()
+    # 16 hash shards over >=500 docs: every shard populated, no shard
+    # grossly over target (uniformity of the md5 nibble)
+    assert len(sizes) == 16
+    assert sizes.max() < 3.0 * sizes.mean()
+    # pos is a dense 1..n ranking within each shard
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+
+def test_quality_gate_discriminates(spark, sf_dir):
+    from shippinglanes_spark.functions.pipeline2 import pipeline_quality_gopher
+
+    out = pipeline_quality_gopher(spark, sf_dir).toPandas()
+    # the gate must actually split the corpus, not rubber-stamp it
+    assert 0 < out["keep"].sum() < len(out)
+    # signal sanity: ratios bounded, mean token length plausible
+    assert out["unique_ratio"].between(0, 1).all()
+    assert out["top_frac"].between(0, 1).all()
+    assert out["dup_3gram_ratio"].between(0, 1).all()
+    assert out["mean_len"].between(1, 20).all()
+
+
+def test_pii_scrub_removes_all_injected(spark, sf_dir):
+    from shippinglanes_spark.functions.pipeline2 import pipeline_pii_scrub
+
+    out = pipeline_pii_scrub(spark, sf_dir).toPandas()
+    # docs with doc_id % 3 != 0 had an email injected; % 2 == 0 a phone
+    assert (out.loc[out.doc_id % 3 != 0, "had_email"] == 1).all()
+    assert (out.loc[out.doc_id % 3 == 0, "had_email"] == 0).all()
+    assert (out.loc[out.doc_id % 2 == 0, "had_phone"] == 1).all()
+    assert (out.loc[out.doc_id % 2 == 1, "had_phone"] == 0).all()
+
+
+def test_sample_per_key_fixed_size(spark, sf_dir):
+    from shippinglanes_spark.operators.sorting import sample_per_key
+
+    out = sample_per_key(spark, sf_dir).toPandas()
+    sizes = out.groupby("source").size()
+    # every source has >=5 docs in the fixtures -> exactly 5 sampled each
+    assert (sizes == 5).all()
+    assert out["doc_id"].is_unique
