@@ -318,3 +318,52 @@ def text_heavy_hitters(spark, sf_dir):
         .where(share >= 0.01)
         .select("token", "n", share.alias("share"))
     )
+
+
+@register(
+    "pipeline_winsorize",
+    section="2.9",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.10) AS lo,
+             quantile_cont(n_chars, 0.90) AS hi
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source, d.n_chars,
+           ROUND(b.lo, 4) AS lo, ROUND(b.hi, 4) AS hi,
+           ROUND(CASE WHEN d.n_chars < b.lo THEN b.lo
+                      WHEN d.n_chars > b.hi THEN b.hi
+                      ELSE CAST(d.n_chars AS DOUBLE) END, 4) AS clipped
+    FROM documents d JOIN b USING (source)
+    """,
+    notes="per-source winsorization: clip n_chars to the group's "
+    "[p10, p90] (linear-interpolated percentiles — Spark percentile == "
+    "DuckDB quantile_cont). The bounds table is group-count-sized and "
+    "broadcasts; clipping is row-local. ROUND 4 dp on the interpolated "
+    "values",
+)
+def pipeline_winsorize(spark, sf_dir):
+    """Outlier clipping before feature normalization: per-group
+    percentile bounds (one combinable-ish aggregation over the grouping
+    key) broadcast back onto the rows. The exact `percentile` is safe
+    here because groups are few and the percentile buffers per-GROUP
+    values — the same routing rule SCALING.md documents for
+    agg_quantiles vs the sketch."""
+    d = table(spark, sf_dir, "documents")
+    b = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.10)").alias("lo"),
+        F.expr("percentile(n_chars, 0.90)").alias("hi"),
+    )
+    clipped = (
+        F.when(F.col("n_chars") < F.col("lo"), F.col("lo"))
+        .when(F.col("n_chars") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("n_chars").cast("double"))
+    )
+    return d.join(F.broadcast(b), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        F.round(clipped, 4).alias("clipped"),
+    )

@@ -1,0 +1,145 @@
+"""Relevance scoring over the document corpus (SURVEY §2.9).
+
+TF-IDF and BM25 — the scoring half of a retrieval/curation stack (the
+similarity family covers the vector half). Both are pure aggregate
+compositions: one token count keyed by (doc, token), one document-
+frequency count keyed by token, and a broadcast of the tiny per-term
+IDF table back onto the postings. No Python in the row path; the only
+shuffles are the two keyed counts.
+
+Float discipline: ln() is libm-dependent across engines, so every
+logarithm-bearing output is ROUNDed (6 dp) on both sides — the same
+rule the fn_math/agg_stats families use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '')"
+
+# Query terms for the BM25 demo — fixed so both engines score the same
+# retrieval request.
+_QUERY_TERMS = ("data", "join", "filter")
+
+
+@register(
+    "text_tfidf",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tfc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tf GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tfc GROUP BY token)
+    SELECT tfc.doc_id, tfc.token, tfc.tf,
+           ROUND(tfc.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tfc JOIN df USING (token), n
+    WHERE tfc.tf >= 3
+    """,
+    notes="TF-IDF postings: per-(doc, token) term frequency x "
+    "ln(N/df) inverse document frequency; tf >= 3 keeps the output "
+    "bounded. Two map-side-combined counts + a broadcast of the tiny "
+    "IDF table; ln ROUNDed 6 dp (libm variance)",
+)
+def text_tfidf(spark, sf_dir):
+    """The classic sparse-retrieval weight, as two combinable counts:
+    term frequency keyed by (doc, token) and document frequency keyed
+    by token. The IDF side is vocabulary-sized (tiny at any corpus
+    scale), so it broadcasts; the postings side never reshuffles after
+    its first keyed count."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    n_docs = d.count()
+    tfc = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tfc.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tfc.join(F.broadcast(df), "token")
+        .where(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_bm25",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tfc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tf GROUP BY doc_id, token
+            HAVING token IN ('data', 'join', 'filter')),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tfc GROUP BY token),
+    scored AS (
+      SELECT tfc.doc_id,
+             ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               AS s
+      FROM tfc JOIN df USING (token)
+               JOIN dl ON tfc.doc_id = dl.doc_id, stats)
+    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+    notes="BM25 (k1=1.2, b=0.75) for a fixed 3-term query: postings "
+    "restricted to the query terms FIRST (the inverted-index access "
+    "pattern — scoring never touches non-query tokens), then the "
+    "Robertson-Sparck-Jones idf and length-normalized tf; ROUND 6 dp "
+    "(ln + float-division chain)",
+)
+def text_bm25(spark, sf_dir):
+    """Search-engine scoring as the inverted index would execute it:
+    filter the postings to the query's terms before any join (at scale
+    this is the difference between touching three posting lists and
+    touching the corpus), then score with document-length
+    normalization. doc lengths and the df table are both small-keyed;
+    the per-doc sum is the only output-sized shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    k1, b = 1.2, 0.75
+    dl = d.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    row = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = row["n_docs"], row["avgdl"]
+    tfc = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .where(F.col("token").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tfc.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tfc.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .select("doc_id", (idf * tf_norm).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )

@@ -1,0 +1,136 @@
+"""Iterative graph algorithms over derived relations (SURVEY §2.9).
+
+`graph_pagerank` runs weighted PageRank on the nation-level trade graph
+(customer nation -> supplier nation, weighted by lineitem count). The
+point is the EXECUTION PATTERN for iterative algorithms on Spark:
+
+- each iteration is one broadcast-joined aggregation (contributions
+  keyed by destination), so an iteration is a single keyed shuffle;
+- `localCheckpoint()` after each iteration keeps the plan flat —
+  without it the lineage doubles per round and Catalyst analysis time
+  grows exponentially (same lesson as connected_components, text.py);
+- the node/rank table is small by construction (graphs aggregate), so
+  it broadcasts against the edge list, which is the big side and never
+  moves.
+
+The DuckDB oracle is the same recurrence with the iterations unrolled
+into chained CTEs (generated, fixed at import time), making this fully
+value-checked — rare for an iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_DAMP = 0.85
+_ITERS = 5
+
+_EDGES_SQL = """
+    e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+    n AS (SELECT n_nationkey AS id FROM nation),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM n)
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the PageRank recurrence into chained CTEs."""
+    ctes = [
+        "fr AS (SELECT e.src, e.dst, e.w / ow.outw AS frac "
+        "FROM e JOIN ow ON e.src = ow.src)",
+        "r0 AS (SELECT id, 1.0 / n_nodes AS r FROM n CROSS JOIN cnt)",
+    ]
+    for i in range(1, _ITERS + 1):
+        # float association mirrors the Spark side exactly:
+        # contribution = r * (w / outw), summed per destination
+        ctes.append(
+            f"""m{i} AS (
+      SELECT fr.dst AS id, SUM(p.r * fr.frac) AS mass
+      FROM r{i - 1} p JOIN fr ON p.id = fr.src
+      GROUP BY fr.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT n.id,
+             (1.0 - {_DAMP}) / cnt.n_nodes +
+             {_DAMP} * COALESCE(m.mass, 0.0) AS r
+      FROM n CROSS JOIN cnt LEFT JOIN m{i} m ON m.id = n.id)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_SQL.strip().rstrip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id AS nation_id, ROUND(r, 6) AS pagerank FROM r{_ITERS}"
+    )
+
+
+@register(
+    "graph_pagerank",
+    section="2.9",
+    oracle=_pagerank_oracle(),
+    notes=f"weighted PageRank (d={_DAMP}, {_ITERS} iterations) on the "
+    "nation-level trade graph derived from lineitem->orders->customer/"
+    "supplier; oracle is the identical recurrence unrolled into chained "
+    "CTEs, so the iterative algorithm is fully value-checked. ROUND 6 dp "
+    "(float-sum order)",
+)
+def graph_pagerank(spark, sf_dir):
+    """Iterative PageRank where each iteration is ONE keyed aggregation:
+    contributions = ranks x edge fraction, grouped by destination. Ranks
+    are node-count-sized (tiny — broadcast); edges are the data-sized
+    side and are computed once, cached implicitly via localCheckpoint,
+    and never reshuffled after their first groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    frac = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
+    ).localCheckpoint()
+
+    nodes = n.select(F.col("n_nationkey").alias("id"))
+    n_nodes = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(_ITERS):
+        contrib = (
+            frac.join(F.broadcast(ranks), frac.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("frac")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - _DAMP) / n_nodes)
+                    + F.lit(_DAMP) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("id").alias("nation_id"), F.round("r", 6).alias("pagerank")
+    )

@@ -93,6 +93,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         aggregation,
         events,
+        graph,
         joins,
         projection,
         scans,
@@ -109,6 +110,7 @@ def _load_all() -> None:
         multimodal,
         pipeline,
         pipeline2,
+        ranking,
         scalar,
         similarity,
         text,

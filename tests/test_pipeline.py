@@ -162,3 +162,40 @@ def test_sample_per_key_fixed_size(spark, sf_dir):
     # every source has >=5 docs in the fixtures -> exactly 5 sampled each
     assert (sizes == 5).all()
     assert out["doc_id"].is_unique
+
+
+def test_pagerank_is_distribution(spark, sf_dir):
+    from shippinglanes_spark.operators.graph import graph_pagerank
+
+    out = graph_pagerank(spark, sf_dir).toPandas()
+    assert len(out) == 25
+    assert (out["pagerank"] > 0).all()
+    # total mass is conserved up to the dangling-free assumption + rounding
+    assert abs(out["pagerank"].sum() - 1.0) < 0.01
+    # the trade graph is non-uniform: ranks must actually differ
+    assert out["pagerank"].nunique() > 5
+
+
+def test_winsorize_clips_within_bounds(spark, sf_dir):
+    from shippinglanes_spark.functions.pipeline2 import pipeline_winsorize
+
+    out = pipeline_winsorize(spark, sf_dir).toPandas()
+    assert (out["clipped"] >= out["lo"] - 1e-9).all()
+    assert (out["clipped"] <= out["hi"] + 1e-9).all()
+    inside = (out["n_chars"] >= out["lo"]) & (out["n_chars"] <= out["hi"])
+    assert (out.loc[inside, "clipped"] == out.loc[inside, "n_chars"]).all()
+    # p10/p90 clipping must touch roughly 20% of rows per source
+    frac_clipped = 1 - inside.mean()
+    assert 0.05 < frac_clipped < 0.35
+
+
+def test_tfidf_bm25_contracts(spark, sf_dir):
+    from shippinglanes_spark.functions.ranking import text_bm25, text_tfidf
+
+    tfidf = text_tfidf(spark, sf_dir).toPandas()
+    assert (tfidf["tf"] >= 3).all()
+    # idf >= 0 and 0 exactly when the token is in every document
+    assert (tfidf["tfidf"] >= 0).all()
+    bm25 = text_bm25(spark, sf_dir).toPandas()
+    assert bm25["doc_id"].is_unique
+    assert (bm25["bm25"] >= 0).all()
