@@ -1,0 +1,396 @@
+"""AIS trajectory analytics (SURVEY §2.10 — the reference's home domain).
+
+The reference wrangles AIS vessel fixes: clean pings, build per-vessel
+tracks, detect port calls, aggregate traffic. The fixtures lack geo
+columns (SURVEY §0), so fixes reuse the established synthetic projection
+from evt_track_length / join_spatial_grid — lat = (value % 180) - 90,
+lon = ((value * 2) % 360) - 180 — pure modular arithmetic, so both
+engines derive bit-identical coordinates.
+
+Plan shapes (all keyed, no cartesian anywhere):
+
+- speed/course: one per-vessel window pass (lag) + codegen trig — the
+  standard hop-derivation; at 100 TB the only shuffle is the keyed sort
+  by vessel, which every per-track operator shares.
+- port visits: geofence membership is a row-local broadcast-size cross
+  of 3 port literals, then gaps-and-islands per (vessel, port) — the
+  sessionize pattern on a filtered stream.
+- OD matrix: first/last fix per (vessel, day) via full-frame
+  first/last_value, then a counted groupBy over cell pairs — output is
+  cell²-bounded, independent of fix count.
+- density stencil: per-cell counts (bounded: 18x36 cells), then each
+  cell replicates to its 3x3 neighbors and re-aggregates — the
+  distributed stencil idiom; cost scales with cells, not fixes.
+- simplification: Visvalingam-style course-change filter via lag/lead —
+  row-local trig, no state, keeps endpoints.
+
+Float discipline: coordinates/cells are exact modular arithmetic;
+anything through libm trig (distance, speed, bearing) is ROUNDed on
+both sides, and keep/flag thresholds compare the ROUNDed value so a
+boundary can't flip one engine only (same rule as sim_cosine_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import as_date, epoch_us
+from ..io import table
+from ..registry import register
+from ..functions.scalar import haversine_km
+
+_LAT = "(value % 180) - 90"
+_LON = "((value * 2) % 360) - 180"
+
+# (port_id, lat, lon): synthetic "ports" for the geofence queries.
+_PORTS = ((1, 0.0, 0.0), (2, 40.0, -70.0), (3, -30.0, 120.0))
+_PORT_RADIUS_KM = 2000.0
+_VISIT_GAP_US = 6 * 3600 * 1_000_000  # new visit after 6h out of sight
+
+_FIXES_SQL = f"""
+    fixes AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             {_LAT} AS lat, {_LON} AS lon
+      FROM events)
+"""
+
+
+def _fixes(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        ((F.col("value") % 180) - 90).alias("lat"),
+        (((F.col("value") * 2) % 360) - 180).alias("lon"),
+    )
+
+
+def bearing_deg(lat1, lon1, lat2, lon2):
+    """Initial great-circle bearing in [0, 360), built-ins only."""
+    dlon = F.radians(lon2 - lon1)
+    y = F.sin(dlon) * F.cos(F.radians(lat2))
+    x = F.cos(F.radians(lat1)) * F.sin(F.radians(lat2)) - F.sin(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.cos(dlon)
+    deg = F.degrees(F.atan2(y, x))
+    return ((deg % 360) + 360) % 360
+
+
+def _bearing_sql(lat1="lat1", lon1="lon1", lat2="lat2", lon2="lon2"):
+    return (
+        "((degrees(atan2("
+        f"sin(radians({lon2} - {lon1})) * cos(radians({lat2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2})) - "
+        f"sin(radians({lat1})) * cos(radians({lat2})) * cos(radians({lon2} - {lon1}))"
+        ")) % 360) + 360) % 360"
+    )
+
+
+_BEARING_SQL = _bearing_sql()
+
+_HAV_SQL = (
+    "2 * 6371.0 * ASIN(SQRT("
+    "SIN(RADIANS(lat2 - lat1) / 2) ^ 2 "
+    "+ COS(RADIANS(lat1)) * COS(RADIANS(lat2)) "
+    "* SIN(RADIANS(lon2 - lon1) / 2) ^ 2))"
+)
+
+
+@register(
+    "geo_speed_course",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    hops AS (
+      SELECT user_id, event_id, ts_us,
+             LAG(lat) OVER w AS lat1, LAG(lon) OVER w AS lon1,
+             LAG(ts_us) OVER w AS ts1, lat AS lat2, lon AS lon2
+      FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+    SELECT user_id, event_id,
+           ROUND({_HAV_SQL}, 4) AS hop_km,
+           ROUND({_HAV_SQL} / ((ts_us - ts1) / 3600000000.0), 2) AS speed_kmh,
+           ROUND({_BEARING_SQL}, 4) AS course_deg,
+           ROUND({_HAV_SQL} / ((ts_us - ts1) / 3600000000.0), 2) > 2000.0
+             AS is_teleport
+    FROM hops WHERE lat1 IS NOT NULL AND ts_us > ts1
+    """,
+    notes="AIS hop derivation: per-vessel lag window -> haversine distance, "
+    "speed, initial bearing; teleport flag (impossible speed = bad fix) "
+    "thresholds the ROUNDed speed on both sides. One keyed window pass, "
+    "all trig in codegen",
+)
+def geo_speed_course(spark, sf_dir):
+    """The first stage of every AIS pipeline: turn raw pings into hops
+    with distance / speed-over-ground / course, and flag physically
+    impossible hops (position noise) for cleaning. One window shuffle
+    keyed by vessel; everything else is row-local codegen trig."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = _fixes(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.lag("ts_us").over(w).alias("ts1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    hop_km = haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    speed = F.round(hop_km / ((F.col("ts_us") - F.col("ts1")) / 3.6e9), 2)
+    return (
+        hops.where(F.col("lat1").isNotNull() & (F.col("ts_us") > F.col("ts1")))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(hop_km, 4).alias("hop_km"),
+            speed.alias("speed_kmh"),
+            F.round(
+                bearing_deg(
+                    F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+                ),
+                4,
+            ).alias("course_deg"),
+            (speed > 2000.0).alias("is_teleport"),
+        )
+    )
+
+
+@register(
+    "geo_port_visits",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    ports(port_id, plat, plon) AS (VALUES {", ".join(f"({i}, {la}, {lo})" for i, la, lo in _PORTS)}),
+    inport AS (
+      SELECT f.user_id, p.port_id, f.ts_us, f.event_id
+      FROM fixes f JOIN ports p
+        ON 2 * 6371.0 * ASIN(SQRT(
+             SIN(RADIANS(f.lat - p.plat) / 2) ^ 2
+             + COS(RADIANS(p.plat)) * COS(RADIANS(f.lat))
+             * SIN(RADIANS(f.lon - p.plon) / 2) ^ 2)) <= {_PORT_RADIUS_KM}),
+    flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > {_VISIT_GAP_US}
+                       OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_visit
+      FROM inport WINDOW w AS (PARTITION BY user_id, port_id ORDER BY ts_us, event_id)),
+    visits AS (
+      SELECT *, SUM(new_visit) OVER (PARTITION BY user_id, port_id
+                                     ORDER BY ts_us, event_id) AS visit_n
+      FROM flagged)
+    SELECT user_id, port_id, CAST(visit_n AS BIGINT) AS visit_n,
+           MIN(ts_us) AS entry_us, MAX(ts_us) AS exit_us,
+           CAST(COUNT(*) AS BIGINT) AS n_fixes
+    FROM visits GROUP BY user_id, port_id, visit_n
+    """,
+    notes="geofenced port-call detection: membership vs 3 port literals "
+    "(row-local haversine), then gaps-and-islands per (vessel, port) with "
+    "a 6h re-entry gap -> visit spans. The sessionize pattern applied to "
+    "a geofence-filtered stream; one keyed window + one keyed agg",
+)
+def geo_port_visits(spark, sf_dir):
+    """Port-call extraction — the AIS question 'when did each vessel
+    call at each port'. The port table is a literal broadcast (ports
+    are always dimension-scale); in-zone membership is row-local, and
+    visit assembly is the standard gap-break islands build keyed by
+    (vessel, port)."""
+    ports = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({i} AS port_id, CAST({la} AS DOUBLE) AS plat, "
+            f"CAST({lo} AS DOUBLE) AS plon)"
+            for i, la, lo in _PORTS
+        )
+        + "))"
+    )
+    fx = _fixes(spark, sf_dir).select("*", ports.alias("p")).select(
+        "user_id", "event_id", "ts_us", "lat", "lon", "p.*"
+    )
+    inport = fx.where(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("plat"), F.col("plon"))
+        <= _PORT_RADIUS_KM
+    ).select("user_id", "port_id", "ts_us", "event_id")
+    w = Window.partitionBy("user_id", "port_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    flagged = inport.withColumn(
+        "new_visit",
+        (prev.isNull() | ((F.col("ts_us") - prev) > _VISIT_GAP_US)).cast("int"),
+    )
+    visits = flagged.withColumn(
+        "visit_n", F.sum("new_visit").over(w).cast("long")
+    )
+    return visits.groupBy("user_id", "port_id", "visit_n").agg(
+        F.min("ts_us").alias("entry_us"),
+        F.max("ts_us").alias("exit_us"),
+        F.count(F.lit(1)).alias("n_fixes"),
+    )
+
+
+@register(
+    "geo_od_matrix",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    located AS (
+      SELECT user_id, CAST(ts_us // 86400000000 AS BIGINT) AS day_n,
+             ts_us, event_id,
+             CAST(FLOOR(lat / 10) AS BIGINT) AS cy,
+             CAST(FLOOR(lon / 10) AS BIGINT) AS cx
+      FROM fixes),
+    ends AS (
+      SELECT DISTINCT user_id, day_n,
+             FIRST_VALUE(cx) OVER w AS o_cx, FIRST_VALUE(cy) OVER w AS o_cy,
+             LAST_VALUE(cx) OVER w AS d_cx, LAST_VALUE(cy) OVER w AS d_cy
+      FROM located
+      WINDOW w AS (PARTITION BY user_id, day_n ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    SELECT o_cx, o_cy, d_cx, d_cy, CAST(COUNT(*) AS BIGINT) AS n_legs
+    FROM ends GROUP BY o_cx, o_cy, d_cx, d_cy
+    """,
+    notes="origin-destination traffic matrix: first/last 10-deg grid cell "
+    "per (vessel, day) via full-frame first/last_value, counted by cell "
+    "pair. Output is cell-pair-bounded regardless of fix volume",
+)
+def geo_od_matrix(spark, sf_dir):
+    """Where do voyages start and end: per (vessel, day) the first and
+    last fix's grid cell, aggregated into an OD flow matrix. The window
+    is keyed by (vessel, day); the final aggregate's key space is cells²
+    — bounded, so the result never grows with the corpus."""
+    fx = _fixes(spark, sf_dir).select(
+        "user_id",
+        (F.col("ts_us") / F.lit(86400000000)).cast("long").alias("day_n"),
+        "ts_us",
+        "event_id",
+        F.floor(F.col("lat") / 10).cast("long").alias("cy"),
+        F.floor(F.col("lon") / 10).cast("long").alias("cx"),
+    )
+    w = (
+        Window.partitionBy("user_id", "day_n")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ends = fx.select(
+        "user_id",
+        "day_n",
+        F.first("cx").over(w).alias("o_cx"),
+        F.first("cy").over(w).alias("o_cy"),
+        F.last("cx").over(w).alias("d_cx"),
+        F.last("cy").over(w).alias("d_cy"),
+    ).distinct()
+    return ends.groupBy("o_cx", "o_cy", "d_cx", "d_cy").agg(
+        F.count(F.lit(1)).alias("n_legs")
+    )
+
+
+@register(
+    "geo_density_smooth",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    counts AS (
+      SELECT CAST(FLOOR(lon / 10) AS BIGINT) AS cx,
+             CAST(FLOOR(lat / 10) AS BIGINT) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM fixes GROUP BY 1, 2)
+    SELECT a.cx, a.cy, a.n,
+           CAST(SUM(b.n) AS BIGINT) AS n_smooth
+    FROM counts a JOIN counts b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+    GROUP BY a.cx, a.cy, a.n
+    """,
+    notes="traffic density heatmap with 3x3 neighborhood smoothing: "
+    "per-cell fix counts (bounded 18x36 key space), then the distributed "
+    "stencil idiom — each cell's count replicates to its 9 neighbors and "
+    "re-aggregates; cost scales with cells, not fixes. Edge cells simply "
+    "have fewer contributors (no wraparound) on both sides",
+)
+def geo_density_smooth(spark, sf_dir):
+    """Shipping-lane density map: the raw per-cell histogram is one
+    map-side-combined groupBy over the fixes; the smoothing pass then
+    runs entirely on the cell table (bounded at 648 rows at any data
+    scale), replicating each count to its 3x3 neighborhood — a stencil
+    as a keyed join, never touching the fix-level data again."""
+    fx = _fixes(spark, sf_dir)
+    counts = fx.groupBy(
+        F.floor(F.col("lon") / 10).cast("long").alias("cx"),
+        F.floor(F.col("lat") / 10).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    offsets = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    contrib = counts.select("cx", "cy", "n", offsets.alias("o")).select(
+        (F.col("cx") + F.col("o.dx")).alias("tx"),
+        (F.col("cy") + F.col("o.dy")).alias("ty"),
+        "n",
+    )
+    smooth = contrib.groupBy("tx", "ty").agg(F.sum("n").alias("n_smooth"))
+    return counts.join(
+        smooth, (counts.cx == smooth.tx) & (counts.cy == smooth.ty)
+    ).select("cx", "cy", "n", F.col("n_smooth").cast("long"))
+
+
+@register(
+    "geo_track_simplify",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    ctx AS (
+      SELECT user_id, event_id, ts_us, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+             LEAD(lat) OVER w AS nlat, LEAD(lon) OVER w AS nlon
+      FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    turns AS (
+      SELECT user_id, event_id, ts_us, lat, lon,
+             plat IS NULL OR nlat IS NULL AS endpoint,
+             {_bearing_sql("plat", "plon", "lat", "lon")} AS b_in,
+             {_bearing_sql("lat", "lon", "nlat", "nlon")} AS b_out
+      FROM ctx)
+    SELECT user_id, event_id, ts_us, lat, lon,
+           ROUND(LEAST(ABS(b_out - b_in), 360 - ABS(b_out - b_in)), 4)
+             AS turn_deg
+    FROM turns
+    WHERE endpoint
+       OR ROUND(LEAST(ABS(b_out - b_in), 360 - ABS(b_out - b_in)), 4) > 30.0
+    """,
+    notes="track simplification: keep endpoints and fixes whose course "
+    "change exceeds 30 deg (wrapped bearing delta via lag/lead) — the "
+    "streaming-friendly cousin of Douglas-Peucker (row-local, no "
+    "recursion). Keep predicate compares the ROUNDed turn on both sides",
+)
+def geo_track_simplify(spark, sf_dir):
+    """Polyline reduction for track storage/rendering: a fix survives if
+    it is a track endpoint or the course changes by > 30 degrees there.
+    Unlike Douglas-Peucker (recursive, needs the whole line in memory),
+    the turn test is lag/lead-local — one keyed window pass, so a
+    100 TB fix table simplifies in a single shuffle."""
+    fx = _fixes(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ctx = fx.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lead("lat").over(w).alias("nlat"),
+        F.lead("lon").over(w).alias("nlon"),
+    )
+    b_in = bearing_deg(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+    b_out = bearing_deg(F.col("lat"), F.col("lon"), F.col("nlat"), F.col("nlon"))
+    raw = F.abs(b_out - b_in)
+    turn = F.round(F.least(raw, 360 - raw), 4)
+    endpoint = F.col("plat").isNull() | F.col("nlat").isNull()
+    return (
+        ctx.select(
+            "user_id", "event_id", "ts_us", "lat", "lon", turn.alias("turn_deg")
+        )
+        .where(endpoint | (F.col("turn_deg") > 30.0))
+    )

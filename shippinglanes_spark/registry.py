@@ -93,6 +93,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         aggregation,
         events,
+        geo,
         graph,
         joins,
         projection,
