@@ -1,0 +1,245 @@
+"""Time-series analytics over the event stream (SURVEY §2.10).
+
+Three classic stream-smoothing/diagnosis operators, each expressed so
+the sequential-looking recurrence becomes one keyed window pass:
+
+- `ts_ewma`: exponentially-weighted moving average as a FINITE (20-tap)
+  windowed dot product. The textbook recurrence is sequential; the
+  truncated form is a frame-local weighted sum (weights decay below
+  1e-2 after 20 taps at alpha=0.2), so it runs as an ordinary sliding
+  window — no state, no per-key iteration, same shape at any scale.
+- `ts_corr_series`: rolling Pearson correlation between two derived
+  metric series (hourly click vs view counts) over a trailing day.
+  All six sufficient statistics are EXACT integer window sums; floats
+  appear only in the final one-shot formula, so the value is engine-
+  deterministic up to the ROUND.
+- `ts_changepoint`: best single mean-shift split per key in ONE pass —
+  running sum + total turn every prefix/suffix mean into row-local
+  arithmetic; argmax picks the split. The quadratic "try every split,
+  re-average both sides" formulation collapses to a window cumsum.
+
+All windows are keyed (user / series); no single-partition exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import epoch_us
+from ..io import table
+from ..registry import register
+
+_ALPHA = 0.2
+_TAPS = 20
+
+
+@register(
+    "ts_ewma",
+    section="2.10",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                               ROWS BETWEEN {_TAPS - 1} PRECEDING AND CURRENT ROW)
+               AS arr
+      FROM events)
+    SELECT user_id, event_id, ts_us,
+           ROUND(
+             list_sum(list_transform(range(1, len(arr) + 1),
+                      i -> arr[i] * pow({1 - _ALPHA}, len(arr) - i)))
+             / ((1 - pow({1 - _ALPHA}, len(arr))) / {_ALPHA}), 6) AS ewma
+    FROM ordered
+    """,
+    notes=f"EWMA (alpha={_ALPHA}) as a {_TAPS}-tap windowed dot product: "
+    "the truncated form of the recurrence (tail weight < 1.2% dropped, "
+    "normalized by the finite geometric sum) — frame-local, stateless, "
+    "one keyed window; ROUND 6 dp (pow/div chain)",
+)
+def ts_ewma(spark, sf_dir):
+    """Smoothing without the recurrence: collect the trailing 20 values
+    in frame order and take the normalized geometric-weight dot product.
+    Exactly equals adjust-normalized EWMA restricted to a 20-sample
+    memory — the standard practical truncation, and the form that
+    parallelizes (the true recurrence is inherently sequential)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(_TAPS - 1), 0)
+    )
+    d = ev.select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us"), "value"
+    ).withColumn("arr", F.collect_list("value").over(w))
+    n = F.size("arr")
+    weighted = F.zip_with(
+        F.col("arr"),
+        F.sequence(F.lit(1), n),
+        lambda x, i: x * F.pow(F.lit(1 - _ALPHA), n - i),
+    )
+    denom = (1 - F.pow(F.lit(1 - _ALPHA), n)) / F.lit(_ALPHA)
+    return d.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(
+            F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x) / denom, 6
+        ).alias("ewma"),
+    )
+
+
+@register(
+    "ts_corr_series",
+    section="2.10",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS hr,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT hr,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+      FROM hourly
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT hr,
+           ROUND((n * sxy - sx * sy) /
+                 (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS corr
+    FROM stats
+    WHERE n = 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    notes="rolling Pearson correlation between the hourly click and view "
+    "count series over a trailing 24h window: the six sufficient "
+    "statistics are exact INTEGER window sums (hour grid is dense, so "
+    "ROWS 23 PRECEDING == the trailing day), floats only in the final "
+    "formula; degenerate-variance windows filtered on exact integers. "
+    "The global hour series is metadata-sized: the ordered window runs "
+    "over at most hours-per-retention rows, not over events",
+)
+def ts_corr_series(spark, sf_dir):
+    """Are two operational metrics moving together? Build both hourly
+    series in one conditional aggregation (map-side combined over the
+    raw events), then correlate over a trailing-day window. The window
+    is over the HOURLY table — bounded by the time range, thousands of
+    rows per year — so the unkeyed orderBy is safe at any event volume
+    (documented single-series exception, same as the vocab top-k)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        epoch_us(F.date_trunc("hour", F.col("ts"))).alias("hr")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("y"),
+    )
+    w = Window.orderBy("hr").rowsBetween(-23, 0)
+    st = hourly.select(
+        "hr",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return st.where((F.col("n") == 24) & (vx > 0) & (vy > 0)).select(
+        "hr",
+        F.round(
+            num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 4
+        ).alias("corr"),
+    )
+
+
+@register(
+    "ts_changepoint",
+    section="2.10",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events),
+    ordered AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                  AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS BIGINT)
+               AS i,
+             CAST(SUM(v) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM cents),
+    scored AS (
+      SELECT user_id, ts_us, n,
+             FLOOR(ABS(CAST(cum AS DOUBLE) / i
+                       - CAST(total - cum AS DOUBLE) / (n - i)) / 100
+                   * 1000000) / 1000000.0 AS score
+      FROM ordered WHERE i < n),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY score DESC, ts_us) AS rk
+      FROM scored)
+    SELECT user_id, ts_us AS split_us, score, n
+    FROM best WHERE rk = 1
+    """,
+    notes="single mean-shift changepoint per key in ONE window pass: "
+    "running sum + per-key total make every candidate split's "
+    "|left mean - right mean| row-local; argmax with (floored score "
+    "desc, ts asc) tiebreak (floor discipline: the cents-exact ratios "
+    "land on .5 ULP boundaries where ROUND is engine-dependent). "
+    "The naive form is O(n^2) re-averaging; "
+    "this is a cumsum. Values integerized to cents first: window SUM "
+    "association differs across engines (segment tree vs running), so "
+    "the sufficient statistics must be exact integers",
+)
+def ts_changepoint(spark, sf_dir):
+    """Where did the level shift? Every split point's two-sided means
+    derive from (prefix sum, total), so scoring all n-1 candidate
+    splits costs one keyed window pass; the winner per key is a second
+    tiny window. Cumulative float sums run in the same (ts, id) order
+    on both engines, keeping the scores bit-comparable pre-ROUND."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wp = Window.partitionBy("user_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).select(
+        "user_id",
+        "ts_us",
+        F.sum("v").over(wo).cast("long").alias("cum"),
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("v").over(wp).cast("long").alias("total"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    scored = d.where(F.col("i") < F.col("n")).select(
+        "user_id",
+        "ts_us",
+        "n",
+        (
+            F.floor(
+                F.abs(
+                    F.col("cum").cast("double") / F.col("i")
+                    - (F.col("total") - F.col("cum")).cast("double")
+                    / (F.col("n") - F.col("i"))
+                )
+                / 100
+                * 1000000
+            )
+            / 1000000.0
+        ).alias("score"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("score"), "ts_us")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("ts_us").alias("split_us"), "score", "n")
+    )

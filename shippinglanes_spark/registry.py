@@ -101,6 +101,7 @@ def _load_all() -> None:
         setops,
         sorting,
         subqueries,
+        timeseries,
         tpch,
         tpch2,
         udfs,
