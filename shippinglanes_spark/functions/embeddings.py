@@ -1,0 +1,164 @@
+"""Embedding-column array analytics (SURVEY §2.9).
+
+The similarity family (similarity.py / minhash.py) covers search over
+the vector column; this module covers the ARITHMETIC side a training
+pipeline needs: per-class centroids and storage quantization.
+
+Determinism notes (the whole difficulty of distributed float columns):
+
+- `emb_centroid_label` needs cross-row component means, and float
+  accumulation order varies with partitioning — so components are
+  fixed-pointed to an exact 1e-6 integer grid FIRST and summed as
+  BIGINTs (exact, order-free), with floats reappearing only in the
+  final one-shot division. Same trick as the cents-integerized money
+  sums (tpch_q9 / ts_changepoint), applied per vector component.
+- `emb_quantize_int8` is per-row only (no cross-row accumulation); its
+  in-vector reduction uses a LEFT FOLD on both engines (F.aggregate /
+  list_reduce), which fixes the association order and keeps the
+  reconstruction error bit-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_FP = 1_000_000  # fixed-point grid for exact distributed accumulation
+
+
+@register(
+    "emb_centroid_label",
+    section="2.9",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+             UNNEST(list_transform(range(1, len(embedding) + 1),
+                    i -> struct_pack(pos := i, x := embedding[i]))) AS u
+      FROM embeddings)
+    SELECT label, CAST(u.pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE) * {_FP}) AS BIGINT))
+                      AS DOUBLE)
+                 / COUNT(*) / {_FP} * 1000000) / 1000000.0 AS mean
+    FROM ex GROUP BY label, u.pos
+    """,
+    notes="per-label centroid components via posexplode -> (label, pos) "
+    "groupBy. Components fixed-pointed to a 1e-6 integer grid before the "
+    "sum so distributed accumulation order cannot change the result "
+    "(float sums are association-sensitive); floor-disciplined final "
+    "division. Shuffle is keyed by (label, pos) = 10 x 64 groups",
+)
+def emb_centroid_label(spark, sf_dir):
+    """Class centroids — the build step of nearest-centroid classifiers
+    and IVF coarse quantizers. posexplode turns the vector column into
+    (label, pos, x) rows; one map-side-combinable keyed sum produces
+    all centroid components in a single shuffle whose key space is
+    labels x dims, independent of row count."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round(F.col("x").cast("double") * _FP).cast("long").alias("xfp"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.floor(
+                F.sum("xfp").cast("double")
+                / F.count(F.lit(1))
+                / _FP
+                * 1000000
+            )
+            / 1000000.0
+        ).alias("mean"),
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    section="2.9",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             127.0 / list_reduce(list_transform(embedding,
+                                 x -> ABS(CAST(x AS DOUBLE))),
+                                 (a, b) -> GREATEST(a, b)) AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> GREATEST(-127, LEAST(127,
+                            CAST(ROUND(x * scale) AS BIGINT)))) AS qv,
+             v
+      FROM scaled)
+    SELECT vec_id,
+           FLOOR(scale * 10000) / 10000.0 AS scale,
+           CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
+           FLOOR(list_reduce(
+                   list_transform(range(1, len(v) + 1),
+                                  i -> (v[i] - qv[i] / scale)
+                                       * (v[i] - qv[i] / scale)),
+                   (a, b) -> a + b)
+                 / len(v) * 100000000000) / 100000000000.0 AS mse
+    FROM q
+    """,
+    notes="symmetric int8 scalar quantization per vector: scale = "
+    "127/max|x|, clamp(round(x*scale)), plus the reconstruction MSE. "
+    "Entirely row-local (no shuffle at all — a pure map over the "
+    "vector column); in-vector reductions are left folds on both "
+    "engines so the float association is pinned; floor-disciplined "
+    "outputs",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Vector compression for serving/storage: 4x smaller than float32
+    with an error bound the MSE column quantifies. The plan is a pure
+    projection — the ideal 100 TB shape (no exchange, columnar in,
+    columnar out); every reduction happens inside one row's array."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    # the raw scale is deliberately NOT named "scale": the output column
+    # of that name is the floored display value, and a lateral column
+    # alias in the final select would silently shadow the raw input for
+    # every expression after it (bit-level mse bug, caught by the oracle)
+    d = e.select("vec_id", (F.lit(127.0) / absmax).alias("scale_raw"), v.alias("v"))
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.round(x * F.col("scale_raw")).cast("long"),
+            ),
+        ),
+    )
+    d = d.select("vec_id", "scale_raw", qv.alias("qv"), "v")
+    sq_err = F.zip_with(
+        F.col("v"),
+        F.col("qv"),
+        # explicit multiply, not pow(x, 2): pow is libm, x*x is IEEE-exact
+        lambda x, q: (x - q / F.col("scale_raw")) * (x - q / F.col("scale_raw")),
+    )
+    return d.select(
+        "vec_id",
+        (F.floor(F.col("scale_raw") * 10000) / 10000.0).alias("scale"),
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, b: a + b)
+        .cast("long")
+        .alias("q_sum"),
+        (
+            F.floor(
+                F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b)
+                / F.size("v")
+                * 100000000000
+            )
+            / 100000000000.0
+        ).alias("mse"),
+    )
