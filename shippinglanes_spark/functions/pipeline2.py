@@ -367,3 +367,88 @@ def pipeline_winsorize(spark, sf_dir):
         F.round("hi", 4).alias("hi"),
         F.round(clipped, 4).alias("clipped"),
     )
+
+
+@register(
+    "profile_key_skew",
+    section="2.9",
+    oracle="""
+    WITH kc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    dec AS (
+      SELECT *, CAST(NTILE(10) OVER (ORDER BY n, user_id) AS BIGINT) AS decile
+      FROM kc),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(MAX(n) AS BIGINT) AS max_n FROM kc)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           FLOOR(CAST(SUM(n) AS DOUBLE) / t.total * 1000000) / 1000000.0
+             AS share,
+           FLOOR(CAST(MAX(n) AS DOUBLE) / t.max_n * 1000000) / 1000000.0
+             AS rel_to_hottest
+    FROM dec CROSS JOIN tot t
+    GROUP BY decile, t.total, t.max_n
+    """,
+    notes="shuffle-key skew profiler: per-key counts bucketed into "
+    "count-ordered deciles, each decile's row share and its hottest "
+    "key's size relative to the global hottest — the diagnostic that "
+    "tells you whether a join/groupBy key needs salting BEFORE the job "
+    "runs. Deciles assigned by the two-pass bucketed_global_rank (the "
+    "key table itself can be billions of rows at 100 TB, so no "
+    "single-partition NTILE); shares are exact-integer ratios, "
+    "floor-disciplined",
+)
+def profile_key_skew(spark, sf_dir):
+    """Operational pre-flight for 100 TB joins: how unbalanced is this
+    key? One map-side-combined count per key, then count-ordered decile
+    assignment via the distributed two-pass global rank (windows.py) —
+    the key table is data-sized, not metadata-sized, so NTILE's global
+    window would be the exact single-partition trap this repo avoids.
+    A hot-key table (hottest decile holding most of the mass) is the
+    signal to reach for plans/skew.salted_join or AQE skew handling."""
+    from ..operators.windows import bucketed_global_rank
+
+    ev = table(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked, n_keys = bucketed_global_rank(kc, "n", "user_id")
+    # NTILE(10) in closed form from the global row number: first r tiles
+    # take q+1 rows, the rest q (q = n//10, r = n%10)
+    q, r = n_keys // 10, n_keys % 10
+    big_span = r * (q + 1)
+    rn = F.col("rn")
+    decile = (
+        F.when(rn <= big_span, F.ceil(rn / F.lit(q + 1)))
+        .otherwise(r + F.ceil((rn - big_span) / F.lit(max(q, 1))))
+        .cast("long")
+    )
+    dec = ranked.withColumn("decile", decile)
+    tot = kc.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total", "max_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_n_dec"),
+        )
+        .select(
+            "decile",
+            "n_keys",
+            "n_rows",
+            (
+                F.floor(F.col("n_rows").cast("double") / F.col("total") * 1000000)
+                / 1000000.0
+            ).alias("share"),
+            (
+                F.floor(
+                    F.col("max_n_dec").cast("double") / F.col("max_n") * 1000000
+                )
+                / 1000000.0
+            ).alias("rel_to_hottest"),
+        )
+    )

@@ -243,3 +243,143 @@ def ts_changepoint(spark, sf_dir):
         .where(F.col("rk") == 1)
         .select("user_id", F.col("ts_us").alias("split_us"), "score", "n")
     )
+
+
+@register(
+    "ts_calendar_spine",
+    section="2.10",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS d1
+      FROM events),
+    spine AS (
+      SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT CAST(s.day AS DATE) AS day,
+           COALESCE(d.n, 0) AS n,
+           2 * COALESCE(d.n, 0) * t.n_days < t.total AS is_sparse
+    FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
+    CROSS JOIN tot t
+    """,
+    notes="calendar-spine densification: generate the full day dimension "
+    "from min..max (sequence+explode), left-join the daily counts so "
+    "silent days surface as explicit zero rows, flag days under half the "
+    "average load with an EXACT integer inequality (2*n*n_days < total "
+    "-- no float division in the predicate). Spine is date-range-sized; "
+    "only the daily aggregate touches the events",
+)
+def ts_calendar_spine(spark, sf_dir):
+    """Gap detection needs rows that are NOT in the data: build the
+    dense day dimension with sequence()/explode from the min/max bounds
+    (a one-row broadcast), left-join the per-day counts, and flag
+    under-loaded days. The spine's size is the calendar range -- the
+    data volume only flows through one map-side-combined daily count."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = ev.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "total", "n_days"
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            (
+                2 * F.coalesce(F.col("n"), F.lit(0)) * F.col("n_days")
+                < F.col("total")
+            ).alias("is_sparse"),
+        )
+    )
+
+
+@register(
+    "ts_concurrency",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    g AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id)
+                         > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+    s AS (SELECT *, CAST(SUM(new_sess) OVER (
+                      PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+          FROM g),
+    spans AS (
+      SELECT user_id, session_id, MIN(ts_us) AS s0, MAX(ts_us) AS s1
+      FROM s GROUP BY user_id, session_id),
+    deltas AS (
+      SELECT s0 AS ts_us, 1 AS delta FROM spans
+      UNION ALL
+      SELECT s1 + 1 AS ts_us, -1 AS delta FROM spans),
+    swept AS (
+      SELECT ts_us,
+             CAST(SUM(delta) OVER (ORDER BY ts_us, delta DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS active
+      FROM deltas)
+    SELECT CAST(ts_us // 86400000000 AS BIGINT) AS day_n,
+           MAX(active) AS max_concurrent
+    FROM swept GROUP BY 1
+    """,
+    notes="peak concurrent sessions per day via a DISTRIBUTED sweep-line: "
+    "+1/-1 deltas at session span edges, per-day keyed running sums, and "
+    "day-level carry offsets (a bounded-cardinality prefix over the day "
+    "table) -- the global prefix sum decomposed into two keyed passes, "
+    "no single-partition window over the data. Oracle is the plain "
+    "global sweep. Deltas ordered (ts, +1 first) so simultaneous "
+    "starts/ends resolve identically; all-integer arithmetic",
+)
+def ts_concurrency(spark, sf_dir):
+    """How many voyages are underway at once, at peak, each day?
+    Sweep-line with the prefix sum decomposed for scale: within-day
+    running sums shuffle on day; cross-day carry comes from per-day
+    totals (calendar-bounded, so the unkeyed cumsum over days runs on
+    a metadata-sized table). Equals the global sweep exactly."""
+    from .events import sessionized
+
+    spans = (
+        sessionized(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s0"), F.max("ts_us").alias("s1"))
+    )
+    deltas = spans.select(F.col("s0").alias("ts_us"), F.lit(1).alias("delta")).unionAll(
+        spans.select((F.col("s1") + 1).alias("ts_us"), F.lit(-1).alias("delta"))
+    )
+    d = deltas.withColumn(
+        "day_n", (F.col("ts_us") / F.lit(86400000000)).cast("long")
+    )
+    win_day = (
+        Window.partitionBy("day_n")
+        .orderBy("ts_us", F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("run", F.sum("delta").over(win_day))
+    day_tot = d.groupBy("day_n").agg(F.sum("delta").alias("day_delta"))
+    win_carry = (
+        Window.orderBy("day_n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.withColumn(
+        "offset", F.coalesce(F.sum("day_delta").over(win_carry), F.lit(0))
+    ).select("day_n", "offset")
+    return (
+        within.join(F.broadcast(carry), "day_n")
+        .groupBy("day_n")
+        .agg(F.max(F.col("run") + F.col("offset")).cast("long").alias("max_concurrent"))
+    )

@@ -68,3 +68,42 @@ def test_changepoint_matches_bruteforce(spark, sf_dir):
         # the reported split ts is the earliest argmax
         argmax_ts = g["ts_us"].to_numpy()[:-1][scores == best].min()
         assert out.loc[uid, "split_us"] == argmax_ts
+
+
+def test_concurrency_matches_global_sweep(spark, sf_dir):
+    """The two-pass (per-day + carry) decomposition must equal a plain
+    global prefix sum computed in pandas."""
+    from shippinglanes_spark.operators.events import sessionized
+    from shippinglanes_spark.operators.timeseries import ts_concurrency
+
+    spans = (
+        sessionized(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s0"), F.max("ts_us").alias("s1"))
+        .toPandas()
+    )
+    deltas = pd.concat(
+        [
+            pd.DataFrame({"ts": spans["s0"], "d": 1}),
+            pd.DataFrame({"ts": spans["s1"] + 1, "d": -1}),
+        ]
+    ).sort_values(["ts", "d"], ascending=[True, False])
+    deltas["active"] = deltas["d"].cumsum()
+    deltas["day_n"] = deltas["ts"] // 86400000000
+    want = deltas.groupby("day_n")["active"].max()
+    got = (
+        ts_concurrency(spark, sf_dir)
+        .toPandas()
+        .set_index("day_n")["max_concurrent"]
+        .sort_index()
+    )
+    assert (got == want.sort_index()).all()
+
+
+def test_calendar_spine_dense(spark, sf_dir):
+    from shippinglanes_spark.operators.timeseries import ts_calendar_spine
+
+    out = ts_calendar_spine(spark, sf_dir).toPandas().sort_values("day")
+    days = pd.to_datetime(out["day"])
+    assert (days.diff().dropna() == pd.Timedelta(days=1)).all()  # no holes
+    assert (out["n"] >= 0).all()
