@@ -162,3 +162,80 @@ def emb_quantize_int8(spark, sf_dir):
             / 100000000000.0
         ).alias("mse"),
     )
+
+
+@register(
+    "emb_outliers",
+    section="2.9",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+             UNNEST(list_transform(range(1, len(embedding) + 1),
+                    i -> struct_pack(pos := i, x := embedding[i]))) AS u
+      FROM embeddings),
+    cent AS (
+      SELECT label, u.pos AS pos,
+             FLOOR(CAST(SUM(CAST(ROUND(CAST(u.x AS DOUBLE) * {_FP}) AS BIGINT))
+                        AS DOUBLE)
+                   / COUNT(*) / {_FP} * 1000000) / 1000000.0 AS mean
+      FROM ex GROUP BY label, u.pos),
+    carr AS (
+      SELECT label, list(mean ORDER BY pos) AS c FROM cent GROUP BY label),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             FLOOR(list_reduce(
+                     list_transform(range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - ca.c[i])
+                            * (CAST(e.embedding[i] AS DOUBLE) - ca.c[i])),
+                     (a, b) -> a + b) * 1000000000) / 1000000000.0 AS d2
+      FROM embeddings e JOIN carr ca USING (label)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY d2 DESC, vec_id) AS rk
+      FROM dist)
+    SELECT label, vec_id, d2, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    notes="per-class embedding outliers: squared distance to the class "
+    "centroid (the fixed-point-deterministic centroid of "
+    "emb_centroid_label, reassembled into an ordered array), top-5 per "
+    "label by (floored distance desc, vec_id). In-vector distance is a "
+    "pinned left fold; the centroid table broadcasts (labels x dims)",
+)
+def emb_outliers(spark, sf_dir):
+    """Label-noise mining: the vectors farthest from their own class
+    centroid are the mislabeled/low-quality candidates a curation
+    pipeline reviews first. Composes the deterministic centroid build
+    with a broadcast join back onto the vectors — per-row distance
+    arithmetic, one keyed top-k window per label."""
+    from pyspark.sql import Window
+
+    cent = emb_centroid_label(spark, sf_dir)
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        ).alias("c")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    diff2 = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.col("c"),
+        lambda x, m: (x - m) * (x - m),
+    )
+    dist = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        (
+            F.floor(
+                F.aggregate(diff2, F.lit(0.0), lambda a, b: a + b) * 1000000000
+            )
+            / 1000000000.0
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    return (
+        dist.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("label", "vec_id", "d2", "rk")
+    )

@@ -143,3 +143,84 @@ def text_bm25(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 6).alias("bm25"))
     )
+
+
+@register(
+    "text_collocations",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    big AS (
+      SELECT UNNEST(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2),
+    uni AS (SELECT UNNEST(toks) AS token FROM t),
+    cb AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cab
+           FROM big GROUP BY bigram),
+    cu AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM uni GROUP BY token),
+    tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS n_uni,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS n_big)
+    SELECT cb.bigram, cb.cab,
+           FLOOR(ln(CAST(cb.cab AS DOUBLE) * t.n_uni * t.n_uni
+                    / t.n_big / ca.c / cb2.c) * 1000000) / 1000000.0 AS pmi
+    FROM cb
+    JOIN cu ca ON ca.token = split_part(cb.bigram, ' ', 1)
+    JOIN cu cb2 ON cb2.token = split_part(cb.bigram, ' ', 2)
+    CROSS JOIN tot t
+    WHERE cb.cab >= 5
+    """,
+    notes="PMI-scored collocations: bigram counts vs unigram counts, "
+    "pmi = ln(c(ab) * N^2 / (N_b * c(a) * c(b))) over EXACT integer "
+    "counts (the only float op is one ln, floor-disciplined). Bigrams "
+    "via the adjacent-pair transform; cab >= 5 bounds the output; the "
+    "unigram side broadcasts (vocabulary-sized)",
+)
+def text_collocations(spark, sf_dir):
+    """Which word pairs co-occur more than chance — the tokenizer-
+    merge / phrase-mining primitive. Two map-side-combined counts
+    (bigrams, unigrams) and two broadcast joins of the vocabulary-
+    sized unigram table back onto the bigram counts; the data-sized
+    shuffle is the bigram count alone."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    t = d.select(toks.alias("toks"))
+    bigrams = t.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    uni = t.select(F.explode("toks").alias("token"))
+    cb = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cab"))
+    cu = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).cast("long").alias("n_uni")).crossJoin(
+        bigrams.agg(F.count(F.lit(1)).cast("long").alias("n_big"))
+    )
+    ca = cu.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    cb2 = cu.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))
+    pmi = (
+        F.floor(
+            F.log(
+                F.col("cab").cast("double")
+                * F.col("n_uni")
+                * F.col("n_uni")
+                / F.col("n_big")
+                / F.col("c_a")
+                / F.col("c_b")
+            )
+            * 1000000
+        )
+        / 1000000.0
+    )
+    return (
+        cb.where(F.col("cab") >= 5)
+        .join(F.broadcast(ca), F.split("bigram", " ")[0] == F.col("tok_a"))
+        .join(F.broadcast(cb2), F.split("bigram", " ")[1] == F.col("tok_b"))
+        .crossJoin(F.broadcast(tot))
+        .select("bigram", "cab", pmi.alias("pmi"))
+    )
