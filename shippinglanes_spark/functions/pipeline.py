@@ -346,3 +346,68 @@ def pipeline_decontaminate(spark, sf_dir):
             "doc_id", F.coalesce(F.col("hit"), F.lit(0)).alias("contaminated")
         )
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    section="2.7",
+    oracle="""
+    WITH snap_old AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <> 0),
+    snap_new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 10 <> 3)
+    SELECT COALESCE(o.k, n.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           o.price AS old_price,
+           n.price AS new_price
+    FROM snap_old o FULL OUTER JOIN snap_new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.price <> n.price
+    """,
+    notes="snapshot diff (CDC bootstrap): two simulated table snapshots "
+    "derived deterministically from orders, full-outer-joined on the key "
+    "and classified insert/update/delete with unchanged rows dropped. "
+    "One keyed shuffle on the join key; the 1.05 uplift is the identical "
+    "IEEE multiply on both engines so update detection is exact",
+)
+def etl_snapshot_diff(spark, sf_dir):
+    """Change-data-capture when the source has no changelog: diff two
+    snapshots. Each side is a filtered scan; the full outer join is the
+    single data-sized shuffle, and the classification is row-local. At
+    100 TB this co-partitions both snapshots on the key (or runs
+    shuffle-free if both are bucketed on it)."""
+    o = table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = o.where(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.05
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    return (
+        old.join(new, old.k_old == new.k_new, "full")
+        .where(
+            F.col("k_old").isNull()
+            | F.col("k_new").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce("k_old", "k_new").alias("o_orderkey"),
+            F.when(F.col("k_old").isNull(), "insert")
+            .when(F.col("k_new").isNull(), "delete")
+            .otherwise("update")
+            .alias("change"),
+            "old_price",
+            "new_price",
+        )
+    )

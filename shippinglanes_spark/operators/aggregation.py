@@ -438,3 +438,58 @@ def profile_columns(spark, sf_dir):
         .unionByName(prof("l_returnflag"))
         .unionByName(prof("l_shipdate", minmax=as_date_str))
     )
+
+
+@register(
+    "profile_histogram",
+    section="2.4",
+    oracle="""
+    WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+                FROM orders),
+    b AS (SELECT LEAST(CAST(FLOOR((o_totalprice - mn) * 10 / (mx - mn))
+                            AS BIGINT), 9) AS bucket
+          FROM orders CROSS JOIN mm),
+    cnts AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM b GROUP BY bucket)
+    SELECT c.bucket,
+           FLOOR((mm.mn + c.bucket * (mm.mx - mm.mn) / 10) * 100)
+             / 100.0 AS lo,
+           FLOOR((mm.mn + (c.bucket + 1) * (mm.mx - mm.mn) / 10) * 100)
+             / 100.0 AS hi,
+           c.cnt
+    FROM cnts c CROSS JOIN mm
+    """,
+    notes="equi-width histogram of o_totalprice in 10 buckets: the "
+    "standard two-phase distributed shape — a scalar min/max aggregate "
+    "broadcast against the scan, then a keyed bucket count (10 groups). "
+    "Bucket arithmetic is the identical IEEE expression on both engines; "
+    "bound outputs are floor-disciplined to 2 dp",
+)
+def profile_histogram(spark, sf_dir):
+    """Histogram for data profiling / range-partition planning. Pass 1
+    computes global min/max (partial aggregate, one scalar row); pass 2
+    re-scans with the broadcast bounds and counts per bucket. At 100 TB
+    both passes are single map-side-combined scans; nothing driver-side
+    but the 1-row bounds table."""
+    o = table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    span = F.col("mx") - F.col("mn")
+    b = o.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("mn")) * 10 / span),
+            F.lit(9).cast("long"),
+        ).alias("bucket")
+    )
+    cnts = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return cnts.crossJoin(F.broadcast(mm)).select(
+        "bucket",
+        (F.floor((F.col("mn") + F.col("bucket") * span / 10) * 100) / 100.0).alias(
+            "lo"
+        ),
+        (
+            F.floor((F.col("mn") + (F.col("bucket") + 1) * span / 10) * 100) / 100.0
+        ).alias("hi"),
+        "cnt",
+    )

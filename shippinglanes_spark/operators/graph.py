@@ -134,3 +134,83 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(
         F.col("id").alias("nation_id"), F.round("r", 6).alias("pagerank")
     )
+
+
+@register(
+    "graph_triangles",
+    section="2.9",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e WHERE src <> dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pernode AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY id)
+    SELECT n.n_nationkey AS nation_id,
+           CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nation n LEFT JOIN pernode p ON p.id = n.n_nationkey
+    """,
+    notes="per-node triangle counts on the undirected nation trade graph "
+    "via the oriented-edge (a<b) two-join enumeration: each triangle is "
+    "produced exactly once as (x<y<z), then exploded back to its three "
+    "corners. Orientation bounds the join fanout (the classic distributed "
+    "triangle-counting trick; at real scale orient by degree instead of "
+    "id); the edge list is the only data-sized relation",
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle counting with oriented edges: direct every undirected
+    edge low-id -> high-id, join path a->b->c against closing edge a->c,
+    so each triangle materializes once. Per-corner counts come from one
+    explode + keyed count; nations without triangles are kept via a
+    broadcast left join of the 25-row nation list."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    pernode = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        n.select(F.col("n_nationkey").alias("nation_id"))
+        .join(pernode, F.col("nation_id") == F.col("id"), "left")
+        .select(
+            "nation_id",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+        )
+    )

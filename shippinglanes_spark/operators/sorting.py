@@ -115,3 +115,54 @@ def sample_per_key(spark, sf_dir):
         d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rn"))
         .where(F.col("rn") <= 5)
     )
+
+
+@register(
+    "layout_zorder",
+    section="2.6",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS xb,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
+      FROM orders)
+    SELECT o_orderkey, xb, yb,
+           CAST(((xb >> 0) & 1) * 1 + ((yb >> 0) & 1) * 2
+              + ((xb >> 1) & 1) * 4 + ((yb >> 1) & 1) * 8
+              + ((xb >> 2) & 1) * 16 + ((yb >> 2) & 1) * 32
+              + ((xb >> 3) & 1) * 64 + ((yb >> 3) & 1) * 128
+              + ((xb >> 4) & 1) * 256 + ((yb >> 4) & 1) * 512
+              + ((xb >> 5) & 1) * 1024 + ((yb >> 5) & 1) * 2048
+              + ((xb >> 6) & 1) * 4096 + ((yb >> 6) & 1) * 8192
+              + ((xb >> 7) & 1) * 16384 + ((yb >> 7) & 1) * 32768
+             AS BIGINT) AS zkey
+    FROM d
+    """,
+    notes="Z-order (Morton) layout key: interleave the bits of two "
+    "bucketized dimensions (customer bucket x order-date bucket) so a "
+    "sort by zkey clusters BOTH dimensions at once — range-partitioning "
+    "data written in this order gives parquet min/max skipping on either "
+    "predicate, which single-column sorting cannot. Pure integer bit "
+    "arithmetic, identical on both engines; row-local (no shuffle)",
+)
+def layout_zorder(spark, sf_dir):
+    """The multi-dimensional clustering primitive behind Delta/Iceberg
+    OPTIMIZE ZORDER: compute the interleaved-bit key per row. The
+    declared query checks the key math; the clustering payoff (both
+    dims' min/max spans shrink per range partition) is asserted in
+    tests/test_plans.py."""
+    o = table(spark, sf_dir, "orders")
+    xb = (F.col("o_custkey") % 256).cast("long")
+    yb = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        % 256
+    ).cast("long")
+    d = o.select("o_orderkey", xb.alias("xb"), yb.alias("yb"))
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = z + F.shiftright(F.col("xb"), i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        z = z + F.shiftright(F.col("yb"), i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+    return d.select("o_orderkey", "xb", "yb", z.cast("long").alias("zkey"))

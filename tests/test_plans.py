@@ -160,3 +160,50 @@ def test_spatial_grid_join_is_equi(spark, sf_dir):
     p = plan(spark, sf_dir, "join_spatial_grid", mode="simple")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_zorder_clusters_both_dims(spark, sf_dir):
+    """Range-partitioning by zkey must shrink BOTH dims' per-partition
+    spans; range-partitioning by xb alone leaves yb's span at ~global."""
+    df = Q["layout_zorder"].fn(spark, sf_dir)
+
+    def mean_spans(part_df):
+        spans = (
+            part_df.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                (F.max("xb") - F.min("xb")).alias("xs"),
+                (F.max("yb") - F.min("yb")).alias("ys"),
+            )
+            .agg(F.avg("xs").alias("xs"), F.avg("ys").alias("ys"))
+            .first()
+        )
+        return spans["xs"], spans["ys"]
+
+    # 64 partitions pin ~6 leading Morton bits -> each partition covers
+    # a ~32x32 sub-square of the 256x256 key space
+    zx, zy = mean_spans(df.repartitionByRange(64, "zkey"))
+    sx, sy = mean_spans(df.repartitionByRange(64, "xb"))
+    gx = df.agg(F.max("xb") - F.min("xb")).first()[0]
+    gy = df.agg(F.max("yb") - F.min("yb")).first()[0]
+    # z-order: both dims cluster (each partition covers a sub-square)
+    assert zx < 0.5 * gx and zy < 0.5 * gy
+    # single-column sort: the other dim does not cluster at all
+    assert sy > 0.9 * gy
+
+
+def test_triangles_oriented_once(spark, sf_dir):
+    """A triangle on a 3-clique fixture graph is counted exactly once
+    per corner (orientation prevents the 6x overcount)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["a", "b"]
+    )
+    und = edges.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    rows = tri.collect()
+    assert len(rows) == 1
+    assert (rows[0]["x"], rows[0]["y"], rows[0]["z"]) == (1, 2, 3)
