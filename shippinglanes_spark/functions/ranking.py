@@ -224,3 +224,71 @@ def text_collocations(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select("bigram", "cab", pmi.alias("pmi"))
     )
+
+
+@register(
+    "text_keyphrase",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tfc AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tfg AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tfc GROUP BY doc_id, token),
+    dfc AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tfg GROUP BY token),
+    ranked AS (
+      SELECT tfg.doc_id, tfg.token, tfg.tf, dfc.df,
+             ROUND(tfg.tf * ln(CAST(n_docs AS DOUBLE) / dfc.df), 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tfg.doc_id
+                                ORDER BY tfg.tf DESC, dfc.df ASC,
+                                         tfg.token) AS rk
+      FROM tfg JOIN dfc USING (token), n)
+    SELECT doc_id, token, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    notes="keyword extraction: top-3 terms per document. The rank key is "
+    "all-integer (tf desc, df asc, token) so cross-engine ordering is "
+    "exact even though the reported tfidf weight carries a libm ln "
+    "(ROUND 6 dp). Reuses the tf/df counting shape of text_tfidf; the "
+    "per-doc window partitions on doc_id — no global ordering anywhere",
+)
+def text_keyphrase(spark, sf_dir):
+    """Per-document keywords: frequent in the doc, rare in the corpus.
+    Ranking by (tf desc, df asc, token) keeps the window key integer-
+    deterministic; the float TF-IDF is carried as a reported weight
+    only. Vocabulary-sized df table broadcasts; the postings table
+    shuffles once on doc_id for the top-k window."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    n_docs = d.count()
+    tfg = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = tfg.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    return (
+        tfg.join(F.broadcast(dfc), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("tf"), F.asc("df"), F.asc("token")
+                )
+            )
+            .cast("long")
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )

@@ -166,3 +166,83 @@ def layout_zorder(spark, sf_dir):
         z = z + F.shiftright(F.col("xb"), i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
         z = z + F.shiftright(F.col("yb"), i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
     return d.select("o_orderkey", "xb", "yb", z.cast("long").alias("zkey"))
+
+
+@register(
+    "sort_skyline",
+    section="2.6",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey, o_totalprice AS price,
+             CAST(o_orderdate AS DATE) AS od
+      FROM orders),
+    g AS (SELECT price, MAX(od) AS m2 FROM d GROUP BY price),
+    p AS (SELECT price, m2,
+                 MAX(m2) OVER (ORDER BY price DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS m1
+          FROM g)
+    SELECT d.o_orderkey, d.price, CAST(d.od AS VARCHAR) AS odate
+    FROM d JOIN p ON d.price = p.price
+    WHERE d.od = p.m2 AND (p.m1 IS NULL OR p.m2 > p.m1)
+    """,
+    notes="2D skyline (Pareto frontier) over (price max, recency max): a "
+    "row survives iff no other row is >= in both dims and > in one. "
+    "Spark side decomposes the prefix-max over descending price into "
+    "price-band buckets (within-band keyed window + metadata-sized "
+    "cross-band carry, the ts_concurrency pattern) — no single-partition "
+    "window touches the data-sized table. Oracle is the plain global "
+    "sweep; all comparisons on exact parquet doubles / integer days",
+)
+def sort_skyline(spark, sf_dir):
+    """Multi-objective top set: orders not dominated on (totalprice,
+    orderdate). Per-price max-date groups first (keyed shuffle), then
+    the strictly-greater-price prefix max runs banded: a window inside
+    each ~10k-wide price band plus a carry computed on the ~60-row
+    band-max table. Frontier test is row-local after one broadcast-able
+    join of the surviving price groups."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    )
+    g = d.groupBy("price").agg(F.max("day").alias("m2"))
+    g = g.withColumn("bucket", F.floor(F.col("price") / 10000).cast("long"))
+    w_loc = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = g.withColumn("loc_max", F.max("m2").over(w_loc))
+    w_carry = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        g.groupBy("bucket")
+        .agg(F.max("m2").alias("bmax"))
+        .withColumn("carry", F.max("bmax").over(w_carry))
+        .select("bucket", "carry")
+    )
+    p = loc.join(F.broadcast(carry), "bucket").select(
+        "price", "m2", F.greatest("loc_max", "carry").alias("m1")
+    )
+    return (
+        d.join(p, "price")
+        .where(
+            (F.col("day") == F.col("m2"))
+            & (F.col("m1").isNull() | (F.col("m2") > F.col("m1")))
+        )
+        .select(
+            "o_orderkey",
+            "price",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day"))
+            .cast("string")
+            .alias("odate"),
+        )
+    )

@@ -383,3 +383,50 @@ def ts_concurrency(spark, sf_dir):
         .groupBy("day_n")
         .agg(F.max(F.col("run") + F.col("offset")).cast("long").alias("max_concurrent"))
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    section="2.10",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100 * 1000000) / 1000000.0 AS mean_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    notes="day-of-week seasonal profile per event_type (the seasonal "
+    "component of a decomposition; subtracting it from raw values gives "
+    "the deseasonalized residual evt_anomaly-style scoring should run "
+    "on). One map-side-combined aggregate into types x 7 groups; values "
+    "integerized (cents) before the SUM so accumulation order cannot "
+    "move the mean. Spark dayofweek is 1-based Sunday, DuckDB 0-based — "
+    "normalized to DuckDB's 0..6",
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Weekly seasonality baseline: mean value per (event_type,
+    day-of-week). The whole result is metadata-sized (|types| x 7), so
+    downstream deseasonalization broadcasts it back onto the stream."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.floor(
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    / 100
+                    * 1000000
+                )
+                / 1000000.0
+            ).alias("mean_value"),
+        )
+    )

@@ -207,3 +207,34 @@ def test_triangles_oriented_once(spark, sf_dir):
     rows = tri.collect()
     assert len(rows) == 1
     assert (rows[0]["x"], rows[0]["y"], rows[0]["z"]) == (1, 2, 3)
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """The banded two-pass skyline equals the O(n^2) NOT-EXISTS
+    dominance definition (checked at fixture scale via anti-join)."""
+    from shippinglanes_spark.io import table
+
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("b.price") >= F.col("a.price"))
+        & (F.col("b.day") >= F.col("a.day"))
+        & (
+            (F.col("b.price") > F.col("a.price"))
+            | (F.col("b.day") > F.col("a.day"))
+        ),
+        "left_semi",
+    )
+    brute = set(r[0] for r in d.exceptAll(dominated).select("o_orderkey").collect())
+    fast = set(
+        r[0] for r in Q["sort_skyline"].fn(spark, sf_dir).select("o_orderkey").collect()
+    )
+    assert brute == fast and len(fast) > 0
