@@ -687,3 +687,50 @@ def evt_attribution(spark, sf_dir):
             money(F.sum("value")).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "evt_path_analysis",
+    section="2.10",
+    oracle=_SESSIONIZE_CTE
+    + """
+    , p AS (
+      SELECT LAG(event_type, 2) OVER sw AS t1,
+             LAG(event_type, 1) OVER sw AS t2,
+             event_type AS t3
+      FROM s
+      WINDOW sw AS (PARTITION BY user_id, session_id
+                    ORDER BY ts_us, event_id))
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE t1 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    notes="top-10 3-step event paths within sessions (clickstream path "
+    "mining): two LAGs over the session window produce each sliding "
+    "triple exactly once, then one keyed count + TakeOrdered top-k. "
+    "Reuses the sessionize window partitioning — the lag window and the "
+    "session build share one (user_id) shuffle",
+)
+def evt_path_analysis(spark, sf_dir):
+    """What do users do in what order: the most common 3-step paths
+    inside a session. The triple expansion is two lags over the already-
+    sessionized stream (same partitioning, no extra shuffle), the count
+    is map-side combined, and the global top-10 is TakeOrderedAndProject
+    — nothing materializes a global sort."""
+    s = sessionized(spark, sf_dir)
+    sw = Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id")
+    p = s.select(
+        F.lag("event_type", 2).over(sw).alias("t1"),
+        F.lag("event_type", 1).over(sw).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).where(F.col("t1").isNotNull())
+    return (
+        p.select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -453,3 +453,74 @@ def join_spatial_grid(spark, sf_dir):
             (F.floor(cheb * 100) / 100.0).alias("cheb_deg"),
         )
     )
+
+
+@register(
+    "join_scd2_asof",
+    section="2.3",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events WHERE event_type = 'signup'
+    ),
+    chg AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, ts_us, k,
+               LAG(k) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS prev_k
+        FROM e)
+      WHERE prev_k IS NULL OR k <> prev_k
+    ),
+    dim AS (
+      SELECT user_id, k, ts_us AS valid_from_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS valid_to_us
+      FROM chg
+    ),
+    fact AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts_us, d.k AS k_at_purchase
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts_us >= d.valid_from_us
+     AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+    """,
+    notes="temporal dimension lookup: purchases joined to the SCD2 "
+    "dimension version valid at event time (composes the evt_scd2 "
+    "build). Equi-key on user_id with the validity range as a residual "
+    "predicate — a keyed join, never a nested loop; at most one version "
+    "matches per fact row by construction (intervals partition time)",
+)
+def join_scd2_asof(spark, sf_dir):
+    """The warehouse point-in-time join: facts see the dimension row
+    that was current WHEN THEY HAPPENED, not today's. Validity
+    intervals are disjoint per user, so the user_id equi-join plus
+    range residual yields at most one match — same cost shape as a
+    plain keyed join, co-partitionable on user_id at any scale."""
+    from .events import evt_scd2
+    from ..core import epoch_us
+
+    dim = evt_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("k").alias("k_at_purchase"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    ev = table(spark, sf_dir, "events")
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us")
+    )
+    return fact.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("ts_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    ).select("event_id", "user_id", "ts_us", "k_at_purchase")
