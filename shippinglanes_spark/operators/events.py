@@ -734,3 +734,131 @@ def evt_path_analysis(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "evt_streaks",
+    section="2.10",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_n
+      FROM events),
+    isl AS (
+      SELECT user_id, day_n,
+             day_n - ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY day_n) AS island
+      FROM d),
+    runs AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(day_n) AS BIGINT) AS start_day
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+           CAST(MIN(start_day) FILTER (WHERE len = (
+             SELECT MAX(r2.len) FROM runs r2 WHERE r2.user_id = runs.user_id))
+             AS BIGINT) AS best_streak_start
+    FROM runs GROUP BY user_id
+    """,
+    notes="gaps-and-islands: longest consecutive-day activity streak per "
+    "user via the day_n - row_number() island id (consecutive days share "
+    "it). All-integer; two keyed windows/aggregations on the same "
+    "user_id partitioning — one shuffle. Tie on max length resolved to "
+    "the earliest streak start",
+)
+def evt_streaks(spark, sf_dir):
+    """Consecutive-day engagement streaks — the retention primitive
+    behind 'N-day streak' features. distinct (user, day) first (the big
+    reduction), then the island trick: day minus per-user row_number is
+    constant exactly within a run of consecutive days. Everything after
+    the distinct is keyed on user_id; no global ordering."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day_n"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    isl = d.withColumn("island", F.col("day_n") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day_n").cast("long").alias("start_day"),
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        runs.withColumn("best", F.max("len").over(wmax))
+        .where(F.col("len") == F.col("best"))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("max_streak"),
+            F.min("start_day").cast("long").alias("best_streak_start"),
+        )
+    )
+
+
+@register(
+    "evt_user_overlap",
+    section="2.10",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM du GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, i.n_both,
+           FLOOR(CAST(i.n_both AS DOUBLE)
+                 / (sa.n + sb.n - i.n_both) * 1000000) / 1000000.0
+             AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+    notes="audience overlap: Jaccard similarity of user sets between "
+    "every pair of event types. The self-join runs on the distinct "
+    "(type, user) table keyed by user_id — fanout per user is "
+    "|types|^2 (bounded, 5 here), never |events|^2; per-type sizes "
+    "broadcast. One float division, floor-disciplined",
+)
+def evt_user_overlap(spark, sf_dir):
+    """Which behaviors share an audience: |A∩B| / |A∪B| over user sets.
+    After the distinct reduction the user-keyed self-join has bounded
+    per-key fanout (the type alphabet), so the candidate pairs scale
+    with users, not events; the two size lookups are broadcast joins of
+    an alphabet-sized table."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sz = du.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = du.select("user_id", F.col("event_type").alias("type_a"))
+    b = du.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.floor(
+                    F.col("n_both").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                    * 1000000
+                )
+                / 1000000.0
+            ).alias("jaccard"),
+        )
+    )
