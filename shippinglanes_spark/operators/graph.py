@@ -200,7 +200,10 @@ def graph_triangles(spark, sf_dir):
     ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     ac = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = ab.join(bc, "y").join(ac, ["x", "z"])
+    # the aggregated edge list is graph-sized (nations^2 ceiling), far
+    # below any broadcast threshold — hint it so the enumeration never
+    # falls back to sort-merge before AQE kicks in
+    tri = ab.join(F.broadcast(bc), "y").join(F.broadcast(ac), ["x", "z"])
     pernode = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id")

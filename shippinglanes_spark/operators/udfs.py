@@ -76,3 +76,137 @@ def udaf_grouped(spark, sf_dir):
         return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "slope": [slope]})
 
     return e.groupBy("user_id").applyInPandas(fit, schema="user_id long, slope double")
+
+
+@register(
+    "udtf_python",
+    section="2.11",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'),
+                                        x -> trim(x)),
+                         x -> x <> '') AS sents
+      FROM documents)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS sent_idx,
+           CAST(len(string_split(sents[i], ' ')) AS BIGINT) AS n_words
+    FROM s, LATERAL (SELECT UNNEST(range(1, len(sents) + 1)) AS i)
+    """,
+    notes="real Python UDTF (Spark 4 @udtf API): sentence splitter "
+    "emitting (sent_idx, n_words) per input row via a lateral join. "
+    "Declared for API-surface parity — the engine's guidance stands "
+    "that posexplode/builtin lateral views (udtf_explode) are the fast "
+    "path; a Python UDTF executes row-at-a-time and belongs only where "
+    "per-row logic genuinely needs imperative Python",
+)
+def udtf_python(spark, sf_dir):
+    """Table-function surface via the first-class UDTF API: one input
+    row fans out to one row per sentence. The implementation is
+    deliberately simple (split on '.', trim, count words) so the DuckDB
+    oracle can replicate it exactly; the point under test is the
+    UDTF-with-lateral-join plumbing, not NLP."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx bigint, n_words bigint")
+    class SentenceSplit:
+        def eval(self, text: str):
+            sents = [s.strip() for s in (text or "").split(".")]
+            idx = 0
+            for s in sents:
+                if s:
+                    idx += 1
+                    yield idx, len(s.split(" "))
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.n_words
+        FROM udtf_docs_in d,
+             LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+@register(
+    "agg_ab_test",
+    section="2.4",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type),
+    w AS (
+      SELECT
+        (SELECT CAST(s1 AS DOUBLE) / n / 100 FROM g
+          WHERE event_type = 'purchase') AS m1,
+        (SELECT CAST(s1 AS DOUBLE) / n / 100 FROM g
+          WHERE event_type = 'click') AS m2,
+        (SELECT (CAST(s2 AS DOUBLE) / 10000
+                 - (CAST(s1 AS DOUBLE) / n / 100)
+                   * (CAST(s1 AS DOUBLE) / n / 100) * n) / (n - 1) / n
+           FROM g WHERE event_type = 'purchase') AS v1n,
+        (SELECT (CAST(s2 AS DOUBLE) / 10000
+                 - (CAST(s1 AS DOUBLE) / n / 100)
+                   * (CAST(s1 AS DOUBLE) / n / 100) * n) / (n - 1) / n
+           FROM g WHERE event_type = 'click') AS v2n)
+    SELECT FLOOR((m1 - m2) / SQRT(v1n + v2n) * 1000000) / 1000000.0 AS t_stat,
+           FLOOR((m1 - m2) * 1000000) / 1000000.0 AS mean_diff
+    FROM w
+    """,
+    notes="Welch two-sample t statistic (purchase vs click values) "
+    "computed in closed form from per-group (n, sum, sum-of-squares) — "
+    "the one-pass mergeable-statistics shape. Sums integerized (cents) "
+    "so accumulation order is irrelevant; the float formula chain is "
+    "identical on both engines, output floor-disciplined",
+)
+def agg_ab_test(spark, sf_dir):
+    """A/B-style comparison without collecting anything: each arm
+    reduces to three mergeable integers (count, sum, sum of squares);
+    the t statistic is driver-free arithmetic on the 2-row aggregate.
+    The same shape extends to any number of arms or metrics in one
+    scan."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s1"),
+            F.sum(cents * cents).cast("long").alias("s2"),
+        )
+    )
+    m = F.col("s1").cast("double") / F.col("n") / 100
+    varmean = (
+        (F.col("s2").cast("double") / 10000 - m * m * F.col("n"))
+        / (F.col("n") - 1)
+        / F.col("n")
+    )
+    stats = g.select("event_type", m.alias("m"), varmean.alias("vn"))
+    p = stats.where(F.col("event_type") == "purchase").select(
+        F.col("m").alias("m1"), F.col("vn").alias("v1n")
+    )
+    c = stats.where(F.col("event_type") == "click").select(
+        F.col("m").alias("m2"), F.col("vn").alias("v2n")
+    )
+    return p.crossJoin(c).select(
+        (
+            F.floor(
+                (F.col("m1") - F.col("m2"))
+                / F.sqrt(F.col("v1n") + F.col("v2n"))
+                * 1000000
+            )
+            / 1000000.0
+        ).alias("t_stat"),
+        (F.floor((F.col("m1") - F.col("m2")) * 1000000) / 1000000.0).alias(
+            "mean_diff"
+        ),
+    )

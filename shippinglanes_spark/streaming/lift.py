@@ -342,3 +342,51 @@ def stream_sliding(spark, sf_dir):
         )
     )
     return _drain(agg, "stream_sliding", "complete")
+
+
+@register(
+    "stream_incremental_rollup",
+    section="2.10",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    notes="the foreachBatch delta-rollup MAINTENANCE pipeline as a "
+    "declared query: stream events one file per micro-batch into "
+    "per-(day, batch) delta partitions, then fold the deltas with "
+    "read_rollup. Oracle = the plain batch aggregate — the hash match "
+    "proves the incremental table equals the from-scratch answer "
+    "(idempotent replays and multi-batch days are separately tested in "
+    "tests/test_maintenance.py)",
+)
+def stream_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance end-to-end: the stream
+    writes partial aggregates as (day, batch) delta partitions (dynamic
+    partition overwrite makes replays idempotent), and the read folds
+    them — sums are algebraic, so folded partials equal the one-shot
+    aggregate exactly. At 100 TB the rollup table is the thing that
+    makes daily dashboards O(days), not O(events)."""
+    import shutil
+    import tempfile
+
+    from ..sources.maintenance import incremental_rollup, read_rollup
+
+    out = tempfile.mkdtemp(prefix="rollup_")
+    shutil.rmtree(out, ignore_errors=True)
+    q = incremental_rollup(spark, sf_dir, out)
+    q.awaitTermination()
+    folded = read_rollup(spark, out)
+    # localCheckpoint materializes the fold, so the scratch delta dir
+    # (and its checkpoint) can be removed before returning
+    result = folded.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "sum_value",
+    ).localCheckpoint()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    return result
