@@ -292,3 +292,83 @@ def text_keyphrase(spark, sf_dir):
         )
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "text_zipf_fit",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT UNNEST(toks) AS token FROM t)
+            GROUP BY token HAVING COUNT(*) >= 5),
+    rk AS (SELECT token, c,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+           FROM cnt),
+    pt AS (SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                  CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+           FROM rk),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM pt)
+    SELECT n AS n_vocab,
+           FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 1000000) / 1000000.0 AS zipf_slope
+    FROM s
+    """,
+    notes="Zipf-law fit of the corpus: OLS slope of ln(count) vs "
+    "ln(rank) over tokens with count >= 5. Each ln is integerized to a "
+    "1e-6 grid BEFORE the sums (the emb_centroid trick), so the OLS "
+    "moments are exact integers and accumulation order is irrelevant; "
+    "the one float division at the end is floor-disciplined. Rank is "
+    "a window over the vocabulary-sized count table (metadata-scale "
+    "next to the corpus; band it like sort_skyline if vocab ever isn't)",
+)
+def text_zipf_fit(spark, sf_dir):
+    """Does the corpus look like natural language? Healthy text has
+    zipf_slope near -1; scraped boilerplate and synthetic spam deviate
+    — a cheap corpus-level quality gate. The token count is the only
+    data-sized pass; everything after runs on the vocabulary."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    cnt = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    rk = cnt.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "token"))
+    )
+    pt = rk.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        (
+            F.floor(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * 1000000
+            )
+            / 1000000.0
+        ).alias("zipf_slope"),
+    )

@@ -106,3 +106,52 @@ def scan_partition_pruned(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "scan_dpp",
+    section="2.1",
+    oracle="""
+    WITH yrs AS (
+      SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS yr
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01')
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN yrs ON CAST(year(o_orderdate) AS BIGINT) = yrs.yr
+    GROUP BY 1
+    """,
+    notes="dynamic partition pruning: the fact side is the hive-"
+    "partitioned (o_year=...) layout and the pruning years come from a "
+    "FILTERED DIM SCAN, not a literal — Catalyst injects a "
+    "dynamicpruningexpression into PartitionFilters at runtime "
+    "(asserted in tests/test_plans.py), so only the dim's years are "
+    "ever opened. The static-literal variant is scan_partition_pruned; "
+    "together they cover both halves of partition pruning at 100 TB",
+)
+def scan_dpp(spark, sf_dir):
+    """The join-driven half of partition pruning: nobody types the year
+    list in a real pipeline — it arrives from another table. The dim
+    (distinct ship years, filtered) broadcasts; its values prune the
+    fact layout's directories before any fact bytes are read."""
+    path = partitioned_orders_path(spark, sf_dir)
+    o = spark.read.parquet(path)
+    li = table(spark, sf_dir, "lineitem")
+    yrs = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select(F.year("l_shipdate").cast("long").alias("yr"))
+        .distinct()
+    )
+    return (
+        o.join(yrs, o.o_year == yrs.yr)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

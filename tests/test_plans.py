@@ -238,3 +238,11 @@ def test_skyline_matches_bruteforce(spark, sf_dir):
         r[0] for r in Q["sort_skyline"].fn(spark, sf_dir).select("o_orderkey").collect()
     )
     assert brute == fast and len(fast) > 0
+
+
+def test_dpp_injects_dynamic_pruning(spark, sf_dir):
+    """scan_dpp's partitioned fact scan must carry a runtime
+    dynamicpruningexpression (join-driven partition pruning), not just a
+    static filter."""
+    p = plan(spark, sf_dir, "scan_dpp", mode="formatted")
+    assert "dynamicpruning" in p
