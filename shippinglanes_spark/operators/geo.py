@@ -394,3 +394,91 @@ def geo_track_simplify(spark, sf_dir):
         )
         .where(endpoint | (F.col("turn_deg") > 30.0))
     )
+
+
+_SLOW_KMH = 100.0
+
+
+@register(
+    "geo_stop_detect",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    hops AS (
+      SELECT user_id, event_id, ts_us, lat, lon,
+             ROW_NUMBER() OVER w AS rn_all,
+             LAG(lat) OVER w AS lat1, LAG(lon) OVER w AS lon1,
+             LAG(ts_us) OVER w AS ts1, lat AS lat2, lon AS lon2
+      FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    slow AS (
+      SELECT user_id, event_id, ts_us, lat, lon, rn_all
+      FROM hops
+      WHERE lat1 IS NOT NULL AND ts_us > ts1
+        AND ROUND({_HAV_SQL} / ((ts_us - ts1) / 3600000000.0), 2)
+              <= {_SLOW_KMH}),
+    isl AS (
+      SELECT *, rn_all - ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY rn_all) AS island
+      FROM slow)
+    SELECT user_id,
+           CAST(MIN(ts_us) AS BIGINT) AS stop_start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS stop_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_fixes,
+           MIN(lat) AS min_lat, MAX(lat) AS max_lat
+    FROM isl
+    GROUP BY user_id, island
+    HAVING COUNT(*) >= 2
+    """,
+    notes="AIS stop/berth detection: hops slower than the ROUNDed "
+    f"{_SLOW_KMH} km/h threshold, grouped into consecutive runs with "
+    "the rn-difference island trick (consecutive slow fixes share "
+    "rn_all - rn_slow). Both windows and the final aggregate share the "
+    "one user-keyed shuffle; extent is min/max (order-independent), no "
+    "float means",
+)
+def geo_stop_detect(spark, sf_dir):
+    """Where did each vessel stop: runs of >= 2 consecutive slow fixes.
+    The island id subtracts the slow-only row_number from the all-fixes
+    row_number, so a single fast fix breaks the run. Same partitioning
+    as every per-track operator — the sort by (vessel, time) is paid
+    once across the family."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = _fixes(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "lat",
+        "lon",
+        F.row_number().over(w).alias("rn_all"),
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.lag("ts_us").over(w).alias("ts1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    speed = F.round(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+        / ((F.col("ts_us") - F.col("ts1")) / 3.6e9),
+        2,
+    )
+    slow = hops.where(
+        F.col("lat1").isNotNull()
+        & (F.col("ts_us") > F.col("ts1"))
+        & (speed <= _SLOW_KMH)
+    )
+    wslow = Window.partitionBy("user_id").orderBy("rn_all")
+    isl = slow.withColumn(
+        "island", F.col("rn_all") - F.row_number().over(wslow)
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.min("ts_us").cast("long").alias("stop_start_us"),
+            F.max("ts_us").cast("long").alias("stop_end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_fixes"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+        )
+        .where(F.col("n_fixes") >= 2)
+        .drop("island")
+    )

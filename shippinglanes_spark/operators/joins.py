@@ -524,3 +524,36 @@ def join_scd2_asof(spark, sf_dir):
         ),
         "left",
     ).select("event_id", "user_id", "ts_us", "k_at_purchase")
+
+
+@register(
+    "join_salted",
+    section="2.3",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    notes="the skew-mitigation machinery as a driver-checked query: "
+    "salted_join (8-way fact salt, dim replicated per salt) must "
+    "produce row-identical results to the plain join — the oracle IS "
+    "the plain join. This is the explicit fallback for hot keys AQE's "
+    "skew splitting can't fix (e.g. a hot key against a dim that must "
+    "shuffle); salting spreads one hot key over n tasks",
+)
+def join_salted(spark, sf_dir):
+    """Skewed-join execution, value-checked: the salt changes the
+    physical key distribution, never the logical result. Aggregating
+    after the salted join collapses the salt away; any salting bug
+    (lost rows, duplicated dim matches) breaks the hash match."""
+    from ..plans.skew import salted_join
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = salted_join(o, c, F.col("o_custkey"), F.col("c_custkey"), n_salts=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
