@@ -74,26 +74,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    headline_errors: dict[str, str] = {}
     for bench_name, query_name in HEADLINE.items():
         fn = registry[query_name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.toPandas()  # full materialization, like fetchall
-        cold[bench_name] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
+        try:
             t0 = time.perf_counter()
-            df.toPandas()  # same handle: QueryExecution reused
-            best = min(best, time.perf_counter() - t0)
-        timings[bench_name] = round(best, 3)
+            df = fn(spark, sf_dir)
+            df.toPandas()  # full materialization, like fetchall
+            cold[bench_name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.toPandas()  # same handle: QueryExecution reused
+                best = min(best, time.perf_counter() - t0)
+            timings[bench_name] = round(best, 3)
+        except Exception as exc:  # never lose the whole artifact to one query
+            headline_errors[bench_name] = f"{type(exc).__name__}: {exc}"[:300]
 
     families: dict[str, float] = {}
+    family_errors: dict[str, str] = {}
     if sweep:
         for name in driver_queries():
             if name in STREAM_SKIP:
                 continue
             t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).toPandas()
+            try:
+                registry[name].fn(spark, sf_dir).toPandas()
+            except Exception as exc:  # keep the artifact whole; surface the name
+                family_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
             families[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -109,6 +118,10 @@ def main() -> None:
     if families:
         out["families"] = families
         out["families_total"] = round(sum(families.values()), 3)
+    if family_errors:
+        out["family_errors"] = family_errors
+    if headline_errors:
+        out["headline_errors"] = headline_errors
     print(json.dumps(out))
 
 

@@ -215,7 +215,7 @@ def evt_sliding(spark, sf_dir):
         .groupBy("w", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            epoch_us(F.col("w.start")).alias("w_start_us"),
             "event_type",
             "n",
         )
@@ -399,7 +399,7 @@ def evt_session_window(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.start")).alias("session_start_us"),
             "n_events",
             "sum_value",
         )

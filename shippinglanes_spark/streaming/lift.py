@@ -15,7 +15,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from ..core import as_date, money
+from ..core import as_date, epoch_us, money
 from ..io import table
 from ..registry import register
 from ..session import apply_runtime_confs
@@ -105,7 +105,7 @@ def stream_session_window(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.start")).alias("session_start_us"),
             "n_events",
             "sum_value",
         )
@@ -192,15 +192,25 @@ def tumbling_watermarked(spark, sf_dir, gap: str = "1 hour"):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream = _eventtime_ts(stream)
     return (
         stream.withWatermark("ts", gap)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _eventtime_ts(stream):
+    """Normalize the ``ts`` column to TimestampType (LTZ): watermarks and
+    event-time windows reject TIMESTAMP_NTZ, and parquet written by Arrow
+    (isAdjustedToUTC=false) infers as NTZ under Spark 4. The session runs
+    in UTC, so the cast is value-preserving."""
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _events_stream(spark, sf_dir):
@@ -210,9 +220,7 @@ def _events_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _eventtime_ts(stream)
 
 
 def _drain(agg, name_prefix: str, output_mode: str):
@@ -336,7 +344,7 @@ def stream_sliding(spark, sf_dir):
         .groupBy("w", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            epoch_us(F.col("w.start")).alias("w_start_us"),
             "event_type",
             "n",
         )
