@@ -99,7 +99,13 @@ def main() -> None:
                 continue
             t0 = time.perf_counter()
             try:
-                registry[name].fn(spark, sf_dir).toPandas()
+                # noop sink: full distributed execution without the
+                # driver-side Arrow transfer (headliners keep toPandas to
+                # match BASELINE.md's fetchall methodology; the sweep is a
+                # regression watch on compute, not transfer).
+                registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception as exc:  # keep the artifact whole; surface the name
                 family_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 continue

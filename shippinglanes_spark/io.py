@@ -50,8 +50,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # The fixture's ts flavor has drifted between generator versions:
+        # TIMESTAMP(NANOS) (read as int64 via nanosAsLong), TIMESTAMP_NTZ
+        # (Arrow isAdjustedToUTC=false under Spark 4 inference), or plain
+        # TIMESTAMP. Normalize to TimestampType (LTZ) so watermarks,
+        # unix_micros, and event-time windows all work; the UTC session
+        # makes every branch value-preserving to the microsecond.
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _PLAN_CACHE[key] = df
     return df
 
