@@ -183,27 +183,45 @@ def embedding_neardups(spark, emb: DataFrame) -> DataFrame:
         signature,
         schema="vec_id long, sig long, embedding array<float>, nrm double",
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    # Bucket-collect instead of a sig self-join: the self-join's broadcast
+    # side is a different subtree, so Catalyst re-evaluates the mapInPandas
+    # signature pass twice (same pitfall as minhash_candidates). One
+    # groupBy(sig) computes it once; in-bucket pairs expand with a
+    # higher-order transform, capped by MAX_BUCKET against degenerate
+    # buckets (also bounds the quadratic expansion).
+    buckets = (
+        sigs.groupBy("sig")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding", "nrm"))
+            ).alias("vs")
+        )
+        .where(F.size("vs").between(2, MAX_BUCKET))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "vs",
+            lambda x, i: F.transform(
+                F.slice(F.col("vs"), i + 2, F.size("vs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     dot = F.aggregate(
         F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
+            F.col("p.a.embedding"),
+            F.col("p.b.embedding"),
             lambda x, y: x.cast("double") * y.cast("double"),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos"),
+            F.col("p.a.vec_id").alias("id_a"),
+            F.col("p.b.vec_id").alias("id_b"),
+            F.round(dot / (F.col("p.a.nrm") * F.col("p.b.nrm")), 4).alias("cos"),
         )
         .where(F.col("cos") >= COS_THRESHOLD)
     )

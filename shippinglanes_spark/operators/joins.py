@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..core import epoch_us, fan_out, money
+from ..core import epoch_us, money
 from ..io import table
 from ..registry import register
 
@@ -201,11 +201,10 @@ def join_broadcast(spark, sf_dir):
     """,
 )
 def join_theta_range(spark, sf_dir):
-    # fan_out: the nested-loop predicate evaluation is the cost, and the
-    # one-row-group fixture would otherwise run it on a single core
-    li = fan_out(
-        table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
-    )
+    # No fan_out: a 3-row broadcast BNLJ evaluates ~3 comparisons/row —
+    # far cheaper than the repartition shuffle would be (measured 4.2s
+    # fanned vs 0.9s plain at sf0.1).
+    li = table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
     bands = spark.createDataFrame(
         [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 51.0, "high")],
         "lo double, hi double, band string",
