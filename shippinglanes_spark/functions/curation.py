@@ -1,0 +1,156 @@
+"""SURVEY §2.9 extensions — corpus-curation signals (round 3).
+
+Repetition and boilerplate are the two classic text-quality axes a
+training-data pipeline filters on (C4 / Gopher style):
+
+- within-doc repetition: fraction of duplicated word n-grams and the
+  most-frequent-token share. Pure per-row higher-order array functions —
+  no shuffle at all, embarrassingly parallel at any scale.
+- cross-doc boilerplate: shingles shared by many documents (headers,
+  navigation chrome, license blurbs). Shape = one distinct + two hash
+  aggregations + one equi-join on shingle — the same bucketed join
+  pattern as MinHash dedup, so cost scales with corpus size, never n².
+
+Both carry full DuckDB value oracles. `agg_approx_topk` declares the
+Spark 4 `approx_top_k` sketch aggregate; over a low-cardinality key the
+sketch is exact, so it too gets a full value oracle (the sketch's scale
+story — mergeable partial states — is Catalyst's, not ours).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import fan_out
+from ..io import table
+from ..registry import register
+from .text import shingles
+
+# A shingle seen in at least this many distinct documents counts as
+# boilerplate (fixture p99 doc-frequency is 4; real corpora use a
+# per-domain threshold).
+BOILERPLATE_MIN_DOCS = 5
+
+
+@register(
+    "text_repetition",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]) AS g2,
+            list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+          FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                 / len(toks), 4) AS top_tok_frac,
+           ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                 / greatest(len(g2), 1), 4) AS dup2_frac,
+           ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                 / greatest(len(g3), 1), 4) AS dup3_frac
+    FROM g
+    """,
+    notes="Gopher/C4 within-doc repetition: duplicated 2/3-gram fraction + "
+    "top-token share; per-row array math, zero shuffles",
+)
+def text_repetition(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split(F.col("text"), " ")
+    g2 = shingles(F.col("text"), 2)
+    g3 = shingles(F.col("text"), 3)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    dup_frac = lambda g: F.round(
+        1.0
+        - F.size(F.array_distinct(g)).cast("double")
+        / F.greatest(F.size(g), F.lit(1)),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(top_count.cast("double") / F.size(toks), 4).alias("top_tok_frac"),
+        dup_frac(g2).alias("dup2_frac"),
+        dup_frac(g3).alias("dup3_frac"),
+    )
+
+
+@register(
+    "text_boilerplate",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t),
+    df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS nd FROM sh GROUP BY shingle),
+    j AS (SELECT sh.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(COUNT(*) FILTER (WHERE df.nd >= {BOILERPLATE_MIN_DOCS})
+                      AS BIGINT) AS n_bp
+          FROM sh JOIN df USING (shingle) GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles,
+           ROUND(CAST(n_bp AS DOUBLE) / n_shingles, 4) AS bp_frac
+    FROM j
+    """,
+    notes="cross-doc boilerplate: per-doc fraction of distinct 3-gram "
+    "shingles shared by >= 5 documents; distinct + two hash aggs + one "
+    "shingle equi-join — corpus-linear, the bucketed dedup shape",
+)
+def text_boilerplate(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("nd") >= BOILERPLATE_MIN_DOCS, 1)).alias("n_bp"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.round(
+                F.col("n_bp").cast("double") / F.col("n_shingles"), 4
+            ).alias("bp_frac"),
+        )
+    )
+
+
+@register(
+    "agg_approx_topk",
+    section="2.4",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, item LIMIT 3
+    """,
+    notes="Spark 4 approx_top_k sketch aggregate, exploded to rows; over a "
+    "5-value key the sketch tracks every item so it equals the exact "
+    "top-3 (counts at the k boundary are distinct in the fixtures)",
+)
+def agg_approx_topk(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("n"), "item")
+    )

@@ -862,3 +862,103 @@ def evt_user_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "evt_resample_interp",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                      arg_min(value, event_id) AS v
+               FROM events WHERE user_id < 50 GROUP BY user_id, epoch_us(ts)),
+    b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events WHERE user_id < 50 GROUP BY user_id),
+    g AS (SELECT user_id, epoch_us(unnest(generate_series(lo, hi, INTERVAL 1 HOUR))) AS hr_us
+          FROM b),
+    u AS (SELECT user_id, ts_us, v, 0 AS is_grid FROM e
+          UNION ALL SELECT user_id, hr_us, NULL, 1 FROM g),
+    m AS (SELECT *,
+            last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS) OVER wp AS pt,
+            first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER wf AS nv,
+            first_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS) OVER wf AS nt
+          FROM u
+          WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, ts_us AS hr_us,
+           ROUND(CASE WHEN pt = ts_us THEN pv
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (CAST(ts_us - pt AS DOUBLE) / (nt - pt))
+                 END, 4) AS v_interp
+    FROM m WHERE is_grid = 1
+    """,
+    notes="hourly resample with LINEAR interpolation between the "
+    "surrounding events (vs evt_resample_ffill's step-carry): "
+    "grid-point rows merge-sorted into the event stream per user, one "
+    "window pass finds both bracketing events via IGNORE NULLS "
+    "first/last_value — one shuffle on user_id, no self-join, no "
+    "per-grid-point probe. Events pre-deduped per (user, ts) by min "
+    "event_id so the bracketing value is engine-independent; identical "
+    "IEEE interpolation expression on both sides",
+)
+def evt_resample_interp(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    e = ev.groupBy("user_id", epoch_us("ts").alias("ts_us")).agg(
+        F.min_by("value", "event_id").alias("v")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    ).select("user_id", epoch_us("hr").alias("ts_us"))
+    u = e.select("user_id", "ts_us", "v", F.lit(0).alias("is_grid")).unionByName(
+        grid.select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    ev_v = F.when(F.col("is_grid") == 0, F.col("v"))
+    ev_t = F.when(F.col("is_grid") == 0, F.col("ts_us"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = u.select(
+        "user_id",
+        "ts_us",
+        "is_grid",
+        F.last(ev_v, ignorenulls=True).over(wp).alias("pv"),
+        F.last(ev_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first(ev_v, ignorenulls=True).over(wf).alias("nv"),
+        F.first(ev_t, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = F.when(F.col("pt") == F.col("ts_us"), F.col("pv")).when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("ts_us") - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt"))),
+    )
+    return (
+        m.where(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("hr_us"),
+            F.round(interp, 4).alias("v_interp"),
+        )
+    )

@@ -339,3 +339,43 @@ def win_cume_dist(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+@register(
+    "win_range_value",
+    section="2.5",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderpriority,
+                      CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_near_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+                 RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+    """,
+    notes="value-based RANGE frame (orders within $1000 below each order's "
+    "price): the frame is defined by the ORDER BY *value*, so peer-row "
+    "order inside the frame is irrelevant — no tiebreak key needed. "
+    "Prices integerized to cents (exact frame bounds + exact integer SUM, "
+    "no float-order dependence). Partitioned by priority, so the sort "
+    "parallelizes per group at scale",
+)
+def win_range_value(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rangeBetween(-100000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum("cents").over(w).alias("sum_near_cents"),
+    )

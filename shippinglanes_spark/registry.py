@@ -108,6 +108,7 @@ def _load_all() -> None:
         windows,
     )
     from .functions import (  # noqa: F401
+        curation,
         embeddings,
         minhash,
         multimodal,
