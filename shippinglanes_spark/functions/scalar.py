@@ -403,3 +403,72 @@ def fn_map(spark, sf_dir):
         F.size(m).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
     )
+
+
+@register(
+    "fn_bitwise",
+    section="2.8",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low8,
+           CAST(xor(CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT))
+                AS BIGINT) AS x,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS pop,
+           CAST(~o_orderkey AS BIGINT) AS flipped
+    FROM orders
+    """,
+    notes="bitwise family: and/xor/shifts/popcount/not — exact integer ops, "
+    "identical on both engines",
+)
+def fn_bitwise(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low8"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("x"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+        F.bit_count(k).cast("int").alias("pop"),
+        F.bitwise_not(k).cast("long").alias("flipped"),
+    )
+
+
+@register(
+    "fn_url",
+    section="2.8",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param,
+           'https' AS proto
+    FROM documents
+    """,
+    notes="parse_url over a URL synthesized from document metadata (the "
+    "fixtures carry no URL column): Spark does the real HOST/PATH/QUERY/"
+    "PROTOCOL extraction; the oracle reconstructs the expected parts from "
+    "the same metadata, so equality proves the parser inverts the "
+    "construction exactly — the domain-extraction op every curation "
+    "pipeline runs for per-site filtering",
+)
+def fn_url(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("#s1"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+    )

@@ -962,3 +962,36 @@ def evt_resample_interp(spark, sf_dir):
             F.round(interp, 4).alias("v_interp"),
         )
     )
+
+
+@register(
+    "evt_rate_limit",
+    section="2.10",
+    oracle="""
+    WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY user_id, date_trunc('hour', ts)
+                        ORDER BY epoch_us(ts), event_id) AS rn
+               FROM events)
+    SELECT user_id, event_id, ts_us FROM r WHERE rn <= 3
+    """,
+    notes="deterministic per-key rate limiting: keep the first 3 events "
+    "per user per hour — one window over (user, hour), the throttling/"
+    "per-key-cap shape (dedup-adjacent) every ingestion pipeline needs; "
+    "event_id tiebreak makes the kept set engine-independent",
+)
+def evt_rate_limit(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(epoch_us("ts"), "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            epoch_us("ts").alias("ts_us"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
