@@ -556,3 +556,25 @@ def join_salted(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "join_cross",
+    section="2.3",
+    oracle="""
+    SELECT n_name, r_name,
+           CAST(n_regionkey = r_regionkey AS INT) AS is_home
+    FROM nation CROSS JOIN region
+    """,
+    notes="explicit cartesian product of two broadcast-size dims (25 x 5): "
+    "the only sane cross-join shape at scale — at least one side must be "
+    "broadcastable, which Spark compiles to BroadcastNestedLoopJoin",
+)
+def join_cross(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).cast("int").alias("is_home"),
+    )

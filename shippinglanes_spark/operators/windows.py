@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..core import epoch_us, money
+from ..core import as_date, epoch_us, money
 from ..io import table
 from ..registry import register
 
@@ -378,4 +378,44 @@ def win_range_value(spark, sf_dir):
         "o_orderpriority",
         F.count(F.lit(1)).over(w).alias("n_near"),
         F.sum("cents").over(w).alias("sum_near_cents"),
+    )
+
+
+@register(
+    "win_distinct_sliding",
+    section="2.5",
+    oracle="""
+    SELECT CAST(CAST(d.d AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events) d
+    JOIN events e
+      ON date_trunc('day', e.ts) BETWEEN d.d - INTERVAL 6 DAY AND d.d
+    GROUP BY d.d
+    """,
+    notes="trailing-7-day distinct users per active day (rolling WAU). "
+    "Spark has no DISTINCT aggregate over a window; the scalable shape is "
+    "a per-day set aggregate (one shuffle) + a 7-row range frame merging "
+    "the daily sets (array_distinct(flatten(collect_list))) — state is "
+    "per-day distinct sets, never raw events. The unpartitioned window is "
+    "safe HERE because its input is the per-day rollup — cardinality = "
+    "active days (thousands at most), unlike the raw-table global windows "
+    "flagged in win_ntile_pct. At true scale swap the exact sets for "
+    "mergeable HLL sketches (agg_sketch_merge pattern) with identical "
+    "plan shape. Oracle = day-range join + COUNT(DISTINCT)",
+)
+def win_distinct_sliding(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        as_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.collect_set("user_id").alias("users"))
+    idx = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.orderBy(idx.alias("dayidx"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+        ).cast("long").alias("wau"),
     )
