@@ -472,3 +472,44 @@ def fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
     )
+
+
+@register(
+    "fn_try",
+    section="2.8",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice / NULLIF(l_quantity - 1, 0) * 10000) / 10000
+             AS unit_alt,
+           TRY_CAST(CASE WHEN l_quantity < 10 THEN 'not a number'
+                         ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS q_parsed,
+           CASE WHEN CAST(l_linenumber AS INT) <= 3
+                THEN (ARRAY['a','b','c'])[CAST(l_linenumber AS INT)] END AS el
+    FROM lineitem
+    """,
+    notes="error-safe function family: try_divide (NULL on /0, vs the "
+    "oracle's NULLIF idiom), try_cast (NULL on bad parse), "
+    "try_element_at (NULL out of bounds) — ANSI-mode-safe pipelines "
+    "never abort a 100 TB job on one malformed row",
+)
+def fn_try(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    bad_or_num = F.when(F.col("l_quantity") < 10, F.lit("not a number")).otherwise(
+        F.col("l_quantity").cast("string")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 1)
+                * 10000
+            )
+            / 10000
+        ).alias("unit_alt"),
+        F.try_to_number(bad_or_num, F.lit("999.99")).cast("double").alias("q_parsed"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            F.col("l_linenumber").cast("int"),
+        ).alias("el"),
+    )

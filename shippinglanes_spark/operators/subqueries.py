@@ -69,3 +69,49 @@ def subquery_correlated(spark, sf_dir):
             "c_custkey", "c_nationkey", money(F.col("c_acctbal")).alias("bal")
         )
     )
+
+
+@register(
+    "sql_api_analytics",
+    section="2.2",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+               AS month, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY 1, 2)
+    SELECT month, o_orderpriority, n_orders, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY month) AS BIGINT) AS run_cents
+    FROM m
+    """,
+    notes="the SQL front-end surface: a multi-CTE analytic query submitted "
+    "through spark.sql() over registered temp views — NOT an oracle "
+    "passthrough (Spark dialect, distinct text; unix-free month strings, "
+    "cent-integerized sums per the cross-engine float discipline). Proves "
+    "a reference user can drive the engine with SQL alone; Catalyst "
+    "compiles it to the same pushed-scan + partial-agg + window plan the "
+    "DataFrame form gets",
+)
+def sql_api_analytics(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING)
+                   AS month, o_orderpriority,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+          FROM orders WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2)
+        SELECT month, o_orderpriority, n_orders, rev_cents,
+               SUM(rev_cents) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY month) AS run_cents
+        FROM monthly
+        """
+    )
