@@ -995,3 +995,64 @@ def evt_rate_limit(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "evt_regex_match",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                           WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                           ELSE 'e' END AS ch,
+                      epoch_us(ts) AS ts_us, event_id
+               FROM events),
+    s AS (SELECT user_id,
+                 string_agg(ch, '' ORDER BY ts_us, event_id) AS seq
+          FROM e GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT) AS n_funnels,
+           CAST(len(seq) - len(replace(seq, 'e', '')) AS BIGINT) AS n_errors
+    FROM s
+    """,
+    notes="MATCH_RECOGNIZE-style sequence pattern matching, distributed: "
+    "each user's ordered event stream collapses to a character string "
+    "(one keyed aggregate), then ordinary regexes express patterns with "
+    "quantifiers — view,(view|click)*,purchase counted per user. Both "
+    "engines use leftmost non-overlapping regex semantics so counts "
+    "agree exactly; (ts, event_id) ordering makes the string unique. "
+    "State per user = one bounded string, never a cross-row join",
+)
+def evt_regex_match(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(epoch_us("ts").alias("t"), F.col("event_id").alias("i"), ch.alias("ch"))
+                )
+            ),
+            lambda x: x["ch"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count(F.col("seq"), F.lit("v[vc]*p")).cast("long").alias("n_funnels"),
+            (
+                F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("e"), F.lit("")))
+            ).cast("long").alias("n_errors"),
+        )
+    )

@@ -224,3 +224,41 @@ def source_binaryfile(spark, sf_dir):
         F.col("length").cast("long").alias("n_bytes"),
         F.md5("content").alias("fp"),
     )
+
+
+@register(
+    "source_text",
+    section="2.1",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    notes="line-oriented text sink + spark.read.text source roundtrip — "
+    "the one-document-per-line corpus format every curation pipeline "
+    "ingests. Fields tab-joined on write, split on read (fixture text "
+    "contains neither tabs nor newlines; a real lake uses JSONL for "
+    "payloads that might). Oracle aggregates the source table, so the "
+    "hash match proves write->parse fidelity",
+)
+def source_text(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    out = _scratch(f"source_text_{os.path.basename(sf_dir.rstrip('/'))}")
+    d.select(
+        F.concat_ws("\t", F.col("lang"), F.col("doc_id"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    return (
+        back.select(
+            parts.getItem(0).alias("lang"),
+            parts.getItem(2).alias("text"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
