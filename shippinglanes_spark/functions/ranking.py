@@ -196,10 +196,22 @@ def text_collocations(spark, sf_dir):
         ).alias("bigram")
     )
     uni = t.select(F.explode("toks").alias("token"))
-    cb = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cab"))
-    cu = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.count(F.lit(1)).cast("long").alias("n_uni")).crossJoin(
-        bigrams.agg(F.count(F.lit(1)).cast("long").alias("n_big"))
+    # Checkpoint both count tables: each feeds 2-3 consumers (broadcast
+    # subtrees defeat exchange reuse — STATE.md), so without the barrier
+    # the scan+explode pipeline would run ~6x. Totals derive from the
+    # tiny aggregates themselves (sum of counts), never a second corpus
+    # pass. cb is bigram-vocabulary-sized, cu unigram-sized — both far
+    # smaller than the corpus at any scale.
+    cb = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint()
+    )
+    cu = (
+        uni.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    tot = cu.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
+        cb.agg(F.sum("cab").cast("long").alias("n_big"))
     )
     ca = cu.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
     cb2 = cu.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))
