@@ -114,6 +114,77 @@ def round2_shapes(spark, docs, orders):
     }
 
 
+def round3_shapes(spark, docs, ev):
+    """Round-3 shapes: cross-doc boilerplate (distinct + 2 hash aggs +
+    shingle join), rolling distinct-users window (per-day set rollup +
+    bounded global frame), linear-interp resample (merge-sorted grid +
+    one window pass)."""
+    from shippinglanes_spark.core import fan_out
+    from shippinglanes_spark.functions.text import shingles
+
+    def boilerplate():
+        # fan_out like the declared query: the 1x fixture is one parquet
+        # split, which would serialize the explode onto a single task
+        sh = (
+            fan_out(docs.select("doc_id", "text"))
+            .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+            .where(F.col("shingle") != "")
+            .distinct()
+        )
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+        (
+            sh.join(dfc, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sh"),
+                F.count(F.when(F.col("nd") >= 5, 1)).alias("n_bp"),
+            )
+            .groupBy()
+            .agg(F.sum("n_bp"))
+            .collect()
+        )
+
+    def wau():
+        from pyspark.sql import Window
+
+        daily = ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        ).agg(F.collect_set("user_id").alias("users"))
+        idx = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+        w = Window.orderBy(idx).rangeBetween(-6, Window.currentRow)
+        daily.select(
+            F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+        ).collect()
+
+    def interp():
+        from pyspark.sql import Window
+
+        sub = ev.where(F.col("user_id") % 1_000_000 < 50)
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        e = sub.groupBy("user_id", ts_us.alias("ts_us")).agg(
+            F.min_by("value", "event_id").alias("v")
+        )
+        bounds = sub.groupBy("user_id").agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        grid = bounds.select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        ).select("user_id", F.unix_micros(F.col("hr").cast("timestamp")).alias("ts_us"))
+        u = e.select("user_id", "ts_us", "v", F.lit(0).alias("g")).unionByName(
+            grid.select("user_id", "ts_us", F.lit(None).cast("double").alias("v"), F.lit(1).alias("g"))
+        )
+        wp = Window.partitionBy("user_id").orderBy("ts_us", "g").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        u.select(
+            F.last(F.when(F.col("g") == 0, F.col("v")), ignorenulls=True).over(wp)
+        ).where(F.col("g") == 1).groupBy().count().collect()
+
+    return {"boilerplate": boilerplate, "rolling_wau": wau, "resample_interp": interp}
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
@@ -137,6 +208,7 @@ def main() -> None:
     for label, t in (("1x", one), ("10x", ten)):
         fns = shapes(spark, t["ev"], t["li"], t["o"])
         fns.update(round2_shapes(spark, t["docs"], t["o"]))
+        fns.update(round3_shapes(spark, t["docs"], t["ev"]))
         for name, fn in fns.items():
             fn()  # warm
             t0 = time.perf_counter()
