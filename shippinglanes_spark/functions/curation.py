@@ -154,3 +154,46 @@ def agg_approx_topk(spark, sf_dir):
         )
         .orderBy(F.desc("n"), "item")
     )
+
+
+@register(
+    "text_entropy",
+    section="2.9",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY doc_id, tok),
+    s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                 SUM(c * LN(c)) AS sclnc
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens,
+           ROUND(LN(n) - sclnc / n, 4) AS entropy
+    FROM s
+    """,
+    notes="per-doc Shannon token entropy H = ln(n) - sum(c ln c)/n — the "
+    "gibberish/repetition quality signal; two partial-agg-combinable "
+    "groupBys, identical IEEE formula both engines (entropy values are "
+    "irrational, so the 4dp round is boundary-safe)",
+)
+def text_entropy(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.log("c")).alias("sclnc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log("n_tokens") - F.col("sclnc") / F.col("n_tokens"), 4
+            ).alias("entropy"),
+        )
+    )

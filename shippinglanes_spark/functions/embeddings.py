@@ -239,3 +239,70 @@ def emb_outliers(spark, sf_dir):
         .where(F.col("rk") <= 5)
         .select("label", "vec_id", "d2", "rk")
     )
+
+
+def top_principal_component(spark, emb, iters: int = 12):
+    """Reusable distributed power iteration: returns the unit top-PC
+    direction (numpy array) of the `embedding` column of `emb`.
+
+    Each round ships a 64-dim direction out and per-partition 64-dim
+    partials back (allreduce shape); X never leaves the executors. On
+    near-isotropic spectra the DIRECTION converges slowly (rate
+    lambda2/lambda1), but the captured variance (Rayleigh quotient)
+    is near-optimal after a few rounds — asserted both ways in
+    tests/test_embeddings.py (planted-anisotropy exactness + fixture
+    variance floor)."""
+    import numpy as np
+    import pandas as pd
+
+    e = emb.select("embedding")
+
+    def partials(batches, v=None, want_mean=False):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(r, dtype=np.float64) for r in pdf["embedding"]]
+            )
+            if want_mean:
+                yield pd.DataFrame({"s": [x.sum(axis=0).tolist()], "n": [len(x)]})
+            else:
+                xc = x - v[1]
+                yield pd.DataFrame(
+                    {"s": [(xc.T @ (xc @ v[0])).tolist()], "n": [len(x)]}
+                )
+
+    mean_parts = e.mapInPandas(
+        lambda it: partials(it, want_mean=True), schema="s array<double>, n long"
+    ).collect()
+    n_total = sum(r["n"] for r in mean_parts)
+    mu = np.sum([np.asarray(r["s"]) for r in mean_parts], axis=0) / n_total
+
+    rng = np.random.RandomState(7)
+    v = rng.randn(len(mu))
+    v /= np.linalg.norm(v)
+    for _ in range(iters):
+        bv = (v, mu)
+        parts = e.mapInPandas(
+            lambda it, bv=bv: partials(it, v=bv), schema="s array<double>, n long"
+        ).collect()
+        v = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+        v /= np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return v
+
+
+@register(
+    "emb_top_pc",
+    section="2.9",
+    oracle=None,
+    notes="distributed power iteration for the top principal component "
+    "(allreduce shape: 64-dim direction out, 64-dim partials back per "
+    "round; X stays on executors) — planted-anisotropy exactness + "
+    "fixture captured-variance floor in tests/test_embeddings.py",
+)
+def emb_top_pc(spark, sf_dir):
+    """Top-PC of the embedding table — the embeddings-preprocessing
+    primitive (whitening / dominant-direction removal)."""
+    v = top_principal_component(spark, table(spark, sf_dir, "embeddings"))
+    rows = [(int(i), float(round(x, 4))) for i, x in enumerate(v)]
+    return spark.createDataFrame(rows, "dim int, loading double")

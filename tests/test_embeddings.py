@@ -50,3 +50,47 @@ def test_centroid_matches_numpy(spark, sf_dir):
         )
         assert np.abs(got - want).max() < 2e-6
         assert (out[out["label"] == label]["n"] == len(mat)).all()
+
+
+def test_top_pc_planted_anisotropy(spark):
+    """On data with a dominant direction, power iteration nails it."""
+    import numpy as np
+
+    from shippinglanes_spark.functions.embeddings import top_principal_component
+
+    rng = np.random.RandomState(3)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    coeffs = rng.randn(400, 1) * 10.0          # strong variance along `direction`
+    noise = rng.randn(400, 16) * 0.5
+    x = coeffs * direction[None, :] + noise
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    v = top_principal_component(spark, df)
+    ref = direction if direction[np.argmax(np.abs(direction))] > 0 else -direction
+    cos = float(abs(v @ ref))
+    assert cos > 0.999, cos
+
+
+def test_top_pc_fixture_variance_floor(spark, sf_dir):
+    """Fixture embeddings are near-isotropic (eigengap ~1.07), so the
+    direction is ill-conditioned — but the captured variance (Rayleigh
+    quotient) must still be near the optimum."""
+    import numpy as np
+
+    from shippinglanes_spark.functions.embeddings import emb_top_pc
+    from shippinglanes_spark.io import table
+
+    got = emb_top_pc(spark, sf_dir).orderBy("dim").collect()
+    v = np.asarray([r["loading"] for r in got])
+    v /= np.linalg.norm(v)
+
+    local = table(spark, sf_dir, "embeddings").select("embedding").toPandas()
+    x = np.asarray([np.asarray(r, dtype=np.float64) for r in local["embedding"]])
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc
+    lam1 = float(np.linalg.eigvalsh(cov)[-1])
+    rayleigh = float(v @ cov @ v)
+    assert rayleigh >= 0.9 * lam1, (rayleigh, lam1)
