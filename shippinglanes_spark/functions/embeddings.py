@@ -241,51 +241,48 @@ def emb_outliers(spark, sf_dir):
     )
 
 
-def top_principal_component(spark, emb, iters: int = 12):
-    """Reusable distributed power iteration: returns the unit top-PC
-    direction (numpy array) of the `embedding` column of `emb`.
+def top_principal_component(spark, emb):
+    """Top principal component of the `embedding` column — exact, in ONE
+    distributed pass.
 
-    Each round ships a 64-dim direction out and per-partition 64-dim
-    partials back (allreduce shape); X never leaves the executors. On
-    near-isotropic spectra the DIRECTION converges slowly (rate
-    lambda2/lambda1), but the captured variance (Rayleigh quotient)
-    is near-optimal after a few rounds — asserted both ways in
-    tests/test_embeddings.py (planted-anisotropy exactness + fixture
-    variance floor)."""
+    Each partition emits (sum_x, X'X, n): d + d² + 1 numbers, tiny for
+    d=64. The driver folds the partials, centers the Gram matrix
+    algebraically (sum (x-mu)'(x-mu) = X'X - n mu mu'), and eigensolves
+    the d x d matrix locally. Exact (no iteration error), deterministic,
+    one scan. This is the right strategy while d² partials stay small
+    (d up to a few thousand); past that, switch to the allreduce
+    power-iteration shape (k passes shipping only d-dim vectors) — the
+    tradeoff is documented in SCALING.md. Sign fixed by the largest-
+    |loading| component."""
     import numpy as np
     import pandas as pd
 
     e = emb.select("embedding")
 
-    def partials(batches, v=None, want_mean=False):
+    def partials(batches):
         for pdf in batches:
             x = np.asarray(
                 [np.asarray(r, dtype=np.float64) for r in pdf["embedding"]]
             )
-            if want_mean:
-                yield pd.DataFrame({"s": [x.sum(axis=0).tolist()], "n": [len(x)]})
-            else:
-                xc = x - v[1]
-                yield pd.DataFrame(
-                    {"s": [(xc.T @ (xc @ v[0])).tolist()], "n": [len(x)]}
-                )
+            yield pd.DataFrame(
+                {
+                    "sx": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                    "n": [len(x)],
+                }
+            )
 
-    mean_parts = e.mapInPandas(
-        lambda it: partials(it, want_mean=True), schema="s array<double>, n long"
+    parts = e.mapInPandas(
+        partials, schema="sx array<double>, g array<double>, n long"
     ).collect()
-    n_total = sum(r["n"] for r in mean_parts)
-    mu = np.sum([np.asarray(r["s"]) for r in mean_parts], axis=0) / n_total
-
-    rng = np.random.RandomState(7)
-    v = rng.randn(len(mu))
-    v /= np.linalg.norm(v)
-    for _ in range(iters):
-        bv = (v, mu)
-        parts = e.mapInPandas(
-            lambda it, bv=bv: partials(it, v=bv), schema="s array<double>, n long"
-        ).collect()
-        v = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
-        v /= np.linalg.norm(v)
+    n = sum(r["n"] for r in parts)
+    sx = np.sum([np.asarray(r["sx"]) for r in parts], axis=0)
+    d = len(sx)
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mu = sx / n
+    g_centered = g - n * np.outer(mu, mu)
+    _, vecs = np.linalg.eigh(g_centered)
+    v = vecs[:, -1]
     if v[np.argmax(np.abs(v))] < 0:
         v = -v
     return v
@@ -295,10 +292,10 @@ def top_principal_component(spark, emb, iters: int = 12):
     "emb_top_pc",
     section="2.9",
     oracle=None,
-    notes="distributed power iteration for the top principal component "
-    "(allreduce shape: 64-dim direction out, 64-dim partials back per "
-    "round; X stays on executors) — planted-anisotropy exactness + "
-    "fixture captured-variance floor in tests/test_embeddings.py",
+    notes="exact top principal component via single-pass distributed Gram "
+    "accumulation (d+d²-sized partials, driver eigensolve of the 64x64 "
+    "matrix) — planted-anisotropy exactness + fixture captured-variance "
+    "tests in tests/test_embeddings.py",
 )
 def emb_top_pc(spark, sf_dir):
     """Top-PC of the embedding table — the embeddings-preprocessing

@@ -53,7 +53,8 @@ def test_centroid_matches_numpy(spark, sf_dir):
 
 
 def test_top_pc_planted_anisotropy(spark):
-    """On data with a dominant direction, power iteration nails it."""
+    """On data with a dominant direction, the distributed Gram pass
+    recovers it exactly."""
     import numpy as np
 
     from shippinglanes_spark.functions.embeddings import top_principal_component
@@ -76,8 +77,8 @@ def test_top_pc_planted_anisotropy(spark):
 
 def test_top_pc_fixture_variance_floor(spark, sf_dir):
     """Fixture embeddings are near-isotropic (eigengap ~1.07), so the
-    direction is ill-conditioned — but the captured variance (Rayleigh
-    quotient) must still be near the optimum."""
+    direction choice is delicate — the exact Gram eigensolve must still
+    capture optimal variance."""
     import numpy as np
 
     from shippinglanes_spark.functions.embeddings import emb_top_pc
