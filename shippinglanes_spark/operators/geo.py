@@ -482,3 +482,82 @@ def geo_stop_detect(spark, sf_dir):
         .where(F.col("n_fixes") >= 2)
         .drop("island")
     )
+
+
+@register(
+    "geo_encounters",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL}
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_meetings
+    FROM fixes a JOIN fixes b
+      ON a.user_id < b.user_id
+     AND ABS(a.lat - b.lat) <= 0.5 AND ABS(a.lon - b.lon) <= 0.5
+     AND ABS(a.ts_us - b.ts_us) <= 3600000000
+    GROUP BY 1, 2
+    """,
+    notes="AIS encounter detection: vessel pairs with fixes within 0.5 "
+    "degrees AND 1 hour of each other, counted per pair. Spatio-TEMPORAL "
+    "grid bucketing: probes replicate to 3x3 neighbor cells x 3 adjacent "
+    "hour buckets (27 copies), homes stay put, so the spacetime "
+    "theta-join becomes a plain equi-join on (cell, bucket) + exact "
+    "residual filter — keyed shuffle scaling with bucket occupancy, "
+    "never n²; every qualifying fix pair meets exactly once (home cell "
+    "and bucket are unique). Oracle = DuckDB IEJoin over the raw "
+    "predicate",
+)
+def geo_encounters(spark, sf_dir):
+    """Who met whom: the composition of join_spatial_grid's 2D cell
+    trick with join_range_binned's time binning — the canonical
+    distributed spatio-temporal join an AIS engine is built around."""
+    EPS_DEG = 0.5
+    EPS_US = 3_600_000_000
+    fx = _fixes(spark, sf_dir)
+    cx = F.floor(F.col("lon") / EPS_DEG)
+    cy = F.floor(F.col("lat") / EPS_DEG)
+    tb = F.floor(F.col("ts_us") / EPS_US)
+    home = fx.select(
+        F.col("user_id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("ts_us").alias("ts_b"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+        tb.alias("tb"),
+    )
+    offsets = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy, {dt} AS dt)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dt in (-1, 0, 1)
+    )
+    probe = fx.select(
+        F.col("user_id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("ts_us").alias("ts_a"),
+        cx.alias("pcx"),
+        cy.alias("pcy"),
+        tb.alias("ptb"),
+        F.expr(f"explode(array({offsets}))").alias("o"),
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        "ts_a",
+        (F.col("pcx") + F.col("o.dx")).alias("cx"),
+        (F.col("pcy") + F.col("o.dy")).alias("cy"),
+        (F.col("ptb") + F.col("o.dt")).alias("tb"),
+    )
+    return (
+        probe.join(home, ["cx", "cy", "tb"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("lat_a") - F.col("lat_b")) <= EPS_DEG)
+            & (F.abs(F.col("lon_a") - F.col("lon_b")) <= EPS_DEG)
+            & (F.abs(F.col("ts_a") - F.col("ts_b")) <= EPS_US)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_meetings"))
+    )
