@@ -578,3 +578,51 @@ def join_cross(spark, sf_dir):
         "r_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).cast("int").alias("is_home"),
     )
+
+
+@register(
+    "join_asof_forward",
+    section="2.3",
+    oracle="""
+    WITH vp AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT user_id, event_id, ts_us, next_purchase_us,
+           next_purchase_us - ts_us AS wait_us
+    FROM vp WHERE event_type = 'view'
+    """,
+    notes="FORWARD as-of (each view matched to the user's next purchase at "
+    "or after it): mirror of join_asof via a running MIN over the "
+    "following frame — still one shuffle on the key, no self-join; NULL "
+    "when no later purchase exists",
+)
+def join_asof_forward(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    vp = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        vp.withColumn(
+            "next_purchase_us",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+            ).over(w),
+        )
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "next_purchase_us",
+            (F.col("next_purchase_us") - F.col("ts_us")).alias("wait_us"),
+        )
+    )
