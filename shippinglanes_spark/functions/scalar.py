@@ -362,7 +362,9 @@ def fn_fuzzy(spark, sf_dir):
     notes="exp/tan/degrees/sign/log2/factorial; Spark log(base, x) == DuckDB log(base, x)",
 )
 def fn_math2(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
+    # fan_out like fn_math: per-row transcendental work on a single-split
+    # source would run on one task (measured 1.5s -> 1.0s warm at sf0.1)
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
