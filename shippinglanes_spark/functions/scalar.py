@@ -515,3 +515,28 @@ def fn_try(spark, sf_dir):
             F.col("l_linenumber").cast("int"),
         ).alias("el"),
     )
+
+
+@register(
+    "fn_map_hof",
+    section="2.8",
+    oracle="""
+    SELECT event_id, 'type' AS key, UPPER(event_type) AS val FROM events
+    UNION ALL
+    SELECT event_id, 'src', 'events' FROM events
+    """,
+    notes="higher-order map functions: transform_values (upper), "
+    "map_filter (drop the user entry), map_concat (provenance tag) — "
+    "exploded to (key, val) rows so the oracle can state the expected "
+    "entries directly; per-row only, no shuffle",
+)
+def fn_map_hof(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    m2 = F.transform_values(m, lambda k, v: F.upper(v))
+    m3 = F.map_filter(m2, lambda k, v: k != "user")
+    mc = F.map_concat(m3, F.create_map(F.lit("src"), F.lit("events")))
+    return ev.select("event_id", F.explode(mc).alias("key", "val"))

@@ -147,3 +147,40 @@ def null_handling(spark, sf_dir):
         ).alias("pos_bal"),
         F.col("c_nationkey").eqNullSafe(F.lit(5)).cast("int").alias("is_n5"),
     )
+
+
+@register(
+    "project_unpivot",
+    section="2.2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric,
+           FLOOR(val * 100) / 100.0 AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    ) t
+    """,
+    notes="UNPIVOT/melt — the inverse of agg_pivot: wide numeric columns "
+    "to (metric, value) rows via stack(), the wide-to-long reshape every "
+    "metrics pipeline needs; a pure per-row generator (3x row expansion, "
+    "no shuffle). Values floor-disciplined for the cross-engine hash",
+)
+def project_unpivot(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount)"
+        ).alias("metric", "raw"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        (F.floor(F.col("raw") * 100) / 100.0).alias("val"),
+    )
