@@ -398,3 +398,27 @@ def stream_incremental_rollup(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
     return result
+
+
+@register(
+    "stream_rate_limit",
+    section="2.10",
+    oracle="""
+    WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY user_id, date_trunc('hour', ts)
+                        ORDER BY epoch_us(ts), event_id) AS rn
+               FROM events)
+    SELECT user_id, event_id, ts_us FROM r WHERE rn <= 3
+    """,
+    notes="evt_rate_limit lifted to streaming: applyInPandasWithState "
+    "keeps the per-(user, hour) admission tally as GroupState, so the "
+    "budget survives across micro-batches/replays; drained result is "
+    "hash-equal to the batch window SQL - a full value oracle for a "
+    "second custom-stateful operator shape (filtering, vs the totals "
+    "accumulator)",
+)
+def stream_rate_limit(spark, sf_dir):
+    from .stateful import rate_limited_events
+
+    return _drain(rate_limited_events(spark, sf_dir), "stream_ratelimit", "update")

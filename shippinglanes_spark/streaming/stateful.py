@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -68,6 +69,91 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+RATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+# per-user tally of events already admitted per hour bucket
+RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def rate_limited_events(
+    spark: SparkSession, sf_dir: str, per_hour: int = 3
+) -> DataFrame:
+    """Streaming per-key rate limiter with explicit GroupState: admit the
+    first `per_hour` events per user per hour bucket, drop the rest.
+    State = the per-hour admission tally (two parallel arrays — GroupState
+    structs can't hold maps), so replayed/late micro-batches continue the
+    same budget. The ingestion-throttling shape every feed handler needs;
+    drained output equals the batch evt_rate_limit SQL (one file = one
+    micro-batch, admission order = (ts, event_id))."""
+    apply_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def limiter(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            hours, counts = state.get
+            tally = dict(zip(hours, counts))
+        else:
+            tally = {}
+        frames = []
+        for pdf in pdfs:
+            us = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            )
+            frames.append(pd.DataFrame({"event_id": pdf["event_id"], "us": us}))
+        allr = pd.concat(frames).sort_values(["us", "event_id"])
+        kept_e, kept_t = [], []
+        for eid, us in zip(allr["event_id"], allr["us"]):
+            hr = int(us) // 3_600_000_000
+            c = tally.get(hr, 0)
+            if c < per_hour:
+                tally[hr] = c + 1
+                kept_e.append(int(eid))
+                kept_t.append(int(us))
+        state.update((list(tally.keys()), list(tally.values())))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(kept_e),
+                "event_id": kept_e,
+                "ts_us": kept_t,
+            }
+        )
+
+    return (
+        stream.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            limiter,
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
