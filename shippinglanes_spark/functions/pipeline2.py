@@ -452,3 +452,36 @@ def profile_key_skew(spark, sf_dir):
             ).alias("rel_to_hottest"),
         )
     )
+
+
+@register(
+    "pipeline_dedup_keep_best",
+    section="2.9",
+    oracle="""
+    WITH f AS (SELECT doc_id, n_chars,
+                      md5(lower(trim(text))) AS fp
+               FROM documents)
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(arg_max(doc_id, n_chars * 10000000 + doc_id) AS BIGINT)
+             AS kept_doc
+    FROM f GROUP BY fp
+    """,
+    notes="exact dedup that keeps the BEST representative per content "
+    "fingerprint (longest doc, doc_id tiebreak integerized into one "
+    "ordering key) — the keep-rule curation pipelines actually want, vs "
+    "dedup_exact's drop-all-copies count. One hash aggregate on the "
+    "fingerprint; shuffle bytes independent of document size",
+)
+def pipeline_dedup_keep_best(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    rank_key = F.col("n_chars") * 10_000_000 + F.col("doc_id")
+    return (
+        d.select("doc_id", "n_chars", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.max_by("doc_id", rank_key).cast("long").alias("kept_doc"),
+        )
+    )

@@ -419,3 +419,47 @@ def win_distinct_sliding(spark, sf_dir):
             F.array_distinct(F.flatten(F.collect_list("users").over(w)))
         ).cast("long").alias("wau"),
     )
+
+
+@register(
+    "win_median_sliding",
+    section="2.5",
+    oracle="""
+    WITH d AS (SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS VARCHAR)
+                        AS day,
+                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                        AS rev_cents
+               FROM orders GROUP BY 1)
+    SELECT day, rev_cents,
+           MEDIAN(rev_cents) OVER (ORDER BY day
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS med7
+    FROM d
+    """,
+    notes="trailing-7-day rolling MEDIAN of daily revenue — Spark has no "
+    "percentile window aggregate, so the frame's values collect into a "
+    "sorted array and the median reads out positionally ((a+b)/2 for "
+    "even frames, matching DuckDB's interpolation exactly on integer "
+    "cents). Same bounded-rollup argument as win_distinct_sliding: the "
+    "unpartitioned window consumes the per-day aggregate (calendar-"
+    "bounded), never raw orders",
+)
+def win_median_sliding(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        as_date(F.date_trunc("day", F.col("o_orderdate"))).cast("string").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    vals = F.array_sort(F.collect_list("rev_cents").over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return daily.select(
+        "day",
+        "rev_cents",
+        ((lo + hi) / 2.0).alias("med7"),
+    )
