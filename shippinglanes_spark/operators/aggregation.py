@@ -534,3 +534,27 @@ def agg_bitmap_distinct(spark, sf_dir):
     return chunks.groupBy("event_type").agg(
         F.sum(F.bit_count("bm")).cast("long").alias("n_users")
     )
+
+
+@register(
+    "agg_distinct_multi",
+    section="2.4",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    notes="multiple DISTINCT aggregates over different columns in one "
+    "groupBy — Catalyst compiles this to a single Expand (one row per "
+    "distinct-column set) + two-level aggregate rather than per-distinct "
+    "self-joins; one logical pass over the fact",
+)
+def agg_distinct_multi(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -626,3 +626,42 @@ def join_asof_forward(spark, sf_dir):
             (F.col("next_purchase_us") - F.col("ts_us")).alias("wait_us"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    section="2.3",
+    oracle="""
+    WITH a AS (SELECT event_id,
+                      CASE WHEN value >= 100 THEN CAST(FLOOR(value) AS BIGINT) % 10 END AS k
+               FROM events WHERE event_type = 'view'),
+    b AS (SELECT CASE WHEN value >= 100 THEN CAST(FLOOR(value) AS BIGINT) % 10 END AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT a.event_id, a.k, b.n_purchases
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    notes="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of vanishing — the semantics CDC/merge keys "
+    "with optional fields need; still compiles to a hash join (null-safe "
+    "equality is hashable), not a nested loop",
+)
+def join_null_safe(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    # FLOOR before the integer cast: DuckDB's double->BIGINT cast ROUNDS
+    # while Spark's truncates — floor makes both exact and identical
+    k = F.when(
+        F.col("value") >= 100, F.floor(F.col("value")).cast("long") % 10
+    )
+    a = ev.where(F.col("event_type") == "view").select(
+        "event_id", k.alias("ka")
+    )
+    b = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(k.alias("kb"))
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return a.join(b, a.ka.eqNullSafe(b.kb)).select(
+        "event_id", F.col("ka").alias("k"), "n_purchases"
+    )
