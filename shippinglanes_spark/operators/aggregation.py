@@ -558,3 +558,30 @@ def agg_distinct_multi(spark, sf_dir):
         F.countDistinct("o_orderpriority").cast("long").alias("n_prio"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "agg_moments",
+    section="2.4",
+    oracle="""
+    WITH m AS (SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(AVG(POW((e.value - m.mu) / m.sd, 3)), 4) AS skew,
+           ROUND(AVG(POW((e.value - m.mu) / m.sd, 4)) - 3, 4) AS kurt
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    notes="3rd/4th standardized moments per group: Spark's skewness/"
+    "kurtosis are the POPULATION definitions (g1, excess g2), which the "
+    "oracle reconstructs from raw central moments (DuckDB's named "
+    "functions use sample-corrected formulas — verified equal to 4dp "
+    "this way, not via skewness()/kurtosis()); single partial-agg pass "
+    "on the Spark side",
+)
+def agg_moments(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.skewness("value"), 4).alias("skew"),
+        F.round(F.kurtosis("value"), 4).alias("kurt"),
+    )

@@ -430,3 +430,39 @@ def ts_seasonal_profile(spark, sf_dir):
             ).alias("mean_value"),
         )
     )
+
+
+@register(
+    "ts_autocorr",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    l AS (SELECT n,
+                 LAG(n, 1) OVER (ORDER BY day) AS n1,
+                 LAG(n, 7) OVER (ORDER BY day) AS n7
+          FROM d)
+    SELECT ROUND(CORR(n, n1), 4) AS acf1,
+           ROUND(CORR(n, n7), 4) AS acf7
+    FROM l
+    """,
+    notes="lag-1/lag-7 autocorrelation of the daily event-count series "
+    "(seasonality detector): per-day rollup (one keyed shuffle), lag "
+    "pairs from a bounded calendar-sized window, Pearson corr ignoring "
+    "the NULL lead-in pairs on both engines identically",
+)
+def ts_autocorr(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 7).over(w).alias("n7"),
+    )
+    return lagged.agg(
+        F.round(F.corr("n", "n1"), 4).alias("acf1"),
+        F.round(F.corr("n", "n7"), 4).alias("acf7"),
+    )
