@@ -1056,3 +1056,35 @@ def evt_regex_match(spark, sf_dir):
             ).cast("long").alias("n_errors"),
         )
     )
+
+
+@register(
+    "evt_median_gap",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+    g AS (SELECT user_id,
+                 ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id) AS gap_us
+          FROM e)
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           MEDIAN(gap_us) AS med_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+    notes="median inter-event gap per user (the cadence statistic behind "
+    "session-gap threshold tuning): one keyed window for the lag, one "
+    "grouped exact median over integer microseconds (interpolated "
+    "(a+b)/2 on even counts matches across engines exactly on integers)",
+)
+def evt_median_gap(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", epoch_us("ts").alias("ts_us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.median("gap_us").alias("med_gap_us"),
+    )

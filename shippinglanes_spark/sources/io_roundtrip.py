@@ -262,3 +262,43 @@ def source_text(spark, sf_dir):
             F.sum(F.length("text")).alias("total_chars"),
         )
     )
+
+
+@register(
+    "source_csv_malformed",
+    section="2.1",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE c_custkey % 10 <> 0) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 10 = 0) AS BIGINT) AS n_bad,
+           ROUND(SUM(c_acctbal) FILTER (WHERE c_custkey % 10 <> 0), 2) AS good_bal
+    FROM customer
+    """,
+    notes="malformed-row tolerance: every 10th line is written corrupted "
+    "(non-numeric balance), then read back in PERMISSIVE mode — bad rows "
+    "surface as NULLs instead of failing the job, and the query accounts "
+    "for both populations. A 100 TB ingest NEVER has clean data; "
+    "fail-open with accounting is the production posture. Oracle derives "
+    "the same partition from the source table",
+)
+def source_csv_malformed(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    out = _scratch(f"source_csv_malformed_{os.path.basename(sf_dir.rstrip('/'))}")
+    line = F.when(
+        F.col("c_custkey") % 10 == 0,
+        F.concat(F.col("c_custkey").cast("string"), F.lit(",not_a_number")),
+    ).otherwise(
+        F.concat(
+            F.col("c_custkey").cast("string"),
+            F.lit(","),
+            F.col("c_acctbal").cast("string"),
+        )
+    )
+    c.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.csv(
+        out, schema="ck long, bal double", mode="PERMISSIVE"
+    )
+    return back.agg(
+        F.count(F.col("bal")).alias("n_good"),
+        F.count(F.when(F.col("bal").isNull(), 1)).alias("n_bad"),
+        F.round(F.sum("bal"), 2).alias("good_bal"),
+    )
