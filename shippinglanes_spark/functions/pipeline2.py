@@ -485,3 +485,54 @@ def pipeline_dedup_keep_best(spark, sf_dir):
             F.max_by("doc_id", rank_key).cast("long").alias("kept_doc"),
         )
     )
+
+
+@register(
+    "pipeline_ngram_lm",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    tri AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM t),
+    c3 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n3 FROM tri GROUP BY g),
+    c2 AS (SELECT string_split(g, ' ')[1] || ' ' || string_split(g, ' ')[2] AS ctx,
+                  CAST(SUM(n3) AS BIGINT) AS n2
+           FROM c3 GROUP BY 1)
+    SELECT c3.g AS trigram, c3.n3,
+           FLOOR(CAST(c3.n3 AS DOUBLE) / c2.n2 * 1000000) / 1000000.0 AS p_cond
+    FROM c3 JOIN c2
+      ON string_split(c3.g, ' ')[1] || ' ' || string_split(c3.g, ' ')[2] = c2.ctx
+    WHERE c3.n3 >= 5
+    """,
+    notes="count-based trigram LM: P(w3 | w1 w2) = c(w1w2w3)/c(w1w2-prefix) "
+    "— trigram counts once, context counts DERIVED from them (sum over "
+    "the trigram table, never a second corpus pass), one equi-join on "
+    "the context key; floor-disciplined ratios. The shape of every "
+    "count-based LM / tokenizer-scoring build",
+)
+def pipeline_ngram_lm(spark, sf_dir):
+    from ..core import fan_out
+    from .text import shingles
+
+    d = fan_out(table(spark, sf_dir, "documents").select("text"))
+    tri = d.select(F.explode(shingles(F.col("text"))).alias("g")).where(
+        F.col("g") != ""
+    )
+    c3 = tri.groupBy("g").agg(F.count(F.lit(1)).alias("n3")).localCheckpoint()
+    ctx_of = F.concat_ws(
+        " ",
+        F.element_at(F.split("g", " "), 1),
+        F.element_at(F.split("g", " "), 2),
+    )
+    c2 = c3.groupBy(ctx_of.alias("ctx")).agg(F.sum("n3").cast("long").alias("n2"))
+    return (
+        c3.where(F.col("n3") >= 5)
+        .join(c2, ctx_of == F.col("ctx"))
+        .select(
+            F.col("g").alias("trigram"),
+            "n3",
+            (F.floor(F.col("n3").cast("double") / F.col("n2") * 1_000_000)
+             / 1_000_000.0).alias("p_cond"),
+        )
+    )

@@ -302,3 +302,46 @@ def source_csv_malformed(spark, sf_dir):
         F.count(F.when(F.col("bal").isNull(), 1)).alias("n_bad"),
         F.round(F.sum("bal"), 2).alias("good_bal"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    section="2.1",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_clerk_id) AS BIGINT) AS n_with_clerk,
+           CAST(SUM(COALESCE(o_clerk_id, 0)) AS BIGINT) AS clerk_sum
+    FROM (
+      SELECT o_orderstatus, NULL::BIGINT AS o_clerk_id
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_orderkey % 100
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) t GROUP BY o_orderstatus
+    """,
+    notes="schema evolution on read: an old partition (no o_clerk_id) and "
+    "a new partition (with it) written separately, read back with "
+    "mergeSchema — missing columns surface as NULLs, the lakehouse "
+    "add-a-column path that never rewrites old data. Oracle reconstructs "
+    "the same union from the source table",
+)
+def source_schema_evolution(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    out = _scratch(
+        f"source_schema_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    old = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    new = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_orderkey") % 100).cast("long").alias("o_clerk_id"),
+    )
+    old.write.mode("overwrite").parquet(f"{out}/part=old")
+    new.write.mode("overwrite").parquet(f"{out}/part=new")
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_clerk_id").alias("n_with_clerk"),
+        F.sum(F.coalesce("o_clerk_id", F.lit(0))).cast("long").alias("clerk_sum"),
+    )
