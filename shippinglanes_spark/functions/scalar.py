@@ -540,3 +540,28 @@ def fn_map_hof(spark, sf_dir):
     m3 = F.map_filter(m2, lambda k, v: k != "user")
     mc = F.map_concat(m3, F.create_map(F.lit("src"), F.lit("events")))
     return ev.select("event_id", F.explode(mc).alias("key", "val"))
+
+
+@register(
+    "fn_format",
+    section="2.8",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s-%05d', p_brand, p_partkey) AS sku,
+           repeat('*', CAST(p_size % 8 AS INT)) AS stars,
+           reverse(p_brand) AS rev,
+           concat_ws('|', p_brand, p_type) AS joined
+    FROM part
+    """,
+    notes="printf-style formatting family: format_string/printf, repeat, "
+    "reverse, concat_ws — pure per-row codegen expressions",
+)
+def fn_format(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s-%05d", F.col("p_brand"), F.col("p_partkey")).alias("sku"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 8).cast("int")).alias("stars"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("joined"),
+    )
