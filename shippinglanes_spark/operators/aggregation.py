@@ -585,3 +585,50 @@ def agg_moments(spark, sf_dir):
         F.round(F.skewness("value"), 4).alias("skew"),
         F.round(F.kurtosis("value"), 4).alias("kurt"),
     )
+
+
+@register(
+    "agg_concentration",
+    section="2.4",
+    oracle="""
+    WITH p AS (SELECT quantile_cont(o_totalprice, 0.9) AS p90 FROM orders),
+    s AS (SELECT
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS total_cents,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_totalprice >= p90) AS BIGINT) AS top_cents,
+            CAST(COUNT(*) FILTER (WHERE o_totalprice >= p90) AS BIGINT)
+              AS n_top
+          FROM orders, p)
+    SELECT total_cents, top_cents, n_top,
+           FLOOR(CAST(top_cents AS DOUBLE) / total_cents * 1000000) / 1000000.0
+             AS top_share
+    FROM s
+    """,
+    notes="revenue concentration: share of total revenue held by orders at "
+    "or above the 90th price percentile — exact interpolated percentile "
+    "(Spark percentile == DuckDB quantile_cont) joined back as a scalar "
+    "(broadcast 1-row cross join, the TPC-H Q22 idiom), cent-integerized "
+    "exact sums, floor-disciplined ratio",
+)
+def agg_concentration(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    p = o.agg(F.percentile("o_totalprice", F.lit(0.9)).alias("p90"))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    top = F.col("o_totalprice") >= F.col("p90")
+    s = o.crossJoin(F.broadcast(p)).agg(
+        F.sum(cents).cast("long").alias("total_cents"),
+        F.sum(F.when(top, cents)).cast("long").alias("top_cents"),
+        F.count(F.when(top, 1)).alias("n_top"),
+    )
+    return s.select(
+        "total_cents",
+        "top_cents",
+        "n_top",
+        (
+            F.floor(
+                F.col("top_cents").cast("double") / F.col("total_cents") * 1_000_000
+            )
+            / 1_000_000.0
+        ).alias("top_share"),
+    )

@@ -1088,3 +1088,33 @@ def evt_median_gap(spark, sf_dir):
         F.count("gap_us").alias("n_gaps"),
         F.median("gap_us").alias("med_gap_us"),
     )
+
+
+@register(
+    "evt_bursts",
+    section="2.10",
+    oracle="""
+    WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT user_id, AVG(n) AS mean_n FROM h GROUP BY user_id)
+    SELECT h.user_id, epoch_us(h.hr) AS hr_us, h.n
+    FROM h JOIN m USING (user_id)
+    WHERE h.n >= 3 * m.mean_n AND h.n >= 3
+    """,
+    notes="burst detection: hours where a user's event count reaches 3x "
+    "their mean active-hour rate (and at least 3 absolute) — two "
+    "combinable aggregations + one key join; the integer-vs-3*avg "
+    "comparison is the same IEEE arithmetic on both engines",
+)
+def evt_bursts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = h.groupBy("user_id").agg(F.avg("n").alias("mean_n"))
+    return (
+        h.join(m, "user_id")
+        .where((F.col("n") >= 3 * F.col("mean_n")) & (F.col("n") >= 3))
+        .select("user_id", epoch_us("hr").alias("hr_us"), "n")
+    )
