@@ -536,3 +536,36 @@ def pipeline_ngram_lm(spark, sf_dir):
              / 1_000_000.0).alias("p_cond"),
         )
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    section="2.9",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) FILTER (WHERE n_chars < 100) AS BIGINT) AS n_short
+    FROM documents
+    """,
+    notes="one-row dataset card: the summary block every published corpus "
+    "ships (doc/lang/source counts, token and char totals, short-doc "
+    "tail) — a single pass of combinable aggregates, no shuffle beyond "
+    "the final 1-row reduce",
+)
+def pipeline_dataset_card(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.count(F.when(F.col("n_chars") < 100, 1)).alias("n_short"),
+    )

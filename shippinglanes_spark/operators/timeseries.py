@@ -466,3 +466,50 @@ def ts_autocorr(spark, sf_dir):
         F.round(F.corr("n", "n1"), 4).alias("acf1"),
         F.round(F.corr("n", "n7"), 4).alias("acf7"),
     )
+
+
+@register(
+    "ts_pct_change",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS VARCHAR)
+                        AS day,
+                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                        AS rev_cents
+               FROM orders GROUP BY 1),
+    l AS (SELECT day, rev_cents,
+                 LAG(rev_cents) OVER (ORDER BY day) AS prev_cents
+          FROM d)
+    SELECT day, rev_cents,
+           FLOOR((CAST(rev_cents AS DOUBLE) / prev_cents - 1) * 1000000)
+             / 1000000.0 AS pct_change
+    FROM l WHERE prev_cents IS NOT NULL
+    """,
+    notes="day-over-day revenue change — per-day rollup (keyed shuffle) + "
+    "lag over the bounded calendar series; exact integer cents in, "
+    "floor-disciplined ratio out",
+)
+def ts_pct_change(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day", "rev_cents", F.lag("rev_cents").over(w).alias("prev_cents")
+    ).where(F.col("prev_cents").isNotNull())
+    return lagged.select(
+        "day",
+        "rev_cents",
+        (
+            F.floor(
+                (F.col("rev_cents").cast("double") / F.col("prev_cents") - 1)
+                * 1_000_000
+            )
+            / 1_000_000.0
+        ).alias("pct_change"),
+    )
