@@ -24,6 +24,7 @@ from functools import reduce
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..core import fan_out
 from ..io import table
@@ -151,6 +152,7 @@ def text_simhash(spark, sf_dir):
 
 
 N_PLANES = 16
+N_SUBPLANES = 8  # hot-bucket refinement bits (2^8 sub-buckets)
 COS_THRESHOLD = 0.95
 
 
@@ -161,19 +163,25 @@ def embedding_neardups(spark, emb: DataFrame) -> DataFrame:
 
     rng = np.random.RandomState(42)
     planes = rng.randn(N_PLANES, 64)
-    b_planes = spark.sparkContext.broadcast(planes)
+    extra = rng.randn(N_SUBPLANES, 64)  # refinement planes for hot buckets
+    b_planes = spark.sparkContext.broadcast((planes, extra))
 
     def signature(batches):
-        pl = b_planes.value
+        pl, xpl = b_planes.value
         for pdf in batches:
             q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             bits = (q @ pl.T) > 0
             sig = (bits * (1 << np.arange(N_PLANES))).sum(axis=1).astype(np.int64)
+            xbits = (q @ xpl.T) > 0
+            sig2 = (xbits * (1 << np.arange(N_SUBPLANES))).sum(axis=1).astype(
+                np.int64
+            )
             nrm = np.linalg.norm(q, axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "sig": sig,
+                    "sig2": sig2,
                     "embedding": pdf["embedding"],
                     "nrm": nrm,
                 }
@@ -181,24 +189,37 @@ def embedding_neardups(spark, emb: DataFrame) -> DataFrame:
 
     sigs = emb.select("vec_id", "embedding").mapInPandas(
         signature,
-        schema="vec_id long, sig long, embedding array<float>, nrm double",
+        schema="vec_id long, sig long, sig2 long, embedding array<float>, nrm double",
     )
     # Bucket-collect instead of a sig self-join: the self-join's broadcast
     # side is a different subtree, so Catalyst re-evaluates the mapInPandas
     # signature pass twice (same pitfall as minhash_candidates). One
     # groupBy(sig) computes it once; in-bucket pairs expand with a
-    # higher-order transform, capped by MAX_BUCKET against degenerate
-    # buckets (also bounds the quadratic expansion).
+    # higher-order transform.
+    #
+    # Over-cap buckets are NOT dropped (no silent caps): a bucket over
+    # MAX_BUCKET is sub-bucketed on N_SUBPLANES extra hyperplane bits
+    # (true near-dups at cos>=0.95 still collide on the refinement bits
+    # w.h.p.), and a sub-bucket that is STILL over cap — vectors so
+    # similar that 2^N_SUBPLANES refinement can't split them — emits
+    # linear anchor pairs (first member vs the rest) instead of the
+    # quadratic all-pairs: every member still connects to the group
+    # through the anchor, which is exactly what a downstream dedup
+    # connected-components pass needs, at O(n) pairs instead of O(n^2).
+    cnt = F.count(F.lit(1)).over(W.partitionBy("sig"))
+    sub = sigs.withColumn(
+        "subkey", F.when(cnt > MAX_BUCKET, F.col("sig2")).otherwise(F.lit(-1))
+    )
     buckets = (
-        sigs.groupBy("sig")
+        sub.groupBy("sig", "subkey")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("vec_id", "embedding", "nrm"))
             ).alias("vs")
         )
-        .where(F.size("vs").between(2, MAX_BUCKET))
+        .where(F.size("vs") >= 2)
     )
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             "vs",
             lambda x, i: F.transform(
@@ -207,6 +228,11 @@ def embedding_neardups(spark, emb: DataFrame) -> DataFrame:
             ),
         )
     )
+    anchor_pairs = F.transform(
+        F.slice(F.col("vs"), 2, F.size("vs")),
+        lambda y: F.struct(F.element_at(F.col("vs"), 1).alias("a"), y.alias("b")),
+    )
+    pairs = F.when(F.size("vs") <= MAX_BUCKET, all_pairs).otherwise(anchor_pairs)
     dot = F.aggregate(
         F.zip_with(
             F.col("p.a.embedding"),

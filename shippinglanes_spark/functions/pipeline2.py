@@ -460,23 +460,30 @@ def profile_key_skew(spark, sf_dir):
     oracle="""
     WITH f AS (SELECT doc_id, n_chars,
                       md5(lower(trim(text))) AS fp
-               FROM documents)
+               FROM documents),
+    r AS (SELECT fp, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY fp
+                                    ORDER BY n_chars DESC, doc_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY fp) AS gs
+          FROM f)
     SELECT fp,
-           CAST(COUNT(*) AS BIGINT) AS group_size,
-           CAST(arg_max(doc_id, n_chars * 10000000 + doc_id) AS BIGINT)
-             AS kept_doc
-    FROM f GROUP BY fp
+           CAST(gs AS BIGINT) AS group_size,
+           CAST(doc_id AS BIGINT) AS kept_doc
+    FROM r WHERE rn = 1
     """,
     notes="exact dedup that keeps the BEST representative per content "
-    "fingerprint (longest doc, doc_id tiebreak integerized into one "
-    "ordering key) — the keep-rule curation pipelines actually want, vs "
-    "dedup_exact's drop-all-copies count. One hash aggregate on the "
+    "fingerprint (longest doc, doc_id tiebreak) — the keep-rule curation "
+    "pipelines actually want, vs dedup_exact's drop-all-copies count. "
+    "Ordering key is a STRUCT (n_chars, doc_id): lexicographic struct "
+    "comparison on both engines, no integer-packing capacity bound (the "
+    "former n_chars*10M+doc_id key silently bled the tiebreak into the "
+    "length ordering once doc_id >= 10M). One hash aggregate on the "
     "fingerprint; shuffle bytes independent of document size",
 )
 def pipeline_dedup_keep_best(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim(F.col("text"))))
-    rank_key = F.col("n_chars") * 10_000_000 + F.col("doc_id")
+    rank_key = F.struct(F.col("n_chars"), F.col("doc_id"))
     return (
         d.select("doc_id", "n_chars", fp.alias("fp"))
         .groupBy("fp")

@@ -24,6 +24,7 @@ from pyspark.sql.types import (
 )
 
 from ..session import apply_runtime_confs
+from .lift import _eventtime_ts
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -109,8 +110,7 @@ def rate_limited_events(
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _eventtime_ts(stream)
 
     def limiter(key, pdfs, state: GroupState):
         import pandas as pd

@@ -71,6 +71,32 @@ def test_embedding_lsh_finds_planted_neardup(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_embedding_lsh_overcap_bucket_not_dropped(spark, monkeypatch):
+    """A degenerate LSH bucket larger than MAX_BUCKET must still surface
+    its near-dups (pre-round-4 code silently dropped the whole bucket).
+    With MAX_BUCKET forced to 3 and 8 near-identical vectors (same
+    hyperplane signature AND same refinement bits), the still-over-cap
+    sub-bucket emits linear anchor pairs: every member connects to the
+    bucket anchor, which is what a downstream CC dedup pass needs."""
+    from shippinglanes_spark.functions import minhash as mh
+
+    monkeypatch.setattr(mh, "MAX_BUCKET", 3)
+    base = [float(i % 7 - 3) for i in range(64)]
+    rows = []
+    for v in range(8):
+        vec = list(base)
+        vec[1] += 0.001 * v  # near-identical: refinement can't split them
+        rows.append((v, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in embedding_neardups(spark, emb).collect()}
+    assert pairs, "over-cap bucket was silently dropped"
+    # anchor-pair shape: the smallest member pairs with every other member
+    assert pairs == {(0, v) for v in range(1, 8)}
+    # and connectivity holds: every vector appears in some pair
+    covered = {i for p in pairs for i in p}
+    assert covered == set(range(8))
+
+
 def test_exact_dedup_on_planted(spark, docs):
     fp = docs.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")

@@ -199,3 +199,29 @@ def test_tfidf_bm25_contracts(spark, sf_dir):
     bm25 = text_bm25(spark, sf_dir).toPandas()
     assert bm25["doc_id"].is_unique
     assert (bm25["bm25"] >= 0).all()
+
+
+def test_dedup_keep_best_struct_key_beyond_10m_docids(spark):
+    """Regression: the old n_chars*10_000_000 + doc_id packed ordering key
+    let a huge doc_id outrank a longer doc. With the struct key, the
+    longest doc wins regardless of doc_id magnitude."""
+    rows = [
+        (20_000_001, 100, "same content"),  # doc_id >= 10M, shorter
+        (7, 101, "same content"),  # longer doc must be kept
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long, text string")
+    out = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), F.col("doc_id"))
+            ).alias("kept_doc")
+        )
+        .collect()
+    )
+    assert len(out) == 1 and out[0].kept_doc == 7
