@@ -51,26 +51,53 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
-def _driver_order() -> list[Query]:
-    """Declared queries, round-robin across SURVEY §2 sections.
+def _current_round() -> int:
+    """Infer the build round from the driver's own artifacts: round N
+    runs after CORRECTNESS_r{1..N-1}.json exist in the repo root. Purely
+    additive state the driver itself writes — no clock, no env var."""
+    from pathlib import Path
 
-    The driver's correctness report keeps only a fixed-size prefix of the
-    declared dict, so a section-ordered registry would leave whole
-    families unreported. Interleaving sections makes EVERY prefix span
-    every family: the first ~12 queries touch each §2 subsection once,
-    the first 50 cover 4-5 per subsection. Within a section, registration
-    order (module order) is preserved, so the anchor query of each family
-    comes first."""
+    root = Path(__file__).resolve().parent.parent
+    return len(list(root.glob("CORRECTNESS_r*.json"))) + 1
+
+
+def _driver_order() -> list[Query]:
+    """Declared queries, round-robin across SURVEY §2 sections, with a
+    per-round rotation of each section queue.
+
+    The driver's correctness report keeps only a fixed-size prefix (~50)
+    of the declared dict, so ordering decides which queries get
+    driver-certified each round:
+
+    - Interleaving sections makes EVERY prefix span every family (the
+      first ~12 queries touch each §2 subsection once).
+    - Each section queue starts at offset (round * 13) % len(queue), so
+      successive rounds cycle DIFFERENT queries into the driver's window
+      instead of re-certifying the same static prefix forever.
+    - Queries without a value oracle sort to the END: they produce
+      rows-only checks, which shouldn't occupy hash-checkable window
+      slots while value-oracled queries wait outside."""
+    rnd = _current_round()
     by_section: dict[str, list[Query]] = {}
+    deferred: list[Query] = []
     for q in all_queries().values():
-        if q.declare:
+        if not q.declare:
+            continue
+        if q.oracle is None:
+            deferred.append(q)
+        else:
             by_section.setdefault(q.section, []).append(q)
+    queues = []
+    for s in sorted(by_section):
+        qs = by_section[s]
+        off = (rnd * 13) % len(qs)
+        queues.append(qs[off:] + qs[:off])
     ordered: list[Query] = []
-    queues = [by_section[s] for s in sorted(by_section)]
     while any(queues):
         for qs in queues:
             if qs:
                 ordered.append(qs.pop(0))
+    ordered.extend(deferred)
     return ordered
 
 
