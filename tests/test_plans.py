@@ -137,6 +137,15 @@ def test_range_join_is_binned_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
+def test_fuzzy_join_is_blocked_equi_not_nested_loop(spark, sf_dir):
+    """The edit-distance pair join must run behind the first-token
+    blocking key (equi-join -> hash join), never as a theta-only
+    BNLJ whose cost is quadratic in the filtered subset."""
+    p = plan(spark, sf_dir, "fn_fuzzy", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_bucketed_global_rank_is_exact_permutation(spark):
     """On synthetic data with heavy value duplication, the two-pass rank
     must produce exactly 1..n, ordered identically to a global sort on
