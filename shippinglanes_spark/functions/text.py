@@ -466,12 +466,30 @@ def text_neardup_clusters(spark, sf_dir):
     )
 
 
-def connected_components(pairs, max_iters: int = 20):
+LOCAL_CC_MAX_EDGES = 100_000  # below this, union-find on the driver wins
+
+
+def connected_components(pairs, max_iters: int = 20, local_max: int | None = None):
     """Distributed min-label propagation over an undirected pair list
     (id_a, id_b) -> (id, label) where label is the smallest member id of
     each connected component. One keyed join + aggregate per round,
     localCheckpoint keeps the plan flat; rounds needed = component
-    diameter (shallow for near-dup clusters)."""
+    diameter (shallow for near-dup clusters).
+
+    Fast path: the pair graph is the OUTPUT of an LSH + exact-re-rank
+    prune, typically tiny even when the corpus is 100 TB (edges ~ number
+    of true near-dup pairs). When the edge count is at most `local_max`
+    (default LOCAL_CC_MAX_EDGES), label propagation's per-round
+    join+shuffle round-trips dominate, so the edges are collected and a
+    driver-side union-find labels them in one pass — a deliberate,
+    size-bounded driver branch, NOT a scale leak: over the bound, the
+    distributed path runs unchanged. Force local_max=0 to always
+    distribute (tests do)."""
+    if local_max is None:
+        local_max = LOCAL_CC_MAX_EDGES
+    pairs = pairs.localCheckpoint()
+    if local_max > 0 and pairs.limit(local_max + 1).count() <= local_max:
+        return _local_union_find(pairs)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -481,7 +499,7 @@ def connected_components(pairs, max_iters: int = 20):
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neigh = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "label"
         )
@@ -491,13 +509,73 @@ def connected_components(pairs, max_iters: int = 20):
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
+        # Pointer jumping: also adopt the label OF my label — turns the
+        # per-round reach from one hop into doubling, so convergence is
+        # O(log diameter) rounds instead of O(diameter). Without this, a
+        # long-path component deeper than max_iters silently got wrong
+        # labels (caught by the local/distributed parity test).
+        jumped = (
+            new_labels.alias("l1")
+            .join(
+                new_labels.select(
+                    F.col("id").alias("jid"), F.col("label").alias("jlabel")
+                ),
+                F.col("l1.label") == F.col("jid"),
+                "left",
+            )
+            .select(
+                F.col("l1.id").alias("id"),
+                F.least(
+                    F.col("l1.label"), F.coalesce("jlabel", F.col("l1.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
         changed = (
-            new_labels.alias("n")
+            jumped.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        labels = jumped
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
     return labels
+
+
+def _local_union_find(pairs):
+    """Driver-side union-find over a size-bounded collected edge list;
+    returns the same (id, label=min member id) schema as the distributed
+    path. Path compression + union by attaching the larger root."""
+    spark = pairs.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the LARGER root under the smaller so every root is
+            # its component's minimum id (the output labelling contract)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(x, find(x)) for x in parent]
+    schema = "id {t}, label {t}".format(
+        t=pairs.schema.fields[0].dataType.simpleString()
+    )
+    return spark.createDataFrame(rows, schema)

@@ -150,8 +150,15 @@ def test_connected_components_transitive(spark):
         [(1, 2), (2, 3), (3, 9), (20, 21), (30, 31), (31, 30)],
         "id_a long, id_b long",
     )
+    expect = {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+    # local union-find fast path (default) AND forced-distributed path
     got = {r.id: r.label for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+    assert got == expect
+    got_dist = {
+        r.id: r.label
+        for r in connected_components(pairs, local_max=0).collect()
+    }
+    assert got_dist == expect
 
 
 def test_connected_components_long_chain(spark):
@@ -164,3 +171,29 @@ def test_connected_components_long_chain(spark):
     )
     got = {r.id: r.label for r in connected_components(pairs).collect()}
     assert set(got.values()) == {100} and len(got) == 13
+    got_dist = {
+        r.id: r.label
+        for r in connected_components(pairs, local_max=0).collect()
+    }
+    assert got_dist == got
+
+
+def test_connected_components_local_distributed_parity(spark):
+    """The size-bounded local union-find and the distributed min-label
+    propagation must agree label-for-label on a random graph."""
+    import random
+
+    from shippinglanes_spark.functions.text import connected_components
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {r.id: r.label for r in connected_components(pairs).collect()}
+    dist = {
+        r.id: r.label
+        for r in connected_components(pairs, local_max=0).collect()
+    }
+    assert local == dist
