@@ -147,6 +147,6 @@ def _load_all() -> None:
         text,
     )
     from .sources import io_roundtrip  # noqa: F401
-    from .streaming import lift  # noqa: F401
+    from .streaming import latedata, lift  # noqa: F401
 
     _LOADED = True

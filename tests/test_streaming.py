@@ -124,3 +124,117 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_late_rows_dropped_exact_count(spark, tmp_path):
+    """Constructed micro-batches with known late rows: batch 0 advances
+    the watermark, batch 1 is a buffer (Spark's late filter lags the
+    eviction watermark by one batch), batch 2 injects 4 old rows of
+    which exactly 3 sit below the watermark — accounting must say 3."""
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from shippinglanes_spark.streaming.lift import _eventtime_ts
+
+    def us(day, hour=0):
+        import datetime
+
+        return datetime.datetime(2024, 1, day, hour)
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    # watermark delay 2 days; batch0 max = Jan 10 -> wm = Jan 8T00:00
+    batches = [
+        [(1, us(10)), (2, us(9))],  # recent: advances wm to Jan 8
+        [(3, us(9, 12))],  # buffer batch
+        # late batch: 3 rows strictly below Jan 8, 1 at Jan 8T06 (kept)
+        [(4, us(5)), (5, us(6)), (6, us(7, 23)), (7, us(8, 6))],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, f"{stage}/f{i}.parquet")
+        os.utime(f"{stage}/f{i}.parquet", (now - 180 + i * 60,) * 2)
+    stream = _eventtime_ts(
+        spark.readStream.schema("event_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    dedup = stream.withWatermark("ts", "2 days").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    for p in q.recentProgress:
+        prog = json.loads(p.json)
+        for so in prog.get("stateOperators", []):
+            dropped += int(so.get("numRowsDroppedByWatermark", 0))
+    q.stop()
+    assert dropped == 3
+    admitted = {r.event_id for r in spark.table(name).collect()}
+    assert admitted == {1, 2, 3, 7}
+
+
+def test_exactly_once_sink_replay_idempotent(spark, sf_dir, tmp_path):
+    """Replaying ANY batch (not just the last) through the exactly-once
+    writer must leave the folded sink identical — the versioned keyed
+    write is the fence."""
+    from shippinglanes_spark.streaming.latedata import (
+        LATE_FILE,
+        _stage_batches,
+        _staged_stream,
+        exactly_once_batch_writer,
+    )
+
+    stage = _stage_batches(spark, sf_dir)
+    target = str(tmp_path / "eos")
+    writer = exactly_once_batch_writer(target)
+    stream = _staged_stream(spark, sf_dir, stage)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    import os
+    import shutil
+
+    versions = sorted(int(d[1:]) for d in os.listdir(target) if d[0] == "v")
+    last = versions[-1]
+    before = {
+        (r.day, r.event_type): (r.n, r.sum_cents)
+        for r in spark.read.parquet(f"{target}/v{last}").collect()
+    }
+    # replay the LAST batch twice and an EARLIER batch once
+    late_df = spark.read.parquet(f"{stage}/{LATE_FILE}")
+    writer(late_df, last)
+    writer(late_df, last)
+    if len(versions) >= 2:
+        buf_df = spark.read.parquet(f"{stage}/batch1_buffer.parquet")
+        writer(buf_df, versions[-2])
+    after = {
+        (r.day, r.event_type): (r.n, r.sum_cents)
+        for r in spark.read.parquet(f"{target}/v{last}").collect()
+    }
+    assert after == before
+    shutil.rmtree(stage, ignore_errors=True)
