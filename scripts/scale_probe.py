@@ -185,10 +185,83 @@ def round3_shapes(spark, docs, ev):
     return {"boilerplate": boilerplate, "rolling_wau": wau, "resample_interp": interp}
 
 
+def build_sfdir(spark):
+    """A synthetic 10x sf-DIRECTORY (events.parquet/, embeddings.parquet/)
+    so REGISTERED query functions can be probed unmodified via their own
+    (spark, sf_dir) signature. Copies get disjoint key spaces AND a
+    35-day time shift per copy: without the shift, co-located copies
+    multiply spatio-temporal bucket populations and pair counts grow
+    quadratically — which would measure the fixture's degeneracy, not
+    the operator's scaling."""
+    sfdir = os.path.join(SCRATCH, "sfdir10")
+    if os.path.exists(os.path.join(sfdir, "embeddings.parquet", "_SUCCESS")):
+        return sfdir
+    ev = table(spark, SF, "events")
+    copies = F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("c")
+    shift_us = F.col("c").cast("long") * F.lit(35 * 86_400_000_000)
+    ev10 = (
+        ev.select("*", copies)
+        .withColumn("user_id", F.col("user_id") + F.col("c") * 1_000_000)
+        .withColumn("event_id", F.col("event_id") + F.col("c") * 100_000_000)
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp")) + shift_us
+            ),
+        )
+        .drop("c")
+    )
+    # 32 splits: a real 10x table has 10x the row groups; a single-file
+    # scratch would serialize every downstream map stage onto one task
+    # and measure the fixture's pathology, not the operator's scaling
+    ev10.repartition(32).write.mode("overwrite").parquet(
+        f"{sfdir}/events.parquet"
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb10 = (
+        emb.select("*", copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("c") * 10_000_000)
+        .drop("c")
+    )
+    emb10.repartition(32).write.mode("overwrite").parquet(
+        f"{sfdir}/embeddings.parquet"
+    )
+    return sfdir
+
+
+def round4_registered(spark, sfdir_1x, sfdir_10x):
+    """Judge-requested round-3 shapes probed through their REGISTERED
+    entry points: geo_encounters (space-time grid join), emb_top_pc
+    (single-pass Gram + driver eigensolve), win_distinct_sliding
+    (per-day set rollup + bounded range frame), ts_concurrency
+    (decomposed sweep-line)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "geo_encounters",
+        "emb_top_pc",
+        "win_distinct_sliding",
+        "ts_concurrency",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
+    sfdir10 = build_sfdir(spark)
+    round4_registered(spark, SF, sfdir10)
     one = {
         "ev": table(spark, SF, "events"),
         "li": table(spark, SF, "lineitem"),

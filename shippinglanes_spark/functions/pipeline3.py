@@ -1,0 +1,292 @@
+"""Training-data pipeline pack 3 (SURVEY §2.9 extensions, round 4).
+
+Four curation shapes a 100 TB corpus build needs beyond pack 1/2, plus
+the degree view of the trade graph:
+
+- `pipeline_token_budget`: per-source token totals and mixture weights —
+  the sampling-ratio table every multi-source pretraining mix starts
+  from. Exact integer ppm weights (DIV), one map-side-combined aggregate.
+- `pipeline_curriculum_buckets`: per-source quality deciles (length as
+  the stand-in score) via KEYED windows — partitioned by source, so no
+  global sort exists anywhere; the decile edges are exact integer
+  arithmetic on (row_number, count).
+- `pipeline_kfold_assign`: content-addressed k-fold assignment (md5 of
+  a salted doc key, two hex nibbles mod k) — stable across runs,
+  machines, and engines; never rand(). The cross-validation analogue of
+  pipeline_split.
+- `pipeline_dedup_end2end`: the FULL near-dup pipeline as one declared
+  query: MinHash-LSH candidates -> exact 3-gram Jaccard re-rank ->
+  connected components -> keep the best (longest, doc_id tiebreak)
+  representative per cluster. Every stage is the bucketed/pruned
+  formulation; the oracle recomputes the whole chain with a recursive
+  CTE + window rank in DuckDB — a full value check for the composition,
+  not just the parts.
+- `graph_degree_topk`: in/out degree + strength of the nation trade
+  graph, top-10 by total strength — the profiling first-look before
+  running anything iterative (pagerank/triangles) on a derived graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "pipeline_token_budget",
+    section="2.9",
+    oracle="""
+    WITH per AS (SELECT source,
+                        CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                          AS n_tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // t AS BIGINT) AS weight_ppm
+    FROM per CROSS JOIN tot
+    """,
+    notes="per-source token totals + exact integer ppm mixture weights "
+    "(the pretraining sampling-ratio table). One map-side-combined "
+    "aggregate over the corpus; the totals row is a 1-row broadcast",
+)
+def pipeline_token_budget(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 DIV t").alias("weight_ppm"),
+    )
+
+
+@register(
+    "pipeline_curriculum_buckets",
+    section="2.9",
+    oracle="""
+    WITH r AS (SELECT source, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY source) AS cnt
+               FROM documents)
+    SELECT source,
+           CAST((rn - 1) * 10 // cnt AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM r GROUP BY 1, 2
+    """,
+    notes="per-source quality deciles (curriculum ordering): KEYED window "
+    "rank partitioned by source — no global sort; bucket edges are exact "
+    "integer arithmetic ((rn-1)*10 DIV cnt), so engines agree bit-for-bit. "
+    "At 100 TB each source partitions independently; a skewed giant "
+    "source would switch to the two-pass bucketed_global_rank",
+)
+def pipeline_curriculum_buckets(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        r.select(
+            "source", F.expr("(rn - 1) * 10 DIV cnt").alias("bucket"), "n_chars"
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "pipeline_kfold_assign",
+    section="2.9",
+    oracle="""
+    WITH h AS (SELECT source,
+                      len(string_split(text, ' ')) AS n_tok,
+                      ((instr('0123456789abcdef',
+                              substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                     1, 1)) - 1) * 16
+                       + instr('0123456789abcdef',
+                               substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                      2, 1)) - 1) % 5 AS fold
+               FROM documents)
+    SELECT fold, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM h GROUP BY 1, 2
+    """,
+    notes="content-addressed 5-fold assignment: two md5 hex nibbles of a "
+    "salted doc key, mod k — reproducible across engines/runs (never "
+    "rand()), join-stable, and uniform to 256%5 rounding. Per-(fold, "
+    "source) doc/token accounting shows fold balance; zero shuffles "
+    "beyond the final aggregate",
+)
+def pipeline_kfold_assign(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string")))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(h, i, 1)
+    ) - F.lit(1)
+    fold = (nib(1) * 16 + nib(2)) % 5
+    return (
+        d.select(
+            fold.cast("long").alias("fold"),
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "pipeline_dedup_end2end",
+    section="2.9",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS shingle
+           FROM t),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM inter
+              UNION ALL SELECT id_b, id_a FROM inter),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src
+    ),
+    lab AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+    ranked AS (SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+                                         ORDER BY d.n_chars DESC,
+                                                  lab.doc_id DESC) AS rn,
+                      COUNT(*) OVER (PARTITION BY lab.cluster_id) AS sz
+               FROM lab JOIN documents d ON lab.doc_id = d.doc_id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(sz AS BIGINT) AS cluster_size,
+           CAST(doc_id AS BIGINT) AS kept_doc
+    FROM ranked WHERE rn = 1
+    """,
+    notes="the FULL near-dup dedup pipeline in one query: MinHash-LSH "
+    "banding candidates -> exact 3-gram Jaccard confirmation (>=25 "
+    "common shingles) -> connected components -> keep the longest doc "
+    "(doc_id tiebreak) per cluster. Every stage is the bucketed/pruned "
+    "formulation (no all-pairs anywhere); the oracle replays the chain "
+    "as recursive-CTE transitive closure + window rank — value-checking "
+    "the composition end to end",
+)
+def pipeline_dedup_end2end(spark, sf_dir):
+    from .text import connected_components, text_ngram_jaccard
+
+    pairs = text_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = clusters.join(d, "doc_id")
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max_by("doc_id", F.struct(F.col("n_chars"), F.col("doc_id")))
+        .cast("long")
+        .alias("kept_doc"),
+    )
+
+
+@register(
+    "graph_degree_topk",
+    section="2.9",
+    oracle="""
+    WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                      CAST(COUNT(*) AS BIGINT) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               GROUP BY 1, 2),
+    outd AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_deg,
+                    CAST(SUM(w) AS BIGINT) AS out_w
+             FROM e GROUP BY src),
+    ind AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS in_deg,
+                   CAST(SUM(w) AS BIGINT) AS in_w
+            FROM e GROUP BY dst)
+    SELECT n.n_nationkey AS nation_id,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           COALESCE(o.out_w, 0) AS out_w,
+           COALESCE(i.in_deg, 0) AS in_deg,
+           COALESCE(i.in_w, 0) AS in_w
+    FROM nation n
+    LEFT JOIN outd o ON n.n_nationkey = o.id
+    LEFT JOIN ind i ON n.n_nationkey = i.id
+    ORDER BY COALESCE(o.out_w, 0) + COALESCE(i.in_w, 0) DESC, nation_id
+    LIMIT 10
+    """,
+    notes="degree/strength profile of the derived nation trade graph, "
+    "top-10 by total strength — the first-look profiling step before "
+    "iterative graph algorithms. The edge aggregate is the only big "
+    "shuffle; degrees aggregate a nation-sized table and the top-k is "
+    "TakeOrdered, never a global sort",
+)
+def graph_degree_topk(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outd = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"), F.sum("w").cast("long").alias("out_w")
+    )
+    ind = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg"), F.sum("w").cast("long").alias("in_w")
+    )
+    return (
+        n.join(outd, n.n_nationkey == outd.id, "left")
+        .join(ind, n.n_nationkey == ind.id, "left")
+        .select(
+            n.n_nationkey.alias("nation_id"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("out_w", F.lit(0)).alias("out_w"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("in_w", F.lit(0)).alias("in_w"),
+        )
+        .orderBy(
+            (F.col("out_w") + F.col("in_w")).desc(), "nation_id"
+        )
+        .limit(10)
+    )

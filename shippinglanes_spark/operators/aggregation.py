@@ -9,6 +9,7 @@ CAST to BIGINT because sum(int) there is HUGEINT.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core import fan_out, money
@@ -631,4 +632,53 @@ def agg_concentration(spark, sf_dir):
             )
             / 1_000_000.0
         ).alias("top_share"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    section="2.4",
+    oracle="""
+    WITH g AS (SELECT l_returnflag,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+               FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT l_returnflag, cents, q,
+                 SUM(q) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cq,
+                 SUM(q) OVER (PARTITION BY l_returnflag) AS tq
+          FROM g)
+    SELECT l_returnflag,
+           CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+    FROM c WHERE 2 * cq >= tq GROUP BY l_returnflag
+    """,
+    notes="weighted median (quantity-weighted price): collapse to "
+    "(key, value) weight sums first — the shuffle carries distinct "
+    "values, not rows — then a keyed cumulative-weight window and the "
+    "smallest value whose cumweight crosses half. Exact integer cents "
+    "and weights, so no float-boundary ambiguity; the general weighted- "
+    "quantile shape importance-sampling pipelines need",
+)
+def agg_weighted_median(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("q").cast("long").alias("q"))
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("cents")
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "cents",
+        F.sum("q").over(wc).alias("cq"),
+        F.sum("q").over(wt).alias("tq"),
+    )
+    return (
+        c.where(2 * F.col("cq") >= F.col("tq"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").cast("long").alias("wmedian_cents"))
     )

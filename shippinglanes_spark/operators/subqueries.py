@@ -115,3 +115,37 @@ def sql_api_analytics(spark, sf_dir):
         FROM monthly
         """
     )
+
+
+@register(
+    "sql_pivot_surface",
+    section="2.2",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+             AS n_open,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+             AS n_filled,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+             AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+    notes="the SQL PIVOT clause surface (spark.sql front-end, not the "
+    "DataFrame .pivot API that agg_pivot covers) — compiles to the same "
+    "single hash aggregate with conditional counts; oracle spells the "
+    "CASE expansion",
+)
+def sql_pivot_surface(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               coalesce(O, 0) AS n_open,
+               coalesce(F, 0) AS n_filled,
+               coalesce(P, 0) AS n_partial
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS O, 'F' AS F, 'P' AS P))
+        """
+    )

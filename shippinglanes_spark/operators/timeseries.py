@@ -513,3 +513,46 @@ def ts_pct_change(spark, sf_dir):
             / 1_000_000.0
         ).alias("pct_change"),
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    section="2.10",
+    oracle="""
+    WITH med AS (SELECT user_id, MEDIAN(value) AS med FROM events
+                 GROUP BY user_id),
+    mad AS (SELECT e.user_id, med.med,
+                   MEDIAN(ABS(e.value - med.med)) AS mad
+            FROM events e JOIN med ON e.user_id = med.user_id
+            GROUP BY e.user_id, med.med)
+    SELECT e.user_id, e.event_id,
+           FLOOR(ABS(e.value - m.med) / m.mad * 10000) / 10000.0
+             AS dev_ratio
+    FROM events e JOIN mad m ON e.user_id = m.user_id
+    WHERE m.mad > 0 AND ABS(e.value - m.med) > 3 * m.mad
+    """,
+    notes="robust per-key outlier mining: median absolute deviation "
+    "instead of evt_anomaly's z-score (mean/std are themselves hijacked "
+    "by the outliers they hunt). Two keyed exact-median aggregations + "
+    "one flagging pass, all shuffling on user_id — the monitoring shape "
+    "that survives heavy-tailed telemetry",
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """MAD outliers: |x - median| > 3 * median(|x - median|). Exact
+    interpolated medians on both engines; dev_ratio floor-disciplined."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    j = ev.join(med, "user_id")
+    mad = j.groupBy("user_id", "med").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        ev.join(mad, "user_id")
+        .where((F.col("mad") > 0) & (dev > 3 * F.col("mad")))
+        .select(
+            "user_id",
+            "event_id",
+            (F.floor(dev / F.col("mad") * 10000) / 10000.0).alias("dev_ratio"),
+        )
+    )

@@ -141,6 +141,7 @@ def _load_all() -> None:
         multimodal,
         pipeline,
         pipeline2,
+        pipeline3,
         ranking,
         scalar,
         similarity,
