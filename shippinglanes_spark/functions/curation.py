@@ -107,9 +107,15 @@ def text_repetition(spark, sf_dir):
     "shingle equi-join — corpus-linear, the bucketed dedup shape",
 )
 def text_boilerplate(spark, sf_dir):
+    from .text import shingles_of_tokens
+
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = (
-        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        d.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("__toks"))).alias("shingle"),
+        )
         .where(F.col("shingle") != "")
         .distinct()
     )

@@ -42,9 +42,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     over the distinct set, so the signature is set-semantics-exact
     without paying a distinct's extra shuffle. fan_out lifts the
     explode off a single-split source (see core.fan_out)."""
+    # two-step tokenize-then-shingle: explode over the inlined HOF
+    # expression evaluates it interpreted per generated row (~10x cost,
+    # see text.shingles perf note)
+    from .text import shingles_of_tokens
+
     sh = (
         fan_out(docs.select(id_col, text_col))
-        .select(id_col, F.explode(shingles(F.col(text_col))).alias("shingle"))
+        .select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+        .select(
+            id_col,
+            F.explode(shingles_of_tokens(F.col("__toks"))).alias("shingle"),
+        )
         .where(F.col("shingle") != "")
     )
     mins = [

@@ -320,31 +320,38 @@ def pipeline_decontaminate(spark, sf_dir):
     shingle machinery as the dedup family; the benchmark side collapses
     to a broadcast set, so cost is one scan + one keyed distinct over
     the corpus shingles."""
-    from .text import shingles
+    from ..core import fan_out
+    from .text import shingles_of_tokens
 
     d = table(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
+    # per-row array_distinct BEFORE exploding: the exploded stream is
+    # already duplicate-free per doc, so the former corpus-wide
+    # (doc_id, shingle) DISTINCT shuffle disappears entirely. Tokenize
+    # in a SEPARATE select (two-step pattern, text.shingles perf note):
+    # under a Generate the inlined HOF expression runs interpreted per
+    # generated row, ~10x the cost.
+    shs = F.array_distinct(
+        F.filter(shingles_of_tokens(F.col("__toks")), lambda x: x != "")
     )
-    bench_ids = d.where(F.col("doc_id") % 50 == 0).select("doc_id")
     bsh = (
-        sh.join(bench_ids, "doc_id", "left_semi").select("shingle").distinct()
-    )
-    hits = (
-        sh.join(F.broadcast(bsh), "shingle", "left_semi")
-        .select("doc_id")
+        d.where(F.col("doc_id") % 50 == 0)
+        .select(F.split("text", " ").alias("__toks"))
+        .select(F.explode(shs).alias("shingle"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    return (
+    train = fan_out(
         d.where(F.col("doc_id") % 50 != 0)
-        .select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(F.col("hit"), F.lit(0)).alias("contaminated")
-        )
+        .select("doc_id", F.split("text", " ").alias("__toks"))
+        .select("doc_id", shs.alias("shs"))
+    )
+    # one map-side-combined aggregate: per-doc max(hit) collapses on the
+    # map side, so the only corpus-sized shuffle carries one row per doc
+    return (
+        train.select("doc_id", F.explode_outer("shs").alias("shingle"))
+        .join(F.broadcast(bsh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("hit", F.lit(0))).cast("int").alias("contaminated"))
     )
 
 

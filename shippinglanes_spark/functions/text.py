@@ -229,8 +229,21 @@ def shingles(text_col, k: int = 3):
     sequence(1, stop) with stop < 1 produces a *descending* sequence
     (not empty), which would drive element_at out of bounds — so the
     short-doc case is guarded explicitly, matching DuckDB's empty list.
-    """
-    toks = F.split(text_col, " ")
+
+    PERF: this inlines split(text) k+1 times inside a higher-order
+    lambda, which Catalyst evaluates INTERPRETED (HOFs break codegen)
+    with no common-subexpression elimination — fine in a plain
+    projection, but ~10x slower when the expression sits under a
+    Generate/explode. Hot paths should tokenize in a SEPARATE select
+    first and call shingles_of_tokens on the materialized column
+    (CollapseProject will not re-inline a multiply-referenced non-cheap
+    alias, so the split stays computed once per row)."""
+    return shingles_of_tokens(F.split(text_col, " "), k)
+
+
+def shingles_of_tokens(toks, k: int = 3):
+    """k-gram shingles from an ALREADY-TOKENIZED array column — the
+    explode-friendly form (see shingles() perf note)."""
     return F.when(
         F.size(toks) >= k,
         F.transform(
