@@ -422,3 +422,29 @@ def stream_rate_limit(spark, sf_dir):
     from .stateful import rate_limited_events
 
     return _drain(rate_limited_events(spark, sf_dir), "stream_ratelimit", "update")
+
+
+@register(
+    "stream_transform_with_state",
+    section="2.10",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY user_id
+    """,
+    notes="the Spark 4 transformWithStateInPandas arbitrary-state API "
+    "(StatefulProcessor + typed ValueState handles — the successor to "
+    "applyInPandasWithState, with timers/TTL/multiple state variables): "
+    "per-user activity profile accumulated across micro-batches, drained "
+    "final rows hash-equal to the batch aggregate. NOT driver-declared: "
+    "the TWS state-server protocol needs google.protobuf, absent from "
+    "this container (environment-gated like multimodal_decode's codecs); "
+    "tests/test_streaming.py runs it where protobuf exists",
+    declare=False,
+)
+def stream_transform_with_state(spark, sf_dir):
+    from .stateful import user_activity_tws
+
+    return _drain(user_activity_tws(spark, sf_dir), "stream_tws", "update")

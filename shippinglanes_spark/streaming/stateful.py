@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -157,4 +158,91 @@ def rate_limited_events(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_types", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+TWS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("types", ArrayType(StringType())),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def user_activity_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    handles) that supersedes applyInPandasWithState: explicit state
+    variables, timers, and TTL support. State = (event count, distinct
+    event types, first/last event time); emits the running profile each
+    micro-batch, so the drained final row per user equals the batch
+    aggregate."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    apply_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = _eventtime_ts(
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    rows = stream.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+    class ActivityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, types, first_us, last_us = self._state.get()
+                types = set(types)
+            else:
+                n, types, first_us, last_us = 0, set(), None, None
+            for pdf in rows:
+                n += len(pdf)
+                types.update(pdf["event_type"])
+                lo = int(pdf["ts_us"].min())
+                hi = int(pdf["ts_us"].max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._state.update((n, sorted(types), first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [len(types)],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return rows.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ActivityProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

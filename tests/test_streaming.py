@@ -238,3 +238,37 @@ def test_exactly_once_sink_replay_idempotent(spark, sf_dir, tmp_path):
     }
     assert after == before
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) profile
+    must equal the batch aggregate. Skipped where the TWS state-server
+    dependency (protobuf) is absent — the environment gate is the
+    reason the query is registered with declare=False."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.first_us, r.last_us)
+        for r in Q["stream_transform_with_state"].fn(spark, sf_dir).collect()
+    }
+    from shippinglanes_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.t, r.f, r.l)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("t"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("f"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("l"),
+        )
+        .collect()
+    }
+    assert got == want
