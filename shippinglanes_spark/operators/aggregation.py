@@ -682,3 +682,31 @@ def agg_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("cents").cast("long").alias("wmedian_cents"))
     )
+
+
+@register(
+    "agg_percentile_disc",
+    section="2.4",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_disc,
+           quantile_disc(value, 0.9) AS p90_disc
+    FROM events GROUP BY event_type
+    """,
+    notes="DISCRETE percentiles (an actual data value, never an "
+    "interpolation — what latency SLO reporting wants): Spark's "
+    "percentile_disc ordered-set aggregate vs DuckDB quantile_disc, "
+    "both 'smallest value with cume_dist >= q'. Complements "
+    "agg_quantiles' interpolated pair; no float arithmetic at all, so "
+    "no rounding discipline needed",
+)
+def agg_percentile_disc(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "p50_disc"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias(
+            "p90_disc"
+        ),
+    )

@@ -561,3 +561,109 @@ def geo_encounters(spark, sf_dir):
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_meetings"))
     )
+
+
+@register(
+    "geo_convoys",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    meets AS (SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b,
+                     CAST(FLOOR(a.ts_us / 43200000000.0) AS BIGINT) AS tb
+              FROM fixes a JOIN fixes b
+                ON a.user_id < b.user_id
+               AND ABS(a.lat - b.lat) <= 0.5 AND ABS(a.lon - b.lon) <= 0.5
+               AND ABS(a.ts_us - b.ts_us) <= 43200000000),
+    runs AS (SELECT id_a, id_b, tb,
+                    tb - ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                            ORDER BY tb) AS island
+             FROM meets),
+    streaks AS (SELECT id_a, id_b, island,
+                       CAST(COUNT(*) AS BIGINT) AS run_len
+                FROM runs GROUP BY 1, 2, 3)
+    SELECT id_a, id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_bins,
+           CAST(SUM(run_len) AS BIGINT) AS n_bins
+    FROM streaks GROUP BY id_a, id_b
+    HAVING SUM(run_len) >= 2
+    """,
+    notes="repeated-encounter / convoy mining: vessel pairs meeting in "
+    ">= 2 distinct 12-hour bins, with the max CONSECUTIVE-bin run — "
+    "geo_encounters' spacetime grid join composed with gaps-and-islands "
+    "(tb - row_number) per pair. Persistence separates convoys from "
+    "crossings; same bucketed equi-join skeleton, one extra keyed "
+    "window — corpus-linear. Oracle = DuckDB IEJoin + the same island "
+    "trick",
+)
+def geo_convoys(spark, sf_dir):
+    """Pairs meeting in >= 2 consecutive hour bins. The meeting relation
+    reuses the 3x3x3 grid-bucket equi-join (never n²); bin streaks are
+    the standard gaps-and-islands window, keyed by pair."""
+    from pyspark.sql import Window
+
+    EPS_DEG = 0.5
+    EPS_US = 43_200_000_000  # 12-hour bins
+    fx = _fixes(spark, sf_dir)
+    cx = F.floor(F.col("lon") / EPS_DEG)
+    cy = F.floor(F.col("lat") / EPS_DEG)
+    tb = F.floor(F.col("ts_us") / EPS_US)
+    home = fx.select(
+        F.col("user_id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("ts_us").alias("ts_b"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+        tb.alias("tb"),
+    )
+    offsets = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy, {dt} AS dt)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dt in (-1, 0, 1)
+    )
+    probe = fx.select(
+        F.col("user_id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("ts_us").alias("ts_a"),
+        cx.alias("pcx"),
+        cy.alias("pcy"),
+        tb.alias("ptb"),
+        F.expr(f"explode(array({offsets}))").alias("o"),
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        "ts_a",
+        "ptb",
+        (F.col("pcx") + F.col("o.dx")).alias("cx"),
+        (F.col("pcy") + F.col("o.dy")).alias("cy"),
+        (F.col("ptb") + F.col("o.dt")).alias("tb"),
+    )
+    meets = (
+        probe.join(home, ["cx", "cy", "tb"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("lat_a") - F.col("lat_b")) <= EPS_DEG)
+            & (F.abs(F.col("lon_a") - F.col("lon_b")) <= EPS_DEG)
+            & (F.abs(F.col("ts_a") - F.col("ts_b")) <= EPS_US)
+        )
+        .select("id_a", "id_b", F.col("ptb").alias("mtb"))
+        .distinct()
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy("mtb")
+    runs = meets.withColumn("island", F.col("mtb") - F.row_number().over(w))
+    streaks = runs.groupBy("id_a", "id_b", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        streaks.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("run_len").cast("long").alias("max_run_bins"),
+            F.sum("run_len").cast("long").alias("n_bins"),
+        )
+        .where(F.col("n_bins") >= 2)
+    )

@@ -149,3 +149,75 @@ def sql_pivot_surface(spark, sf_dir):
         PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS O, 'F' AS F, 'P' AS P))
         """
     )
+
+
+@register(
+    "subquery_exists",
+    section="2.2",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderstatus = 'O')
+    """,
+    notes="correlated EXISTS through the SQL front-end — Catalyst "
+    "decorrelates it to a left-semi hash join (asserted in "
+    "tests/test_plans.py), never a per-row re-execution",
+)
+def subquery_exists(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_orderstatus = 'O')
+        """
+    )
+
+
+@register(
+    "subquery_not_in_nulls",
+    section="2.2",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT nullif(o_custkey, 7) FROM orders)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o
+                   WHERE nullif(o.o_custkey, 7) = c.c_custkey)) AS BIGINT)
+        AS n_not_exists
+    """,
+    notes="the NOT IN null trap, certified on both engines: a single NULL "
+    "in the subquery makes NOT IN three-valued-logic empty (n_not_in = "
+    "0) while NOT EXISTS keeps anti-join semantics — the correctness "
+    "divergence every SQL engine must honor and every migration guide "
+    "warns about. Spark plans the NOT IN as a null-aware anti join",
+)
+def subquery_not_in_nulls(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN
+                      (SELECT nullif(o_custkey, 7) FROM orders)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS
+                      (SELECT 1 FROM orders o
+                       WHERE nullif(o.o_custkey, 7) = c.c_custkey)) AS BIGINT)
+            AS n_not_exists
+        """
+    )

@@ -345,3 +345,53 @@ def source_schema_evolution(spark, sf_dir):
         F.count("o_clerk_id").alias("n_with_clerk"),
         F.sum(F.coalesce("o_clerk_id", F.lit(0))).cast("long").alias("clerk_sum"),
     )
+
+
+@register(
+    "multimodal_blob_dedup",
+    section="2.9",
+    oracle="""
+    WITH f AS (SELECT a.doc_id AS doc_id, b.text AS text
+               FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 7
+               WHERE a.doc_id < 100)
+    SELECT md5(text || chr(10)) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM f GROUP BY 1
+    """,
+    notes="exact BINARY dedup over an object tree — the first pass of any "
+    "multimodal (image/audio/video) corpus build: ingest blobs via "
+    "binaryFile, digest the raw bytes JVM-side, one hash aggregate on "
+    "the digest (shuffle bytes = digests, never blobs), keep the "
+    "smallest key per content group. Planted duplicates (each of 100 "
+    "objects carries doc (id % 7)'s bytes) make the dedup observable; "
+    "bounded object count, so cost is sf-independent like "
+    "source_binaryfile",
+)
+def multimodal_blob_dedup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    out = _scratch(f"blob_dedup_{os.path.basename(sf_dir.rstrip('/'))}")
+    a = d.where(F.col("doc_id") < 100).select("doc_id")
+    b = d.select(F.col("doc_id").alias("src_id"), "text")
+    planted = a.join(
+        F.broadcast(b), (F.col("doc_id") % 7) == F.col("src_id")
+    ).select("doc_id", "text")
+    planted.write.mode("overwrite").partitionBy("doc_id").text(out)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+    )
+    return (
+        back.select(
+            F.regexp_extract("path", r"doc_id=(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.md5("content").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+    )

@@ -255,3 +255,13 @@ def test_dpp_injects_dynamic_pruning(spark, sf_dir):
     static filter."""
     p = plan(spark, sf_dir, "scan_dpp", mode="formatted")
     assert "dynamicpruning" in p
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """EXISTS through the SQL front-end must plan as a (broadcast or
+    shuffled) left-semi hash join — Catalyst decorrelation, never a
+    per-row subquery re-execution or nested loop."""
+    p = plan(spark, sf_dir, "subquery_exists", mode="simple")
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
