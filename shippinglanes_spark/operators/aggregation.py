@@ -710,3 +710,26 @@ def agg_percentile_disc(spark, sf_dir):
             "p90_disc"
         ),
     )
+
+
+@register(
+    "agg_bool_logic",
+    section="2.4",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_partial,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_filled
+    FROM orders GROUP BY o_orderpriority
+    """,
+    notes="boolean aggregate surface: bool_and / bool_or / count_if — "
+    "the data-quality-assertion trio (\"do ALL rows satisfy X, does ANY "
+    "row violate Y\"); partial-agg combinable like any other aggregate",
+)
+def agg_bool_logic(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_partial"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+    )

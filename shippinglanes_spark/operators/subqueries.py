@@ -221,3 +221,35 @@ def subquery_not_in_nulls(spark, sf_dir):
             AS n_not_exists
         """
     )
+
+
+@register(
+    "join_lateral",
+    section="2.3",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) t
+    """,
+    notes="LATERAL correlated subquery (top-2 orders per customer) "
+    "through the SQL front-end: Catalyst rewrites the per-row LIMIT "
+    "into a windowed rank over one keyed shuffle — the decorrelation "
+    "that makes LATERAL scale instead of re-executing per outer row",
+)
+def join_lateral(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        """
+    )

@@ -556,3 +556,105 @@ def ts_anomaly_mad(spark, sf_dir):
             (F.floor(dev / F.col("mad") * 10000) / 10000.0).alias("dev_ratio"),
         )
     )
+
+
+@register(
+    "ts_m4_downsample",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT epoch_us(ts) AS ts_us, value, event_id FROM events),
+    b AS (SELECT *, CAST(FLOOR(ts_us / 21600000000.0) AS BIGINT) AS bucket
+          FROM e),
+    r AS (SELECT bucket, value, event_id, ts_us,
+                 ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY ts_us, event_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY ts_us DESC, event_id DESC) AS rl
+          FROM b)
+    SELECT bucket,
+           ROUND(MIN(value), 4) AS v_min,
+           ROUND(MAX(value), 4) AS v_max,
+           ROUND(MAX(CASE WHEN rf = 1 THEN value END), 4) AS v_first,
+           ROUND(MAX(CASE WHEN rl = 1 THEN value END), 4) AS v_last,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY bucket
+    """,
+    notes="M4 downsampling (per-bucket min/max/first/last) — the "
+    "error-free line-chart reduction for time-series dashboards: 100 TB "
+    "of points become 4 values per pixel column with zero visual "
+    "difference. min_by/max_by on the (ts, id) tiebreak keeps "
+    "first/last deterministic; one map-side-combined aggregate",
+)
+def ts_m4_downsample(spark, sf_dir):
+    from ..core import epoch_us
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        epoch_us("ts").alias("ts_us"), "value", "event_id"
+    ).withColumn(
+        "bucket", F.floor(F.col("ts_us") / 21_600_000_000.0).cast("long")
+    )
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return e.groupBy("bucket").agg(
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        F.round(F.min_by("value", key), 4).alias("v_first"),
+        F.round(F.max_by("value", key), 4).alias("v_last"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "evt_time_to_event",
+    section="2.10",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                        AS first_signup,
+                      MIN(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts) END) AS first_purchase
+               FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(CASE WHEN first_purchase > first_signup THEN 1 END)
+                AS BIGINT) AS n_converted,
+           CAST(COALESCE(MIN(CASE WHEN first_purchase > first_signup
+                             THEN first_purchase - first_signup END), 0)
+                AS BIGINT) AS min_lag_us,
+           CAST(COALESCE(CAST(FLOOR(MEDIAN(
+                  CASE WHEN first_purchase > first_signup
+                       THEN first_purchase - first_signup END))
+                  AS BIGINT), 0) AS BIGINT) AS med_lag_us
+    FROM f WHERE first_signup IS NOT NULL
+    """,
+    notes="time-to-event (signup -> first purchase) conversion funnel with "
+    "lag distribution: one conditional-min aggregate per user (map-side "
+    "combined), then a scalar summary — the survival-analysis first "
+    "stats every activation dashboard needs. Exact integer microsecond "
+    "lags; the interpolated even-count median is FLOORed before the cast "
+    "on both engines (DuckDB CAST rounds half-even, Spark truncates)",
+)
+def evt_time_to_event(spark, sf_dir):
+    from ..core import epoch_us
+
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase"
+        ),
+    )
+    lag = F.when(
+        F.col("first_purchase") > F.col("first_signup"),
+        F.col("first_purchase") - F.col("first_signup"),
+    )
+    return f.where(F.col("first_signup").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count(lag).alias("n_converted"),
+        F.coalesce(F.min(lag), F.lit(0)).cast("long").alias("min_lag_us"),
+        F.coalesce(F.floor(F.median(lag)).cast("long"), F.lit(0))
+        .cast("long")
+        .alias("med_lag_us"),
+    )
