@@ -210,3 +210,41 @@ def agg_ab_test(spark, sf_dir):
             "mean_diff"
         ),
     )
+
+
+@register(
+    "udf_sql_function",
+    section="2.11",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+             AS charge_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="SQL scalar UDF (CREATE FUNCTION ... RETURN expr) — the "
+    "catalog-managed function surface: the body is a plain expression, "
+    "so Catalyst INLINES it into whole-stage codegen (no Python, no "
+    "serialization boundary — unlike udf_scalar_pandas). Oracle inlines "
+    "the same expression; exact integer cents",
+)
+def udf_sql_function(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION line_charge_cents(
+            p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(p * (1 - d) * (1 + t) * 100) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(line_charge_cents(l_extendedprice, l_discount,
+                                          l_tax)) AS BIGINT) AS charge_cents
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
