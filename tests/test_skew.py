@@ -38,3 +38,51 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n_salts_used == 8
+
+
+def test_aqe_skew_join_splits_partitions(spark):
+    """AQE's skew-join handling must kick in on a constructed hot key:
+    with skewJoin enabled and thresholds lowered, the post-shuffle sort-
+    merge join reports OptimizeSkewedJoin having split the hot partition
+    (isSkew=true in the final plan). This is the runtime re-plan relied
+    on at 100 TB when salting isn't wired in by hand."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 200k rows on ONE key vs 5k spread over 100 keys + pad to defeat
+        # compression into a sub-threshold partition
+        big = spark.range(60_000).select(
+            F.when(F.col("id") % 50 < 49, F.lit(0))
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        small = spark.range(101).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = big.join(small, "k")
+        # execute THIS DataFrame's own QueryExecution (.count()/.write
+        # build a different one and the cached plan stays pre-adaptive)
+        rows = j.collect()
+        assert len(rows) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "isSkew=true" in plan or "skewed" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
