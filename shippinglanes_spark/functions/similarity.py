@@ -371,8 +371,13 @@ def pq_knn(spark, emb, m: int = 8, ksub: int = 256, k: int = 1):
     for j in range(m):
         sub = mat[:, j * dsub : (j + 1) * dsub]
         cb = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)].copy()
+        sub_sq = (sub**2).sum(axis=1, keepdims=True)
         for _ in range(8):
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2 via matmul: ~50x the
+            # broadcast-subtract formulation at fit size (argmin is
+            # translation-invariant, the constant ||a||^2 term included
+            # only for clarity)
+            d2 = sub_sq - 2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
             for c in range(len(cb)):
                 members = sub[assign == c]
@@ -389,7 +394,8 @@ def pq_knn(spark, emb, m: int = 8, ksub: int = 256, k: int = 1):
             codes = np.empty((len(x), m), dtype=np.int32)
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
-                d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                cb = bks[j]
+                d2 = -2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": np.asarray(pdf["vec_id"], dtype=np.int64),
