@@ -24,5 +24,9 @@ def oracle_con(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle(spark, sf_dir, oracle_con, name):
+    if not QUERIES[name].declare:
+        # environment-gated queries (e.g. transformWithState needs
+        # protobuf) have their own importorskip-guarded tests
+        pytest.skip(f"{name} is declare=False (environment-gated)")
     report = compare(spark, QUERIES[name], sf_dir, con=oracle_con)
     assert report["rows"] >= 0
