@@ -290,3 +290,114 @@ def graph_degree_topk(spark, sf_dir):
         )
         .limit(10)
     )
+
+
+@register(
+    "pipeline_lm_score",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tri AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS g
+            FROM t),
+    c3 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n3 FROM tri GROUP BY g),
+    c2 AS (SELECT string_split(g, ' ')[1] || ' ' || string_split(g, ' ')[2]
+                    AS ctx,
+                  CAST(SUM(n3) AS BIGINT) AS n2
+           FROM c3 GROUP BY 1),
+    lm AS (SELECT c3.g, CAST(c3.n3 * 1000000 // c2.n2 AS BIGINT) AS ppm
+           FROM c3 JOIN c2
+             ON string_split(c3.g, ' ')[1] || ' ' ||
+                string_split(c3.g, ' ')[2] = c2.ctx)
+    SELECT tri.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(SUM(lm.ppm) // COUNT(*) AS BIGINT) AS avg_ppm
+    FROM tri JOIN lm ON tri.g = lm.g
+    GROUP BY tri.doc_id
+    """,
+    notes="LM-based quality scoring: score every document by the mean "
+    "conditional probability of its trigrams under the corpus trigram "
+    "LM (pipeline_ngram_lm's table) — the model-based filtering step "
+    "after heuristic gates. Exact INTEGER ppm probabilities (n3*1e6 DIV "
+    "n2) summed and integer-divided, so the distributed float-sum "
+    "order-dependence problem never exists. Corpus pass -> LM counts -> "
+    "one join back; at 100 TB the LM table is the top-k pruned "
+    "vocabulary and broadcasts",
+)
+def pipeline_lm_score(spark, sf_dir):
+    from ..core import fan_out
+    from .text import shingles_of_tokens
+
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tri = (
+        d.select("doc_id", F.split("text", " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("__toks"))).alias("g"),
+        )
+        .localCheckpoint()  # feeds the LM build AND the scoring join once
+    )
+    c3 = tri.groupBy("g").agg(F.count(F.lit(1)).alias("n3"))
+    ctx_of = F.concat_ws(
+        " ",
+        F.element_at(F.split("g", " "), 1),
+        F.element_at(F.split("g", " "), 2),
+    )
+    c2 = c3.groupBy(ctx_of.alias("ctx")).agg(
+        F.sum("n3").cast("long").alias("n2")
+    )
+    lm = c3.join(c2, ctx_of == F.col("ctx")).select(
+        "g", F.expr("n3 * 1000000 DIV n2").alias("ppm")
+    )
+    return (
+        tri.join(lm, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.expr("SUM(ppm) DIV COUNT(*)").alias("avg_ppm"),
+        )
+    )
+
+
+@register(
+    "pipeline_bpe_merges",
+    section="2.9",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, greatest(len(tok), 1)),
+                         i -> substr(tok, i, 2))) AS pair
+           FROM w WHERE len(tok) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg WHERE len(pair) = 2
+    GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+    notes="the first BPE merge table: corpus-wide adjacent character-pair "
+    "counts within tokens, top-20 — the inner statistic of every "
+    "byte-pair tokenizer build (each BPE iteration recomputes exactly "
+    "this after applying the previous merge). Two-step explode keeps "
+    "the substring generation codegen'd; count is map-side combined; "
+    "top-k is TakeOrdered, never a global sort",
+)
+def pipeline_bpe_merges(spark, sf_dir):
+    from ..core import fan_out
+
+    d = fan_out(table(spark, sf_dir, "documents").select("text"))
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    ).where(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
