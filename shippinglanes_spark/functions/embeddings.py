@@ -303,3 +303,52 @@ def emb_top_pc(spark, sf_dir):
     v = top_principal_component(spark, table(spark, sf_dir, "embeddings"))
     rows = [(int(i), float(round(x, 4))) for i, x in enumerate(v)]
     return spark.createDataFrame(rows, "dim int, loading double")
+
+
+@register(
+    "emb_whiten",
+    section="2.9",
+    oracle=None,
+    notes="dominant-direction removal (ABTT/'all-but-the-top' style "
+    "whitening): project every embedding onto the corpus top principal "
+    "component and subtract — the standard preprocessing that improves "
+    "cosine-similarity quality on anisotropic embedding spaces. The PC "
+    "comes from emb_top_pc's single-pass distributed Gram + driver "
+    "eigensolve; the projection is a broadcast dot product per row "
+    "(zero shuffles). No SQL oracle (eigensolve); residual "
+    "orthogonality and norm-reduction are asserted in "
+    "tests/test_embeddings.py",
+)
+def emb_whiten(spark, sf_dir):
+    """residual = x - (x . v) v against the broadcast top PC; outputs
+    per-vector projection coefficient and residual norm (rounded for
+    display only — the op itself is exact float arithmetic)."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = np.asarray(top_principal_component(spark, emb), dtype=np.float64)
+    b_v = spark.sparkContext.broadcast(v)
+
+    def project(batches):
+        import pandas as pd
+
+        vv = b_v.value
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            coef = x @ vv
+            resid = x - coef[:, None] * vv[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(pdf["vec_id"], dtype=np.int64),
+                    "coef": np.round(coef, 6),
+                    "resid_norm": np.round(np.linalg.norm(resid, axis=1), 6),
+                    "orig_norm": np.round(np.linalg.norm(x, axis=1), 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project,
+        schema="vec_id long, coef double, resid_norm double, orig_norm double",
+    )

@@ -95,3 +95,20 @@ def test_top_pc_fixture_variance_floor(spark, sf_dir):
     lam1 = float(np.linalg.eigvalsh(cov)[-1])
     rayleigh = float(v @ cov @ v)
     assert rayleigh >= 0.9 * lam1, (rayleigh, lam1)
+
+
+def test_whiten_residuals_orthogonal_and_shorter(spark, sf_dir):
+    """Residuals must satisfy the projection identities:
+    resid_norm^2 + coef^2 == orig_norm^2 (Pythagoras against a unit PC)
+    and resid_norm <= orig_norm; the mean |coef| must be materially
+    nonzero (the top PC actually captures variance)."""
+    import numpy as np
+
+    from shippinglanes_spark.registry import all_queries
+
+    out = all_queries()["emb_whiten"].fn(spark, sf_dir).toPandas()
+    lhs = out["resid_norm"] ** 2 + out["coef"] ** 2
+    rhs = out["orig_norm"] ** 2
+    assert np.allclose(lhs, rhs, rtol=1e-3)
+    assert (out["resid_norm"] <= out["orig_norm"] + 1e-6).all()
+    assert out["coef"].abs().mean() > 1e-3
