@@ -29,7 +29,6 @@ from pyspark.sql import Window as W
 from ..core import fan_out
 from ..io import table
 from ..registry import register
-from .text import shingles
 
 N_HASHES = 32
 N_BANDS = 8  # 4 rows per band

@@ -553,8 +553,6 @@ def pipeline_dedup_keep_best(spark, sf_dir):
 )
 def pipeline_ngram_lm(spark, sf_dir):
     from ..core import fan_out
-    from .text import shingles
-
     from .text import shingles_of_tokens
 
     d = fan_out(table(spark, sf_dir, "documents").select("text"))
