@@ -401,3 +401,56 @@ def pipeline_bpe_merges(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "pipeline_chunk_overlap",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, greatest(len(toks), 1), 24)) AS start
+          FROM t),
+    c AS (SELECT doc_id,
+                 CAST(start // 24 AS BIGINT) AS chunk_idx,
+                 toks[start + 1 : least(start + 32, n)] AS chunk
+          FROM s WHERE start < n)
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tok,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM c
+    """,
+    notes="RAG-style overlapping chunking: fixed 32-token windows at "
+    "stride 24 (8-token overlap) — the retrieval-corpus preparation "
+    "step between cleaning and embedding. Pure per-row array slicing "
+    "(sequence of starts -> slice), content-addressed chunk "
+    "fingerprints; zero shuffles — a 100 TB chunking pass is a pure "
+    "map. Engine-agnostic windows: both sides slice the same "
+    "whitespace token array",
+)
+def pipeline_chunk_overlap(spark, sf_dir):
+    from ..core import fan_out
+
+    CHUNK, STRIDE = 32, 24
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(STRIDE)
+            )
+        ).alias("start"),
+    ).where(F.col("start") < F.col("n"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK))
+    return s.select(
+        "doc_id",
+        F.expr(f"start DIV {STRIDE}").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
