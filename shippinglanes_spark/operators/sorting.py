@@ -246,3 +246,28 @@ def sort_skyline(spark, sf_dir):
             .alias("odate"),
         )
     )
+
+
+@register(
+    "sort_paginate",
+    section="2.6",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    notes="keyset-free pagination: ORDER BY ... LIMIT k OFFSET m — Spark "
+    "plans offset+limit as a single TakeOrdered of the first m+k rows "
+    "and drops the prefix, so page depth m is the real cost driver (the "
+    "reason deep pagination should switch to keyset predicates at "
+    "scale; noted, not hidden)",
+)
+def sort_paginate(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )

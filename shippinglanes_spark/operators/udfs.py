@@ -14,6 +14,8 @@ Arrow-batched pandas execution — never row-at-a-time Python UDFs:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -247,4 +249,84 @@ def udf_sql_function(spark, sf_dir):
                                           l_tax)) AS BIGINT) AS charge_cents
         FROM lineitem GROUP BY l_returnflag
         """
+    )
+
+
+@register(
+    "udf_iter_pandas",
+    section="2.11",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100) / 100.0
+             AS net_price
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    notes="ITERATOR-form pandas UDF (Iterator[Series] -> Iterator[Series]) "
+    "— same Arrow batching as the scalar form but the iterator contract "
+    "lets expensive per-executor init (model load, dictionary mmap) "
+    "happen once per partition instead of once per batch; the shape "
+    "model-scoring UDFs use",
+)
+def udf_iter_pandas(spark, sf_dir):
+    # Iterator/pd must be MODULE globals: `from __future__ import
+    # annotations` stringifies the hints and pandas_udf resolves them
+    # against the function's globals, not its closure
+    @pandas_udf("double")
+    def net(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # per-partition init happens HERE (once), not per batch
+        import numpy as np
+
+        factor = 1.0
+        # floor-discipline, not round: pandas rounds half-even, DuckDB
+        # scaled-multiplies — floor(x*100)/100 is exact IEEE on both
+        for s in batches:
+            yield np.floor(s * factor * 100.0) / 100.0
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    raw = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber", net(raw).alias("net_price")
+    )
+
+
+@register(
+    "udf_map_arrow",
+    section="2.11",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    notes="mapInArrow: the zero-copy RecordBatch-level Python boundary — "
+    "below pandas (no Series materialization, no index bookkeeping), "
+    "the fastest path for columnar Python libs (pyarrow.compute, "
+    "polars). Here a per-batch pyarrow.compute integerization feeds a "
+    "normal JVM aggregate",
+)
+def udf_map_arrow(spark, sf_dir):
+    def cents_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = pa.table(batch)
+            cents = pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [t["o_orderpriority"].combine_chunks(), cents.combine_chunks()
+                 if hasattr(cents, "combine_chunks") else cents],
+                names=["o_orderpriority", "cents"],
+            )
+
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    mapped = o.mapInArrow(
+        cents_batches, schema="o_orderpriority string, cents long"
+    )
+    return mapped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
     )
