@@ -67,8 +67,8 @@ HEADLINE = {
 STREAM_SKIP = set()
 
 
-def _isolated_child(name: str) -> None:
-    """Time one query on a fresh session (invoked as a subprocess so the
+def _isolated_child(names_csv: str) -> None:
+    """Time the given queries on ONE fresh session (a subprocess, so the
     JVM carries no sweep heap/JIT state). Prints one JSON line."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -78,38 +78,47 @@ def _isolated_child(name: str) -> None:
     registry = all_queries()
     # same warmup as the sweep session: JVM + parquet footer caches
     registry["agg_groupby"].fn(spark, sf_dir).collect()
-    # min of two full builds (re-planned each time, like the sweep) so the
-    # number reflects steady per-query cost on a quiet JVM, not first-run
-    # JIT compilation of this query's generated code
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({"name": name, "sec": round(best, 3)}))
+    out = {}
+    for name in names_csv.split(","):
+        # min of two full builds (re-planned each time, like the sweep) so
+        # the number reflects steady per-query cost on a quiet JVM, not
+        # first-run JIT compilation of this query's generated code
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        except Exception:
+            out[name] = -1.0  # visible failure marker, never silent
+    print(json.dumps(out))
 
 
 def _isolate_slowest(families: dict[str, float], k: int = 10) -> dict[str, float]:
-    """Re-run the k slowest sweep queries, each in its own fresh JVM."""
+    """Re-run the k slowest sweep queries in one fresh subprocess JVM
+    (quiet heap, no sweep GC/JIT interference; one JVM for all k keeps
+    the bench's wall-clock bounded)."""
     import subprocess
 
-    out: dict[str, float] = {}
     slowest = sorted(families, key=families.get, reverse=True)[:k]
-    for name in slowest:
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--isolated-child", name],
-                capture_output=True,
-                text=True,
-                timeout=600,
-            )
-            line = r.stdout.strip().splitlines()[-1]
-            out[name] = json.loads(line)["sec"]
-        except Exception:
-            out[name] = -1.0  # visible failure marker, never silent
-    return out
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--isolated-child",
+                ",".join(slowest),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {name: -1.0 for name in slowest}
 
 
 def main() -> None:
