@@ -665,3 +665,83 @@ def join_null_safe(spark, sf_dir):
     return a.join(b, a.ka.eqNullSafe(b.kb)).select(
         "event_id", F.col("ka").alias("k"), "n_purchases"
     )
+
+
+@register(
+    "join_asof_nearest",
+    section="2.3",
+    oracle="""
+    WITH vp AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_view_us,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_view_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT user_id, event_id, ts_us,
+           CASE
+             WHEN prev_view_us IS NULL THEN next_view_us
+             WHEN next_view_us IS NULL THEN prev_view_us
+             WHEN ts_us - prev_view_us <= next_view_us - ts_us
+               THEN prev_view_us
+             ELSE next_view_us
+           END AS nearest_view_us,
+           LEAST(COALESCE(ts_us - prev_view_us, 9223372036854775807),
+                 COALESCE(next_view_us - ts_us, 9223372036854775807))
+             AS gap_us
+    FROM vp WHERE event_type = 'purchase'
+    """,
+    notes="NEAREST as-of join (backward/forward exist as join_asof / "
+    "join_asof_forward): each purchase pairs with whichever view is "
+    "closest in time on either side, ties to the earlier one. Same "
+    "union + two running extrema formulation — ONE keyed shuffle, two "
+    "frames over one sort, no self-join; the sensor-alignment "
+    "semantics fusion pipelines want when drift can go either way",
+)
+def join_asof_nearest(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    vp = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    MAXL = 9223372036854775807
+    both = vp.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.max(view_ts).over(wb).alias("prev_view_us"),
+        F.min(view_ts).over(wf).alias("next_view_us"),
+    ).where(F.col("event_type") == "purchase")
+    back_gap = F.col("ts_us") - F.col("prev_view_us")
+    fwd_gap = F.col("next_view_us") - F.col("ts_us")
+    nearest = (
+        F.when(F.col("prev_view_us").isNull(), F.col("next_view_us"))
+        .when(F.col("next_view_us").isNull(), F.col("prev_view_us"))
+        .when(back_gap <= fwd_gap, F.col("prev_view_us"))
+        .otherwise(F.col("next_view_us"))
+    )
+    return both.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        nearest.alias("nearest_view_us"),
+        F.least(
+            F.coalesce(back_gap, F.lit(MAXL)), F.coalesce(fwd_gap, F.lit(MAXL))
+        ).alias("gap_us"),
+    )
