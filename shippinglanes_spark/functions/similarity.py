@@ -457,3 +457,85 @@ def pq_knn(spark, emb, m: int = 8, ksub: int = 256, k: int = 1):
 )
 def sim_knn_pq(spark, sf_dir):
     return pq_knn(spark, table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_hard_negatives",
+    section="2.9",
+    oracle="""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 SQRT(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS nrm
+          FROM v),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.label AS neg_label,
+                 list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+          FROM n a JOIN n b
+            ON a.vec_id <> b.vec_id AND a.label <> b.label)
+    SELECT id_a AS vec_id, id_b AS hard_neg_id, neg_label,
+           ROUND(cos, 4) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                    ORDER BY cos DESC, id_b) AS rn FROM p)
+    WHERE rn = 1
+    """,
+    notes="hard-negative mining for contrastive/retrieval training: each "
+    "vector's MOST similar OTHER-LABEL vector — the negative that "
+    "actually teaches the model. Same broadcast block-matmul as "
+    "sim_knn, with the label mask applied inside the scoring batch "
+    "(labels ride in the broadcast index); at corpus scale the "
+    "candidate set comes from the ANN index (sim_knn_ivf/pq) and the "
+    "label filter is unchanged",
+)
+def emb_hard_negatives(spark, sf_dir):
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = emb.select("vec_id", "label", "embedding").toPandas()
+    idx = idx.sort_values("vec_id")
+    ids = idx["vec_id"].to_numpy(dtype=np.int64)
+    labels = idx["label"].to_numpy(dtype=np.int64)
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in idx["embedding"]]
+    )
+    if len(mat) > MAX_INDEX_ROWS:
+        raise ValueError(
+            f"index {len(mat)} rows > MAX_INDEX_ROWS={MAX_INDEX_ROWS}; "
+            "use the ANN candidate path"
+        )
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_labels = spark.sparkContext.broadcast(labels)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def mine(batches):
+        import pandas as pd
+
+        iids, ilab, imat = b_ids.value, b_labels.value, b_mat.value
+        for pdf in batches:
+            q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ imat.T
+            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            qlab = np.asarray(pdf["label"], dtype=np.int64)
+            mask = (qids[:, None] == iids[None, :]) | (
+                qlab[:, None] == ilab[None, :]
+            )
+            sims[mask] = -np.inf
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": qids,
+                    "hard_neg_id": iids[best],
+                    "neg_label": ilab[best],
+                    "sim": np.round(sims[np.arange(len(best)), best], 4),
+                }
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        mine,
+        schema="vec_id long, hard_neg_id long, neg_label long, sim double",
+    )

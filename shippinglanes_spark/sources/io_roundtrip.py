@@ -395,3 +395,50 @@ def multimodal_blob_dedup(spark, sf_dir):
             F.min("doc_id").cast("long").alias("keeper"),
         )
     )
+
+
+@register(
+    "sink_csv_roundtrip",
+    section="2.1",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           md5(p_name || '|' || p_type) AS text_fp,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part WHERE p_partkey <= 500
+    """,
+    notes="CSV WRITE side (source_csv proves the read): header + quoteAll "
+    "out, schema-pinned read back, digests over the multi-word text "
+    "columns proving byte fidelity through the quote/escape path, and "
+    "integer cents proving the double survives decimal text roundtrip "
+    "— the interchange format every downstream consumer still asks for",
+)
+def sink_csv_roundtrip(spark, sf_dir):
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    out = _scratch(f"sink_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        p.select(
+            "p_partkey", "p_brand", "p_size", "p_name", "p_type",
+            "p_retailprice",
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema(
+            "p_partkey bigint, p_brand string, p_size bigint, "
+            "p_name string, p_type string, p_retailprice double"
+        )
+        .csv(out)
+    )
+    return back.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.md5(F.concat_ws("|", "p_name", "p_type")).alias("text_fp"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )

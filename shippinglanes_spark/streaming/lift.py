@@ -448,3 +448,41 @@ def stream_transform_with_state(spark, sf_dir):
     from .stateful import user_activity_tws
 
     return _drain(user_activity_tws(spark, sf_dir), "stream_tws", "update")
+
+
+@register(
+    "stream_topk_per_window",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                        AS day,
+                      event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM d)
+    WHERE rn <= 3
+    """,
+    notes="windowed top-k as a STREAM: complete-mode day/type counts "
+    "drained, then the rank applied over the drained state — the "
+    "trending-now dashboard shape; the hash match vs the batch "
+    "window-SQL proves the streaming aggregation state equals the "
+    "from-scratch counts before ranking",
+)
+def stream_topk_per_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    apply_runtime_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        as_date(F.date_trunc("day", F.col("ts"))).cast("string").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained = _drain(agg, "stream_topk", "complete")
+    w = Window.partitionBy("day").orderBy(F.desc("n"), "event_type")
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
