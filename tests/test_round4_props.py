@@ -1,0 +1,142 @@
+"""Brute-force property tests for round-4 operators: the oracle harness
+proves engine agreement; these prove the SEMANTICS against naive
+reference implementations on constructed inputs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    rng = random.Random(11)
+    rows = [
+        (chr(65 + rng.randrange(3)), rng.randrange(1, 2000), rng.randrange(1, 9))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, cents long, q long")
+    from pyspark.sql import Window
+
+    g = df.groupBy("k", "cents").agg(F.sum("q").alias("q"))
+    wc = Window.partitionBy("k").orderBy("cents")
+    wt = Window.partitionBy("k")
+    c = g.select(
+        "k", "cents",
+        F.sum("q").over(wc).alias("cq"), F.sum("q").over(wt).alias("tq"),
+    )
+    got = {
+        r.k: r.m
+        for r in c.where(2 * F.col("cq") >= F.col("tq"))
+        .groupBy("k")
+        .agg(F.min("cents").alias("m"))
+        .collect()
+    }
+
+    def brute(k):
+        vals = sorted(
+            (c, q) for kk, c, q in rows if kk == k
+        )
+        tot = sum(q for _, q in vals)
+        cum = 0
+        for c_, q in vals:
+            cum += q
+            if 2 * cum >= tot:
+                return c_
+
+    for k in "ABC":
+        assert got[k] == brute(k), k
+
+
+def test_chunk_overlap_covers_all_tokens(spark, sf_dir):
+    """Every token index must be covered by >= 1 chunk; chunk indexes are
+    contiguous from 0; every full-size chunk has CHUNK tokens and
+    consecutive chunks overlap by CHUNK - STRIDE."""
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.registry import all_queries
+
+    CHUNK, STRIDE = 32, 24
+    out = all_queries()["pipeline_chunk_overlap"].fn(spark, sf_dir).toPandas()
+    n_tok = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        idxs = grp["chunk_idx"].tolist()
+        assert idxs == list(range(len(idxs)))
+        n = n_tok[doc_id]
+        # coverage: last chunk starts at STRIDE*(len-1) and reaches n
+        last_start = STRIDE * idxs[-1]
+        assert last_start < n <= last_start + CHUNK
+        sizes = grp["n_tok"].tolist()
+        # each chunk is CHUNK tokens clipped at the doc end
+        for i, sz in zip(idxs, sizes):
+            assert sz == min(CHUNK, n - STRIDE * i)
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """join_asof_nearest semantics vs a per-row brute-force scan on
+    constructed views/purchases, including no-view-before and
+    no-view-after edges and an exact tie."""
+    rows = [
+        # user 1: views at 10, 30; purchases at 5 (-> 10), 19 (-> 10: back
+        # gap 9 < fwd 11), 20 (tie 10 vs 30 -> earlier = 10), 40 (-> 30)
+        (1, 101, "view", 10), (1, 102, "view", 30),
+        (1, 201, "purchase", 5), (1, 202, "purchase", 19),
+        (1, 203, "purchase", 20), (1, 204, "purchase", 40),
+        # user 2: no views at all -> nearest is NULL
+        (2, 301, "purchase", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_us long"
+    )
+    from pyspark.sql import Window
+
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    wb = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    both = df.select(
+        "user_id", "event_id", "event_type", "ts_us",
+        F.max(view_ts).over(wb).alias("p"),
+        F.min(view_ts).over(wf).alias("nx"),
+    ).where(F.col("event_type") == "purchase")
+    bg = F.col("ts_us") - F.col("p")
+    fg = F.col("nx") - F.col("ts_us")
+    nearest = (
+        F.when(F.col("p").isNull(), F.col("nx"))
+        .when(F.col("nx").isNull(), F.col("p"))
+        .when(bg <= fg, F.col("p"))
+        .otherwise(F.col("nx"))
+    )
+    got = {
+        r.event_id: r.n
+        for r in both.select("event_id", nearest.alias("n")).collect()
+    }
+    assert got == {201: 10, 202: 10, 203: 10, 204: 30, 301: None}
+
+
+def test_m4_downsample_preserves_extremes(spark, sf_dir):
+    """Per bucket: v_min <= v_first, v_last <= v_max, and the global
+    min/max of the series survive in the downsampled table (the M4
+    error-free guarantee for line rendering)."""
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.registry import all_queries
+
+    out = all_queries()["ts_m4_downsample"].fn(spark, sf_dir).toPandas()
+    assert (out["v_min"] <= out["v_first"] + 1e-9).all()
+    assert (out["v_min"] <= out["v_last"] + 1e-9).all()
+    assert (out["v_first"] <= out["v_max"] + 1e-9).all()
+    assert (out["v_last"] <= out["v_max"] + 1e-9).all()
+    ev = table(spark, sf_dir, "events").agg(
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    ).first()
+    assert abs(out["v_min"].min() - ev.lo) < 1e-9
+    assert abs(out["v_max"].max() - ev.hi) < 1e-9
