@@ -590,3 +590,37 @@ def fn_format(spark, sf_dir):
         F.reverse(F.col("p_brand")).alias("rev"),
         F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("joined"),
     )
+
+
+@register(
+    "fn_collate_ci",
+    section="2.8",
+    oracle="""
+    SELECT lower(p_brand) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part GROUP BY lower(p_brand)
+    """,
+    notes="case-insensitive grouping via Spark 4 COLLATION (UTF8_LCASE) — "
+    "the collation travels with the column through the aggregate, so "
+    "equality/grouping/joins become locale-aware WITHOUT rewriting "
+    "every expression in lower() (and without breaking pushdown the "
+    "way lower()-wrapping every predicate does). Output normalized to "
+    "lower for the oracle, which spells the same semantics the "
+    "pre-collation way",
+)
+def fn_collate_ci(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    ci = F.collate(F.col("p_brand"), "UTF8_LCASE")
+    return (
+        p.groupBy(ci.alias("brand_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .select(
+            F.lower(F.col("brand_ci").cast("string")).alias("brand_ci"),
+            "n",
+            "n_types",
+        )
+    )

@@ -155,3 +155,33 @@ def scan_dpp(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "scan_metadata_columns",
+    section="2.1",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) > 0 AS INT) AS size_known
+    FROM events
+    """,
+    notes="the hidden _metadata struct every file scan carries "
+    "(file_name / file_size / file_modification_time ...): the lineage "
+    "surface incremental pipelines use to attribute rows to source "
+    "objects without a manifest join. Grouping by _metadata.file_name "
+    "is free — it's a per-split constant, no shuffle widening",
+)
+def scan_metadata_columns(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("file_size") > 0).cast("int").alias("size_known"),
+        )
+    )
