@@ -667,3 +667,72 @@ def geo_convoys(spark, sf_dir):
         )
         .where(F.col("n_bins") >= 2)
     )
+
+
+N_ANCHORS = 16
+
+
+@register(
+    "geo_nearest_anchor",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    anchors AS (SELECT UNNEST(range({N_ANCHORS})) AS aid),
+    a2 AS (SELECT aid, (aid % 4) * 40 - 60 AS alat,
+                  (aid // 4) * 80 - 120 AS alon
+           FROM anchors),
+    assigned AS (
+      SELECT f.user_id, f.event_id,
+             (SELECT a.aid FROM a2 a
+              ORDER BY (f.lat - a.alat) * (f.lat - a.alat)
+                     + (f.lon - a.alon) * (f.lon - a.alon), a.aid
+              LIMIT 1) AS aid
+      FROM fixes f)
+    SELECT aid, CAST(COUNT(*) AS BIGINT) AS n_fixes,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels
+    FROM assigned GROUP BY aid
+    """,
+    notes="nearest-anchor assignment (zone/port attribution): the anchor "
+    "table is tiny and FIXED, so the argmin is a per-row fold over a "
+    "literal anchor array (higher-order aggregate) — no join, no "
+    "shuffle until the final per-anchor count. The shape for "
+    "assign-to-nearest-of-k-centroids when k is metadata-sized; "
+    "squared-degree distance keeps the argmin exact-integer-free but "
+    "deterministic (strict inequality, ties to smallest aid)",
+)
+def geo_nearest_anchor(spark, sf_dir):
+    fx = _fixes(spark, sf_dir)
+    anchors = [
+        (aid, (aid % 4) * 40 - 60, (aid // 4) * 80 - 120)
+        for aid in range(N_ANCHORS)
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(aid).alias("aid"),
+                F.lit(float(alat)).alias("alat"),
+                F.lit(float(alon)).alias("alon"),
+            )
+            for aid, alat, alon in anchors
+        ]
+    )
+    d2 = lambda a: (F.col("lat") - a["alat"]) * (  # noqa: E731
+        F.col("lat") - a["alat"]
+    ) + (F.col("lon") - a["alon"]) * (F.col("lon") - a["alon"])
+    best = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(-1).alias("aid"), F.lit(float("inf")).alias("dist")
+        ),
+        lambda acc, a: F.when(d2(a) < acc["dist"], F.struct(
+            a["aid"].alias("aid"), d2(a).alias("dist")
+        )).otherwise(acc),
+    )
+    return (
+        fx.select("user_id", "event_id", best["aid"].alias("aid"))
+        .groupBy("aid")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.countDistinct("user_id").alias("n_vessels"),
+        )
+    )

@@ -658,3 +658,44 @@ def evt_time_to_event(spark, sf_dir):
         .cast("long")
         .alias("med_lag_us"),
     )
+
+
+@register(
+    "ts_forecast_naive_backtest",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    l AS (SELECT day, n,
+                 LAG(n, 7) OVER (ORDER BY day) AS forecast
+          FROM d)
+    SELECT CAST(day AS VARCHAR) AS day, n, forecast,
+           CAST(ABS(n - forecast) AS BIGINT) AS abs_err,
+           CAST(ABS(n - forecast) * 1000000 // n AS BIGINT) AS ape_ppm
+    FROM l WHERE forecast IS NOT NULL
+    """,
+    notes="seasonal-naive forecast backtest: predict each day's volume "
+    "with the same weekday last week (lag-7 over the daily rollup) and "
+    "score per-day absolute and ppm relative error — the baseline every "
+    "capacity forecast must beat, and the backtest harness shape for "
+    "evaluating better models. Daily rollup is the only corpus-sized "
+    "pass; the lag runs on the calendar-bounded series. Exact integers "
+    "throughout",
+)
+def ts_forecast_naive_backtest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day")
+    l = d.withColumn("forecast", F.lag("n", 7).over(w))
+    return l.where(F.col("forecast").isNotNull()).select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "forecast",
+        F.abs(F.col("n") - F.col("forecast")).cast("long").alias("abs_err"),
+        F.expr("ABS(n - forecast) * 1000000 DIV n").alias("ape_ppm"),
+    )
