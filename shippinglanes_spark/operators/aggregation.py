@@ -764,3 +764,105 @@ def agg_grouping_id(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "profile_assertions",
+    section="2.4",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS check_name,
+             CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                   FROM orders) AS BIGINT) AS violations
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders_fk_customer',
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem_qty_positive',
+             CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'events_ts_not_null',
+             CAST((SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'events_type_in_domain',
+             CAST((SELECT COUNT(*) FROM events
+                   WHERE event_type NOT IN
+                         ('click','view','purchase','signup','error'))
+                  AS BIGINT)
+    ) ORDER BY check_name
+    """,
+    notes="the dbt-test-style data-quality audit as ONE query: PK "
+    "uniqueness, two FK integrity anti-joins, domain and null checks — "
+    "each a count of VIOLATIONS (0 = pass), unioned into a single "
+    "report. Anti-joins broadcast the smaller side; every check is one "
+    "aggregate, so the whole audit is a handful of map-side-combined "
+    "passes a scheduler can run nightly at 100 TB",
+)
+def profile_assertions(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "orders_pk_unique",
+            o.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_fk_orders",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        one(
+            "orders_fk_customer",
+            o.join(
+                c.select("c_custkey"),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        one(
+            "lineitem_qty_positive",
+            li.where(F.col("l_quantity") <= 0).agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        one(
+            "events_ts_not_null",
+            ev.where(F.col("ts").isNull()).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        one(
+            "events_type_in_domain",
+            ev.where(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out.orderBy("check_name")
