@@ -454,3 +454,50 @@ def pipeline_chunk_overlap(spark, sf_dir):
         F.size(chunk).cast("long").alias("n_tok"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )
+
+
+@register(
+    "pipeline_oversample_minority",
+    section="2.9",
+    oracle="""
+    WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY source),
+    mx AS (SELECT MAX(n) AS target FROM per),
+    k AS (SELECT source, n, GREATEST(target // n, 1) AS rep
+          FROM per CROSS JOIN mx),
+    blown AS (SELECT d.source, d.doc_id, UNNEST(range(k.rep)) AS copy
+              FROM documents d JOIN k ON d.source = k.source)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(copy) + 1 AS BIGINT) AS repeat_k,
+           CAST(COUNT(*) AS BIGINT) AS n_after
+    FROM blown GROUP BY source
+    """,
+    notes="deterministic minority oversampling: every source is repeated "
+    "floor(max_count / count) times toward the majority size — "
+    "integer repeat factors (no fractional sampling, no rand()), the "
+    "class-rebalance step before training on skewed source mixes. The "
+    "repeat table is metadata-sized and broadcast; the blow-up is one "
+    "explode of a per-row sequence",
+)
+def pipeline_oversample_minority(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mx = per.agg(F.max("n").alias("target"))
+    k = per.crossJoin(F.broadcast(mx)).select(
+        "source", F.greatest(F.expr("target DIV n"), F.lit(1)).alias("rep")
+    )
+    blown = (
+        d.select("source", "doc_id")
+        .join(F.broadcast(k), "source")
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("rep") - 1)).alias("copy"),
+        )
+    )
+    return blown.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.max("copy") + 1).cast("long").alias("repeat_k"),
+        F.count(F.lit(1)).alias("n_after"),
+    )
