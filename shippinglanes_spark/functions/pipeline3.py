@@ -501,3 +501,89 @@ def pipeline_oversample_minority(spark, sf_dir):
         (F.max("copy") + 1).cast("long").alias("repeat_k"),
         F.count(F.lit(1)).alias("n_after"),
     )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    section="2.9",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp,
+             substr(md5('ingest:' || CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+      FROM documents),
+    inc AS (SELECT doc_id, fp FROM fp WHERE nib IN ('0', '1')),
+    corp AS (SELECT DISTINCT fp FROM fp WHERE nib NOT IN ('0', '1'))
+    SELECT i.doc_id,
+           CASE WHEN c.fp IS NULL THEN 'new' ELSE 'dup_of_corpus' END
+             AS status
+    FROM inc i LEFT JOIN corp c ON i.fp = c.fp
+    """,
+    notes="ingestion-time incremental dedup: an incoming batch (a "
+    "deterministic content-addressed ~12.5% slice — stand-in for today's "
+    "crawl) is checked against the EXISTING corpus by content "
+    "fingerprint (md5 of normalized text) and each incoming doc is "
+    "labeled new / dup_of_corpus. The corpus side reduces to its "
+    "distinct fingerprint index before the join, so the probe is "
+    "fp-keyed hash join whose build side is fingerprints only — never "
+    "document bodies; at 100 TB this is the standard pattern of joining "
+    "the new partition against the persisted fingerprint index instead "
+    "of re-deduplicating the whole corpus. Near-dup admission runs the "
+    "same shape over MinHash band hashes (minhash.py); the exact "
+    "fingerprint form here is fully value-oracled",
+)
+def pipeline_incremental_dedup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    nib = F.substring(
+        F.md5(F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        nib.alias("nib"),
+    )
+    inc = fp.where(F.col("nib").isin("0", "1")).select("doc_id", "fp")
+    corp = (
+        fp.where(~F.col("nib").isin("0", "1")).select("fp").distinct()
+    )
+    c = corp.withColumnRenamed("fp", "cfp")
+    return inc.join(c, inc.fp == c.cfp, "left").select(
+        "doc_id",
+        F.when(F.col("cfp").isNull(), "new")
+        .otherwise("dup_of_corpus")
+        .alias("status"),
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    section="2.9",
+    oracle=None,
+    notes="the 100 TB path of dedup_embedding: hyperplane-LSH bucketed "
+    "candidate pairs (embedding_neardups — bucket-collect, sub-bucketed "
+    "hot buckets, linear anchor pairs past the cap) -> connected "
+    "components -> keep the smallest vec_id per cluster. No broadcast "
+    "index and no MAX_INDEX_ROWS cap anywhere: every stage is bucket- "
+    "or key-partitioned, so this composition survives arbitrary corpus "
+    "size, unlike the exact-pair dedup_embedding whose pair stage "
+    "broadcasts the index. Probabilistic recall (LSH) -> no value "
+    "oracle; planted-duplicate collapse is asserted in tests/"
+    "test_dedup.py and the keep-rule stage is the same code path "
+    "dedup_embedding value-checks",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    from .minhash import embedding_neardups
+    from .text import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardups(spark, emb).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    cluster = F.coalesce(F.col("label"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.id, "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).cast("int").alias("keep"),
+        )
+    )

@@ -223,6 +223,55 @@ def subquery_not_in_nulls(spark, sf_dir):
     )
 
 
+_REACH_SQL = """
+WITH RECURSIVE
+ecnt AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+thr AS (SELECT 1.0 * AVG(c) AS t FROM ecnt),
+e AS (SELECT src, dst FROM ecnt CROSS JOIN thr WHERE c >= t),
+reach(id, hops) AS (
+  SELECT n_nationkey, 0 FROM nation WHERE n_regionkey = 1
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN e ON e.src = r.id
+  WHERE r.hops < 4
+)
+SELECT id AS nation_id, CAST(MIN(hops) AS BIGINT) AS hops
+FROM reach GROUP BY id
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    section="2.2",
+    oracle=_REACH_SQL,
+    notes="WITH RECURSIVE (Spark 4 recursive CTE surface): multi-source "
+    "BFS min-hop reachability over the above-average-weight nation trade "
+    "graph, seeded from every region-1 nation, depth-capped at 4. The "
+    "edge threshold is RELATIVE (>= avg pair count) so graph sparsity — "
+    "and the hop distribution — is scale-invariant; integer sums make the "
+    "avg bit-identical across engines. MIN(hops) after the recursion "
+    "collapses the duplicate frontier paths UNION ALL produces. The "
+    "recursion operates on the graph-sized aggregate (nations^2 ceiling), "
+    "never the raw fact table, so each iteration is a tiny self-join — "
+    "the only data-sized work is the one edge aggregation. Identical "
+    "text runs on DuckDB as the oracle, but via the engine's own "
+    "recursive-CTE executor, not a passthrough",
+)
+def sql_recursive_cte(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
+
+
 @register(
     "join_lateral",
     section="2.3",

@@ -197,3 +197,39 @@ def test_connected_components_local_distributed_parity(spark):
         for r in connected_components(pairs, local_max=0).collect()
     }
     assert local == dist
+
+
+def test_dedup_embedding_lsh_collapses_planted_cluster(spark):
+    """dedup_embedding_lsh composition: a planted 3-vector near-dup
+    cluster keeps exactly its smallest vec_id; singletons keep themselves."""
+    from shippinglanes_spark.functions.minhash import embedding_neardups
+    from shippinglanes_spark.functions.text import connected_components
+    import pyspark.sql.functions as F
+
+    base = [float(i % 7 - 3) for i in range(64)]
+    rows = []
+    for v in range(3):  # ids 10,11,12: near-identical cluster
+        vec = list(base)
+        vec[0] += 0.005 * v
+        rows.append((10 + v, vec))
+    rows.append((20, [float((i * 31) % 11 - 5) for i in range(64)]))
+    rows.append((21, [float((i * 17) % 13 - 6) for i in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = embedding_neardups(spark, emb).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    cluster = F.coalesce(F.col("label"), F.col("vec_id"))
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in emb.select("vec_id")
+        .join(labels, emb.vec_id == labels.id, "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).cast("int").alias("keep"),
+        )
+        .collect()
+    }
+    assert out[10] == (10, 1)
+    assert out[11] == (10, 0) and out[12] == (10, 0)
+    assert out[20] == (20, 1) and out[21] == (21, 1)
