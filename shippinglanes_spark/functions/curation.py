@@ -203,3 +203,63 @@ def text_entropy(spark, sf_dir):
             ).alias("entropy"),
         )
     )
+
+
+@register(
+    "text_ngram_novelty",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS shingle
+           FROM t),
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_before,
+           CAST(FLOOR(1000000.0 *
+                SUM(CASE WHEN f.first_doc < s.doc_id THEN 0 ELSE 1 END)
+                / COUNT(*)) AS BIGINT) AS novelty_ppm
+    FROM sh s JOIN first f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+    notes="corpus-order n-gram novelty scoring (the streaming-curation "
+    "signal: how much of each document's content already appeared in "
+    "earlier documents): per-doc distinct 3-gram shingles, global "
+    "first-occurrence doc per shingle, novelty = fraction of shingles "
+    "this doc introduces, exact integer ppm. Two hash aggregates + one "
+    "shingle-keyed equi-join — the identical bucketed shape as "
+    "text_boilerplate, corpus-linear; the explode uses the two-step "
+    "tokenize-then-shingle form (HOF-under-Generate is ~10x slower). "
+    "FLOOR keeps the ratio cross-engine exact (no double rounding)",
+)
+def text_ngram_novelty(spark, sf_dir):
+    from .text import shingles_of_tokens
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", F.split("text", " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_of_tokens(F.col("__toks")))
+            ).alias("shingle"),
+        )
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(seen).cast("long").alias("n_seen_before"),
+            F.floor(
+                1000000.0 * F.sum(1 - seen) / F.count(F.lit(1))
+            ).cast("long").alias("novelty_ppm"),
+        )
+    )

@@ -587,3 +587,77 @@ def dedup_embedding_lsh(spark, sf_dir):
             (cluster == F.col("vec_id")).cast("int").alias("keep"),
         )
     )
+
+
+@register(
+    "pipeline_span_corrupt",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(range(1, len(toks) + 1),
+                                i -> (i - 1) % 10 < 3)) AS BIGINT) AS n_masked,
+           array_to_string(list_filter(
+             list_transform(range(1, len(toks) + 1),
+               i -> CASE WHEN (i - 1) % 10 = 0
+                         THEN '<extra_' || CAST((i - 1) // 10 AS VARCHAR) || '>'
+                         WHEN (i - 1) % 10 < 3 THEN ''
+                         ELSE toks[i] END),
+             x -> x <> ''), ' ') AS corrupted,
+           array_to_string(list_filter(
+             list_transform(range(1, len(toks) + 1),
+               i -> CASE WHEN (i - 1) % 10 = 0
+                         THEN '<extra_' || CAST((i - 1) // 10 AS VARCHAR) || '>'
+                              || ' ' || toks[i]
+                         WHEN (i - 1) % 10 < 3 THEN toks[i]
+                         ELSE '' END),
+             x -> x <> ''), ' ') AS target
+    FROM t
+    """,
+    notes="T5-style span corruption as deterministic per-row data prep: "
+    "every 10th token starts a 3-token masked span; masked spans are "
+    "replaced by ordinal sentinels in `corrupted` and emitted after "
+    "their sentinel in `target` — the (inputs, labels) pair a span-"
+    "corruption pretraining objective consumes. The mask schedule is "
+    "positional (no rand()), so both engines produce identical text; "
+    "pure per-row higher-order array expressions, zero shuffles, "
+    "embarrassingly parallel at corpus scale",
+)
+def pipeline_span_corrupt(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.col("__toks")
+
+    def sentinel(i):
+        return F.concat(
+            F.lit("<extra_"), F.floor(i / 10).cast("string"), F.lit(">")
+        )
+
+    def corrupted(x, i):
+        return (
+            F.when(i % 10 == 0, sentinel(i))
+            .when(i % 10 < 3, F.lit(""))
+            .otherwise(x)
+        )
+
+    def target(x, i):
+        return (
+            F.when(i % 10 == 0, F.concat(sentinel(i), F.lit(" "), x))
+            .when(i % 10 < 3, x)
+            .otherwise(F.lit(""))
+        )
+
+    keep = lambda x: x != ""  # noqa: E731
+    return d.select("doc_id", F.split("text", " ").alias("__toks")).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.sequence(F.lit(1), F.size(toks)), lambda i: (i - 1) % 10 < 3)
+        ).cast("long").alias("n_masked"),
+        F.concat_ws(" ", F.filter(F.transform(toks, corrupted), keep)).alias(
+            "corrupted"
+        ),
+        F.concat_ws(" ", F.filter(F.transform(toks, target), keep)).alias(
+            "target"
+        ),
+    )

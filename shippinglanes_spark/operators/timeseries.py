@@ -699,3 +699,59 @@ def ts_forecast_naive_backtest(spark, sf_dir):
         F.abs(F.col("n") - F.col("forecast")).cast("long").alias("abs_err"),
         F.expr("ABS(n - forecast) * 1000000 DIV n").alias("ape_ppm"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    section="2.10",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+             epoch_us(ts) AS ts_us, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hr_us
+                                ORDER BY ts_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hr_us
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT event_type, hr_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM r GROUP BY event_type, hr_us
+    """,
+    notes="OHLC bar resampling (the market-data rollup shape): per "
+    "(series, hour) open/high/low/close/count. Open and close are "
+    "first/last by a TOTAL order (ts, event_id) via two row_numbers "
+    "over the SAME keyed partitioning — one exchange, two frame sorts — "
+    "then fold into the bar aggregate; high/low/count are plain exact "
+    "aggregates. No float arithmetic anywhere (values pass through "
+    "untouched), so the bars are engine-deterministic without rounding",
+)
+def ts_resample_ohlc(spark, sf_dir):
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_us(F.date_trunc("hour", F.col("ts"))).alias("hr_us"),
+        epoch_us("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "hr_us").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("event_type", "hr_us").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "hr_us").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

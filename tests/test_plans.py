@@ -265,3 +265,52 @@ def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
     assert "LeftSemi" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark, sf_dir):
+    """When the dim side of a shuffle join is selective, Spark's runtime
+    row-level filtering injects a bloom filter built from the dim keys as
+    a might_contain() predicate on the fact scan — at cluster scale this
+    prunes most fact rows BEFORE the shuffle. Broadcast is disabled and
+    the application-side size threshold lowered so the rewrite triggers
+    at fixture scale; the assertion is that the machinery engages, which
+    is what a 100 TB deployment relies on."""
+    from shippinglanes_spark.io import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").where(
+            "o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in p
+        # and the filtered side is the fact table's key
+        assert "l_orderkey" in p.split("might_contain")[0][-300:] or (
+            "l_orderkey" in p.split("might_contain")[1][:300]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
