@@ -194,7 +194,7 @@ def build_sfdir(spark):
     quadratically — which would measure the fixture's degeneracy, not
     the operator's scaling."""
     sfdir = os.path.join(SCRATCH, "sfdir10")
-    if os.path.exists(os.path.join(sfdir, "embeddings.parquet", "_SUCCESS")):
+    if os.path.exists(os.path.join(sfdir, "documents.parquet", "_SUCCESS")):
         return sfdir
     ev = table(spark, SF, "events")
     copies = F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("c")
@@ -226,6 +226,26 @@ def build_sfdir(spark):
     emb10.repartition(32).write.mode("overwrite").parquet(
         f"{sfdir}/embeddings.parquet"
     )
+    # documents: token-salted like build_docs (disjoint shingle spaces per
+    # copy) so shingle-join cardinalities scale linearly, not quadratically
+    d = table(spark, SF, "documents")
+    dparts = []
+    for c in range(COPIES):
+        dparts.append(
+            d.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                "lang",
+                "source",
+                "n_chars",
+                F.regexp_replace("text", r"(\S+)", rf"$1_c{c}").alias("text"),
+            )
+        )
+    d10 = dparts[0]
+    for p in dparts[1:]:
+        d10 = d10.unionByName(p)
+    d10.repartition(32).write.mode("overwrite").parquet(
+        f"{sfdir}/documents.parquet"
+    )
     return sfdir
 
 
@@ -256,11 +276,41 @@ def round4_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round5_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-4 session additions probed through their registered entry
+    points: OHLC resampling + adaptive sessionization (keyed event
+    windows), n-gram novelty (shingle join), incremental fingerprint
+    dedup (fp-keyed join), span corruption (zero-shuffle per-row HOFs)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "ts_resample_ohlc",
+        "evt_sessionize_adaptive",
+        "text_ngram_novelty",
+        "pipeline_incremental_dedup",
+        "pipeline_span_corrupt",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r5" in sys.argv:
+        round5_registered(spark, SF, sfdir10)
+        return
     round4_registered(spark, SF, sfdir10)
     one = {
         "ev": table(spark, SF, "events"),

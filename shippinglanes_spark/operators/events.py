@@ -1118,3 +1118,61 @@ def evt_bursts(spark, sf_dir):
         .where((F.col("n") >= 3 * F.col("mean_n")) & (F.col("n") >= 3))
         .select("user_id", epoch_us("hr").alias("hr_us"), "n")
     )
+
+
+@register(
+    "evt_sessionize_adaptive",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+    g AS (SELECT user_id, ts_us,
+                 ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id) AS gap_us
+          FROM e),
+    thr AS (SELECT user_id,
+                   3 * CAST(FLOOR(MEDIAN(gap_us)) AS BIGINT) AS thr_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id)
+    SELECT g.user_id,
+           MAX(t.thr_us) AS thr_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + SUM(CASE WHEN g.gap_us > t.thr_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
+    FROM g LEFT JOIN thr t USING (user_id)
+    GROUP BY g.user_id
+    """,
+    notes="adaptive-gap sessionization: instead of one global 30-min "
+    "cutoff, each user's session break is 3x their own median "
+    "inter-event gap (cadence-relative segmentation — a fast-moving "
+    "ferry and a weekly tramp steamer both segment sensibly). One keyed "
+    "window for gaps, one grouped exact median, one same-key join back "
+    "(the lag window and the final aggregate share the user_id "
+    "partitioning, so the whole thing is ONE logical shuffle + a "
+    "metadata-sized threshold join). FLOOR integerizes the interpolated "
+    "median before the 3x so the cutoff is engine-exact",
+)
+def evt_sessionize_adaptive(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", epoch_us("ts").alias("ts_us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "user_id", "ts_us", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    )
+    thr = (
+        g.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg((3 * F.floor(F.median("gap_us"))).cast("long").alias("thr_us"))
+    )
+    return (
+        g.join(thr, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.max("thr_us").alias("thr_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                1
+                + F.sum(
+                    F.when(F.col("gap_us") > F.col("thr_us"), 1).otherwise(0)
+                )
+            ).cast("long").alias("n_sessions"),
+        )
+    )
