@@ -261,15 +261,51 @@ FROM reach GROUP BY id
     "collapses the duplicate frontier paths UNION ALL produces. The "
     "recursion operates on the graph-sized aggregate (nations^2 ceiling), "
     "never the raw fact table, so each iteration is a tiny self-join — "
-    "the only data-sized work is the one edge aggregation. Identical "
-    "text runs on DuckDB as the oracle, but via the engine's own "
-    "recursive-CTE executor, not a passthrough",
+    "the only data-sized work is the one edge aggregation. The oracle "
+    "runs the whole thing as one recursive-CTE statement on DuckDB; the "
+    "Spark side derives the edge table with the DataFrame API, "
+    "localCheckpoints it (UnionLoop otherwise re-plans the edge subtree "
+    "INSIDE the loop, re-running the 4-way join every iteration — "
+    "measured 3.1s -> 1.9s at sf0.1), and recurses over the ~|V|^2-row "
+    "checkpointed view",
 )
 def sql_recursive_cte(spark, sf_dir):
-    from ..io import register_views
+    from ..io import register_views, table
 
     register_views(spark, sf_dir)
-    return spark.sql(_REACH_SQL)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    ecnt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = ecnt.agg((1.0 * F.avg("c")).alias("t"))
+    edges = (
+        ecnt.crossJoin(F.broadcast(thr))
+        .where(F.col("c") >= F.col("t"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("trade_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(id, hops) AS (
+          SELECT n_nationkey, 0 FROM nation WHERE n_regionkey = 1
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN trade_edges e ON e.src = r.id
+          WHERE r.hops < 4
+        )
+        SELECT id AS nation_id, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY id
+        """
+    )
 
 
 @register(

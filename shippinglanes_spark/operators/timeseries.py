@@ -755,3 +755,55 @@ def ts_resample_ohlc(spark, sf_dir):
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+@register(
+    "join_feature_pit",
+    section="2.10",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1990-01-01', o_orderdate) AS d,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_orderkey,
+           CAST(COALESCE(COUNT(*) OVER w, 0) AS BIGINT) AS n_prior_90d,
+           CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+             AS spend_prior_90d_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+    """,
+    notes="point-in-time feature join (the feature-store correctness "
+    "shape): each order gets its customer's trailing-90-day order count "
+    "and spend computed from STRICTLY EARLIER days — the 1 PRECEDING "
+    "upper bound excludes same-day rows, so no label leakage and no "
+    "same-day order-dependence. Expressed as one keyed value-RANGE "
+    "window over an integer day index (rangeBetween takes ints only) "
+    "instead of a self-join: one shuffle on the entity key, frame "
+    "evaluation is a sliding two-pointer per key. Cent-integerized "
+    "sums keep the trailing spend engine-exact",
+)
+def join_feature_pit(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).alias(
+            "d"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-90, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).cast("long").alias(
+            "n_prior_90d"
+        ),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("long").alias(
+            "spend_prior_90d_cents"
+        ),
+    )
