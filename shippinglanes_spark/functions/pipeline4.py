@@ -1,0 +1,216 @@
+"""Training-data pipeline pack 4 (SURVEY §2.6/§2.9/§2.10 extensions, round 4).
+
+Three shapes rounding out the curation/analytics surface:
+
+- `evt_assoc_rules`: market-basket association rules (support /
+  confidence / lift) over per-user event-type baskets — the classic
+  co-occurrence mining shape. Baskets collect once per user; pair
+  expansion happens INSIDE the collected array (higher-order transform),
+  so the quadratic blowup is bounded by the item-vocabulary size per
+  basket, never joined row-against-row; the item-count and total tables
+  are broadcast 1-row/vocab-sized sides.
+- `sample_weighted`: deterministic weighted sampling without
+  replacement (Efraimidis–Spirakis A-Res): priority = ln(u)/w with u a
+  content-addressed md5-derived uniform — never rand(), reproducible
+  across engines and stable under corpus growth. Top-k by priority is
+  a TakeOrderedAndProject (per-partition heaps + driver merge of k),
+  no global sort at any scale.
+- `pipeline_shard_manifest`: WebDataset-style export manifest — every
+  document gets (writer, file_seq, byte_offset) for a W-writer,
+  ~TARGET-byte-chunked shard layout. Writers are md5-assigned so the
+  layout is content-addressed; offsets are per-writer window cumsums
+  (W independent keyed windows — no global order anywhere); all
+  arithmetic is exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+_MIN_PAIR = 5  # min co-occurrence count for a rule to surface
+
+
+@register(
+    "evt_assoc_rules",
+    section="2.10",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    i AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i FROM b GROUP BY 1),
+    t AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM b),
+    p AS (SELECT x.event_type AS a, y.event_type AS c,
+                 CAST(COUNT(*) AS BIGINT) AS pair_n
+          FROM b x JOIN b y
+            ON x.user_id = y.user_id AND x.event_type <> y.event_type
+          GROUP BY 1, 2)
+    SELECT p.a AS antecedent, p.c AS consequent, p.pair_n,
+           FLOOR(CAST(p.pair_n AS DOUBLE) * 1000000.0
+                 / CAST(ia.n_i AS DOUBLE)) / 1000000.0 AS conf,
+           FLOOR(CAST(p.pair_n * t.n_users AS DOUBLE) * 1000000.0
+                 / CAST(ia.n_i * ic.n_i AS DOUBLE)) / 1000000.0 AS lift
+    FROM p
+    JOIN i ia ON ia.event_type = p.a
+    JOIN i ic ON ic.event_type = p.c
+    CROSS JOIN t
+    WHERE p.pair_n >= {_MIN_PAIR}
+    """,
+    notes="market-basket association rules over per-user event-type "
+    "baskets: support count, confidence P(c|a), lift "
+    "P(a,c)/(P(a)P(c)). Baskets are collect_set per user (one keyed "
+    "shuffle); ordered pair expansion runs INSIDE the array with a "
+    "higher-order transform, so pair blowup is bounded by basket size "
+    "(the event-type vocabulary), never a row-level self-join; item "
+    "counts and the user total join back as broadcasts. Ratios are "
+    "floor-disciplined single divisions of exact integers",
+)
+def evt_assoc_rules(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    items = b.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    tot = b.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    baskets = b.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("its")
+    )
+    pairs = F.flatten(
+        F.transform(
+            "its",
+            lambda x: F.transform(
+                F.filter("its", lambda y: y != x),
+                lambda y: F.struct(x.alias("a"), y.alias("c")),
+            ),
+        )
+    )
+    pc = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= _MIN_PAIR)
+    )
+    ia = items.select(F.col("event_type").alias("a"), F.col("n_i").alias("a_n"))
+    ic = items.select(F.col("event_type").alias("c"), F.col("n_i").alias("c_n"))
+    conf = (
+        F.floor(F.col("pair_n").cast("double") * 1000000.0 / F.col("a_n").cast("double"))
+        / 1000000.0
+    )
+    lift = (
+        F.floor(
+            (F.col("pair_n") * F.col("n_users")).cast("double")
+            * 1000000.0
+            / (F.col("a_n") * F.col("c_n")).cast("double")
+        )
+        / 1000000.0
+    )
+    return (
+        pc.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ic), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("c").alias("consequent"),
+            "pair_n",
+            conf.alias("conf"),
+            lift.alias("lift"),
+        )
+    )
+
+
+_K_WSAMP = 64
+_TWO_52 = 4503599627370496.0  # 2^52: 13 hex chars of md5 -> exact double
+
+
+@register(
+    "sample_weighted",
+    section="2.6",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                ::BIGINT + 1.0) / {_TWO_52} AS u
+      FROM documents)
+    SELECT doc_id, n_chars
+    FROM w
+    ORDER BY ln(u) / n_chars DESC, doc_id
+    LIMIT {_K_WSAMP}
+    """,
+    notes="deterministic weighted sampling without replacement "
+    "(Efraimidis–Spirakis A-Res, k=64, weight = n_chars): priority "
+    "ln(u)/w with u a content-addressed 52-bit md5 uniform — "
+    "reproducible across engines/runs and stable under corpus growth, "
+    "never rand(). ORDER BY + LIMIT plans as TakeOrderedAndProject "
+    "(per-partition k-heaps, driver merges k*partitions rows) — the "
+    "same top-k machinery as limit_topk, so no global sort at 100 TB. "
+    "Inclusion probabilities are proportional-to-size without "
+    "replacement, the standard corpus-subsampling semantics",
+)
+def sample_weighted(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(_TWO_52)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(_K_WSAMP)
+        .select("doc_id", "n_chars")
+    )
+
+
+_N_WRITERS = 16
+_SHARD_BYTES = 20_000
+
+
+@register(
+    "pipeline_shard_manifest",
+    section="2.9",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars,
+                      md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    w AS (SELECT doc_id, n_chars, h,
+                 ('0x' || substr(h, 1, 2))::BIGINT % {_N_WRITERS} AS writer
+          FROM d),
+    o AS (SELECT doc_id, writer,
+                 COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY writer ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS byte_offset
+          FROM w)
+    SELECT doc_id,
+           CAST(writer AS BIGINT) AS writer,
+           CAST(byte_offset // {_SHARD_BYTES} AS BIGINT) AS file_seq,
+           CAST(byte_offset AS BIGINT) AS byte_offset
+    FROM o
+    """,
+    notes="WebDataset-style export manifest: each document is assigned "
+    "a writer (md5 byte mod W — content-addressed, so the layout is "
+    "stable across runs), a file sequence number within the writer "
+    "(~20 KB target chunks) and its byte offset in the writer's "
+    "concatenated stream. Offsets are W independent keyed window "
+    "cumsums — the writer count is the parallelism dial and no global "
+    "order exists anywhere; at 100 TB you raise W, not the partition "
+    "size. All arithmetic is exact integers (engine-identical)",
+)
+def pipeline_shard_manifest(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    writer = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _N_WRITERS).alias(
+        "writer"
+    )
+    w = Window.partitionBy("writer").orderBy("h", "doc_id")
+    off = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return (
+        d.select("doc_id", "n_chars", h.alias("h"), writer)
+        .select("doc_id", "writer", off.alias("byte_offset"))
+        .select(
+            "doc_id",
+            "writer",
+            (F.col("byte_offset") / _SHARD_BYTES).cast("long").alias("file_seq"),
+            "byte_offset",
+        )
+    )

@@ -217,3 +217,79 @@ def graph_triangles(spark, sf_dir):
             F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
         )
     )
+
+
+_SP_HOPS = 4
+_SP_SRC = 0  # single-source: nation 0
+
+
+@register(
+    "graph_weighted_path",
+    section="2.9",
+    oracle=f"""
+    WITH RECURSIVE
+    {_EDGES_SQL.strip()},
+    ce AS (SELECT src, dst, CAST(1000000 // w AS BIGINT) AS cost
+           FROM e WHERE src <> dst),
+    walk(id, cost, hops) AS (
+      SELECT CAST({_SP_SRC} AS BIGINT), CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT ce.dst, w.cost + ce.cost, w.hops + 1
+      FROM walk w JOIN ce ON ce.src = w.id
+      WHERE w.hops < {_SP_HOPS})
+    SELECT id AS nation_id, CAST(MIN(cost) AS BIGINT) AS min_cost
+    FROM walk GROUP BY id
+    """,
+    notes=f"single-source weighted shortest path (<= {_SP_HOPS} hops) on "
+    "the nation trade graph, edge cost = 1000000 // trade-volume (strong "
+    "links are cheap). Spark side is bounded Bellman–Ford: each round "
+    "relaxes the frontier with one broadcast join against the "
+    "checkpointed edge list and folds with a keyed MIN — the distance "
+    "table is graph-sized (<= |V| rows) so it broadcasts for free, and "
+    "the data-sized work (edge aggregation) runs exactly once. The "
+    "oracle enumerates all <= 4-hop walks with a recursive CTE and "
+    "takes MIN — exponential in hops, fine on the 25-node graph, which "
+    "is exactly why the engine side relaxes instead of enumerating. "
+    "Integer costs make path sums engine-exact",
+)
+def graph_weighted_path(spark, sf_dir):
+    """Bounded Bellman–Ford: dist_r(v) = min cost over paths with <= r
+    edges. Each round is frontier-join-edges + union + keyed min;
+    localCheckpoint keeps the iterative plan flat (same discipline as
+    pagerank/connected_components)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .select("src", "dst", (F.lit(1000000) / F.col("w")).cast("long").alias("cost"))
+        .localCheckpoint()
+    )
+    dist = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") == _SP_SRC)
+        .select(
+            F.col("n_nationkey").cast("long").alias("id"),
+            F.lit(0).cast("long").alias("cost"),
+        )
+    )
+    for _ in range(_SP_HOPS):
+        relax = (
+            F.broadcast(dist)
+            .join(edges, dist.id == edges.src)
+            .select(edges.dst.alias("id"), (dist.cost + edges.cost).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("id").alias("nation_id"), F.col("cost").alias("min_cost"))

@@ -142,6 +142,7 @@ def _load_all() -> None:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
         ranking,
         scalar,
         similarity,

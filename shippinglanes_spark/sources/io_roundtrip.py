@@ -442,3 +442,49 @@ def sink_csv_roundtrip(spark, sf_dir):
             "price_cents"
         ),
     )
+
+
+@register(
+    "sink_dynamic_overwrite",
+    section="2.1",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END
+                    * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+    """,
+    notes="dynamic partition overwrite (partitionOverwriteMode=dynamic): "
+    "write the full partitioned table, then overwrite ONLY the "
+    "1-URGENT partition with recomputed (doubled) values — dynamic "
+    "mode replaces just the partitions present in the incoming "
+    "DataFrame instead of truncating the whole table, which is the "
+    "idempotent-backfill primitive at lake scale (re-run one day/key "
+    "without touching the other 10k partitions). Read-back aggregate "
+    "proves the untouched partitions survived and the rewritten one "
+    "took the new values; oracle computes the expected final state "
+    "from the source with exact cent integers",
+)
+def sink_dynamic_overwrite(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = _scratch(f"sink_dynover_{os.path.basename(sf_dir.rstrip('/'))}")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+        backfill = o.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "cents", F.col("cents") * 2
+        )
+        backfill.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
