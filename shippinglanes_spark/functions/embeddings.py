@@ -352,3 +352,60 @@ def emb_whiten(spark, sf_dir):
         project,
         schema="vec_id long, coef double, resid_norm double, orig_norm double",
     )
+
+
+@register(
+    "emb_dim_stats",
+    section="2.9",
+    oracle=f"""
+    WITH ex AS (
+      SELECT i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_FP}) AS BIGINT) AS v
+      FROM embeddings, range(1, 65) r(i)),
+    s AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(SUM(v * v) AS BIGINT) AS ss
+          FROM ex GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           FLOOR((sv / n) / {_FP} * 1000000.0) / 1000000.0 AS mean,
+           FLOOR(sqrt(ss / n - (sv / n) * (sv / n)) / {_FP} * 1000000.0)
+             / 1000000.0 AS std
+    FROM s
+    """,
+    notes="per-dimension mean/std of the embedding column — the "
+    "feature-health profile (dead dims, scale drift) run before any "
+    "ANN index build or whitening. Components fixed-point to the exact "
+    "1e-6 integer grid first, so the distributed sums are BIGINT-exact "
+    "and order-free (the emb_centroid_label discipline); floats appear "
+    "only in the final one-shot mean/variance formula, identically "
+    "structured on both engines. One posexplode + one map-side-combined "
+    "aggregate: shuffle width is 64 dims x 3 numbers, independent of "
+    "corpus size",
+)
+def emb_dim_stats(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        F.round(F.col("x").cast("double") * _FP).cast("long").alias("v"),
+    )
+    s = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sv = F.col("sv").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = F.floor((sv / nd) / _FP * 1000000.0) / 1000000.0
+    std = (
+        F.floor(F.sqrt(ss / nd - (sv / nd) * (sv / nd)) / _FP * 1000000.0)
+        / 1000000.0
+    )
+    return s.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        mean.alias("mean"),
+        std.alias("std"),
+    )

@@ -214,3 +214,124 @@ def pipeline_shard_manifest(spark, sf_dir):
             "byte_offset",
         )
     )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    section="2.9",
+    oracle="""
+    WITH per AS (SELECT source,
+                        CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                          AS n_tokens
+                 FROM documents GROUP BY source),
+    w AS (SELECT source, n_tokens,
+                 CAST(FLOOR(sqrt(n_tokens) * 1000.0) AS BIGINT) AS ws
+          FROM per),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_n,
+                 CAST(SUM(ws) AS BIGINT) AS tot_w
+          FROM w)
+    SELECT source, n_tokens,
+           CAST(n_tokens * 1000000 // t.tot_n AS BIGINT) AS raw_ppm,
+           CAST(ws * 1000000 // t.tot_w AS BIGINT) AS temp_ppm
+    FROM w CROSS JOIN t
+    """,
+    notes="temperature-flattened mixture weights (alpha=0.5): each "
+    "source's sampling weight goes from n_tokens/total to "
+    "sqrt(n_tokens)/sum(sqrt) — the standard upweighting of "
+    "low-resource sources in a multilingual/multi-domain pretraining "
+    "mix. alpha=0.5 is chosen deliberately: sqrt is an EXACT "
+    "correctly-rounded IEEE op (pow(x, 0.7) is not), and the sqrt "
+    "weights are floored onto a milli-unit integer grid before "
+    "normalizing, so the weight total and the ppm shares are exact "
+    "integer arithmetic — engine-identical, no float-sum order "
+    "dependence. One aggregate + a 1-row broadcast total",
+)
+def pipeline_mixture_temperature(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens")
+    )
+    w = per.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000.0)
+        .cast("long")
+        .alias("ws"),
+    )
+    t = w.agg(
+        F.sum("n_tokens").cast("long").alias("tot_n"),
+        F.sum("ws").cast("long").alias("tot_w"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        ((F.col("n_tokens") * 1000000) / F.col("tot_n")).cast("long").alias("raw_ppm"),
+        ((F.col("ws") * 1000000) / F.col("tot_w")).cast("long").alias("temp_ppm"),
+    )
+
+
+_PAIR_MIN_CHARS = 120
+_NORM_FP = 1_000_000
+
+
+@register(
+    "pipeline_pair_dataset",
+    section="2.9",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_sum(list_transform(
+               list_transform(embedding,
+                              x -> CAST(ROUND(CAST(x AS DOUBLE) * {_NORM_FP})
+                                        AS BIGINT)),
+               v -> v * v)) AS norm_sq_fp
+      FROM embeddings),
+    p AS (
+      SELECT d.doc_id, d.source, d.lang, d.n_chars,
+             CAST(e.norm_sq_fp AS BIGINT) AS norm_sq_fp
+      FROM documents d JOIN e ON e.vec_id = d.doc_id
+      WHERE d.n_chars >= {_PAIR_MIN_CHARS} AND d.lang IN ('en', 'de', 'fr'))
+    SELECT doc_id, source, lang, n_chars,
+           FLOOR(sqrt(CAST(norm_sq_fp AS DOUBLE)) / {_NORM_FP} * 1e6) / 1e6
+             AS emb_norm
+    FROM p
+    """,
+    notes="paired text-embedding training set (the CLIP/contrastive "
+    "data shape): join the caption table to the vector table on the "
+    "shared id, gate on text length + language and on embedding health "
+    "(non-degenerate norm). The norm is computed from 1e-6 fixed-point "
+    "components summed as exact BIGINTs inside the array (left-fold on "
+    "both engines), so the gate and the reported norm are "
+    "engine-identical — no float-accumulation order anywhere. "
+    "One equi-join on the id (both sides pre-filtered; at 100 TB both "
+    "are bucketed on the id and the join is shuffle-free)",
+)
+def pipeline_pair_dataset(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * _NORM_FP).cast("long"),
+    )
+    norm_sq = F.aggregate(
+        F.transform(v, lambda y: y * y),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    e = emb.select("vec_id", norm_sq.alias("norm_sq_fp"))
+    gated = (
+        d.where(
+            (F.col("n_chars") >= _PAIR_MIN_CHARS)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .join(e, d.doc_id == e.vec_id)
+    )
+    emb_norm = (
+        F.floor(
+            F.sqrt(F.col("norm_sq_fp").cast("double")) / _NORM_FP * 1e6
+        )
+        / 1e6
+    )
+    return gated.select(
+        "doc_id", "source", "lang", "n_chars", emb_norm.alias("emb_norm")
+    )

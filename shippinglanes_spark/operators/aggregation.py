@@ -866,3 +866,157 @@ def profile_assertions(spark, sf_dir):
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out.orderBy("check_name")
+
+
+def _corr_sql(a: str, b: str) -> str:
+    """Pearson corr from exact integer sums, identical expression tree
+    on both engines: cov/var terms are single-division doubles."""
+    # 1e6 (not 1000000.0): Spark SQL parses the latter as a DECIMAL
+    # literal and the whole expression tree goes decimal, while DuckDB
+    # stays double — 1e6 is a DOUBLE literal in both grammars
+    return (
+        f"FLOOR((sp_{a}{b} / n - (s_{a} / n) * (s_{b} / n)) / "
+        f"(sqrt(ss_{a} / n - (s_{a} / n) * (s_{a} / n)) * "
+        f"sqrt(ss_{b} / n - (s_{b} / n) * (s_{b} / n))) * 1e6) "
+        f"/ 1e6"
+    )
+
+
+_CORR_PAIRS = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+
+
+@register(
+    "agg_corr_matrix",
+    section="2.4",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(SUM({v}) AS BIGINT) AS s_{v}, CAST(SUM({v} * {v}) AS BIGINT) AS ss_{v}" for v in "qpdt")},
+             {", ".join(f"CAST(SUM({a} * {b}) AS BIGINT) AS sp_{a}{b}" for a, b in _CORR_PAIRS)}
+      FROM x)
+    {" UNION ALL ".join(f"SELECT '{a}_{b}' AS pair, {_corr_sql(a, b)} AS corr FROM s" for a, b in _CORR_PAIRS)}
+    """,
+    notes="full pairwise Pearson correlation matrix over the fact "
+    "table's four numeric measures in ONE pass: all 15 sufficient "
+    "statistics (count, 4 sums, 4 sum-of-squares, 6 cross-products) "
+    "come from a single map-side-combined aggregate whose shuffle is "
+    "ONE row, then the 6 correlations are row-local arithmetic — never "
+    "6 passes, never a corr() call per pair. Inputs are integerized "
+    "(dollars / percent units) so the distributed sums are BIGINT-exact "
+    "and order-free; the corr formula is the identical single-division "
+    "expression tree on both engines, floor-disciplined to 1e-6",
+)
+def agg_corr_matrix(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round("l_extendedprice").cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for v in "qpdt":
+        aggs.append(F.sum(v).cast("long").alias(f"s_{v}"))
+        aggs.append(F.sum(F.col(v) * F.col(v)).cast("long").alias(f"ss_{v}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}{b}"))
+    s = li.agg(*aggs)
+    pairs = ", ".join(f"'{a}_{b}', {_corr_sql(a, b)}" for a, b in _CORR_PAIRS)
+    return s.selectExpr(f"stack({len(_CORR_PAIRS)}, {pairs}) AS (pair, corr)")
+
+
+def _ols_sql() -> dict[str, str]:
+    """Closed-form 2-feature OLS from the 9 exact integer moment sums,
+    as one shared expression text so Spark and DuckDB evaluate the
+    identical IEEE double tree. Solved on CENTERED covariances (2x2
+    system + intercept recovery), not the raw 3x3 normal-equation
+    determinant — the raw Cramer expansion cancels ~12 digits when the
+    feature means are large (caught by the numpy lstsq cross-check in
+    tests/test_round4_props.py); the centered form loses only the
+    raw-to-centered magnitude ratio. Moments (already CAST AS DOUBLE):
+    n, s1, s2, s11, s12, s22, sy, s1y, s2y."""
+    c11 = "(n * s11 - s1 * s1)"
+    c12 = "(n * s12 - s1 * s2)"
+    c22 = "(n * s22 - s2 * s2)"
+    c1y = "(n * s1y - s1 * sy)"
+    c2y = "(n * s2y - s2 * sy)"
+    det = f"({c11} * {c22} - {c12} * {c12})"
+    b1 = f"(({c1y} * {c22} - {c2y} * {c12}) / {det})"
+    b2 = f"(({c2y} * {c11} - {c1y} * {c12}) / {det})"
+    b0 = f"((sy - {b1} * s1 - {b2} * s2) / n)"
+    return {
+        "b0": f"FLOOR({b0} * 1e6) / 1e6",
+        "b1": f"FLOOR({b1} * 1e6) / 1e6",
+        "b2": f"FLOOR({b2} * 1e6) / 1e6",
+    }
+
+
+@register(
+    "agg_ols",
+    section="2.4",
+    oracle=f"""
+    WITH x AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x1) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(x2) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+             CAST(CAST(SUM(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+             CAST(CAST(SUM(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+             CAST(CAST(SUM(x2 * y) AS BIGINT) AS DOUBLE) AS s2y
+      FROM x GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           {_ols_sql()["b0"]} AS b0,
+           {_ols_sql()["b1"]} AS b1,
+           {_ols_sql()["b2"]} AS b2
+    FROM m
+    """,
+    notes="distributed closed-form linear regression: per group, fit "
+    "price ~ intercept + quantity + discount by solving the 3x3 normal "
+    "equations with Cramer's rule from NINE moment sums — one "
+    "map-side-combined aggregate whose shuffle is one 10-number row "
+    "per group, then the solve is row-local arithmetic. No gradient "
+    "loops, no driver-side matrix library, no per-group data movement: "
+    "this is how GLM-sized models fit at 100 TB. Inputs integerized "
+    "(dollars / percent), so the moments are BIGINT-exact and "
+    "order-free; the determinant formulas are one shared expression "
+    "text evaluated identically by both engines, floor-disciplined",
+)
+def agg_ols(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("long").cast("double").alias("s1"),
+        F.sum("x2").cast("long").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").cast("double").alias("s22"),
+        F.sum("y").cast("long").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").cast("double").alias("s2y"),
+    )
+    sql = _ols_sql()
+    return m.selectExpr(
+        "l_returnflag",
+        f"{sql['b0']} AS b0",
+        f"{sql['b1']} AS b1",
+        f"{sql['b2']} AS b2",
+    )

@@ -1176,3 +1176,215 @@ def evt_sessionize_adaptive(spark, sf_dir):
             ).cast("long").alias("n_sessions"),
         )
     )
+
+
+@register(
+    "evt_feature_vector",
+    section="2.10",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_views,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                         FILTER (event_type = 'purchase'), 0) AS BIGINT)
+             AS revenue_cents,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us
+    FROM events GROUP BY user_id
+    """,
+    notes="per-entity behavioral feature table (the churn/propensity "
+    "model input): event counts by type, purchase revenue, active-day "
+    "count, and activity span — ALL from one map-side-combined "
+    "conditional aggregate; never one pass per feature, never a "
+    "self-join per type. Revenue is exact integer cents; span is exact "
+    "integer microseconds. distinct-day is the only non-algebraic "
+    "piece and rides the same single shuffle via Spark's "
+    "partial-distinct expansion. This composes with join_feature_pit "
+    "(the point-in-time discipline) — here the snapshot features, "
+    "there the leakage-free trailing ones",
+)
+def evt_feature_vector(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_if(F.col("event_type") == "click").cast("long").alias("n_clicks"),
+        F.count_if(F.col("event_type") == "view").cast("long").alias("n_views"),
+        F.count_if(purchase).cast("long").alias("n_purchases"),
+        F.coalesce(
+            F.sum(
+                F.when(purchase, F.round(F.col("value") * 100).cast("long"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count_distinct(F.col("ts").cast("date")).cast("long").alias(
+            "days_active"
+        ),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).cast("long").alias(
+            "span_us"
+        ),
+    )
+
+
+@register(
+    "evt_cohort_matrix",
+    section="2.10",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', ts) AS DATE)) AS w0
+      FROM events GROUP BY user_id),
+    sz AS (SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY w0),
+    a AS (
+      SELECT DISTINCT e.user_id, f.w0,
+             date_diff('day', f.w0,
+                       CAST(date_trunc('week', e.ts) AS DATE)) // 7
+               AS offset_w
+      FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT CAST(a.w0 AS VARCHAR) AS cohort_week,
+           CAST(a.offset_w AS BIGINT) AS offset_w,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) * 1000000 // sz.cohort_size AS BIGINT)
+             AS retained_ppm
+    FROM a JOIN sz ON sz.w0 = a.w0
+    GROUP BY a.w0, a.offset_w, sz.cohort_size
+    """,
+    notes="full cohort retention matrix (cohort week x week offset), "
+    "the triangle chart behind every growth dashboard — unlike "
+    "evt_retention (which collapses cohorts), each cohort keeps its "
+    "own row so week-over-week cohort quality is visible. Two keyed "
+    "aggregates + one join on the user key (the first-seen table "
+    "reuses the activity shuffle's partitioning); retention shares "
+    "are exact integer ppm. Week truncation on both engines is "
+    "ISO-Monday, and the offset divides a day-diff of week-truncated "
+    "dates by 7 — exact integers, no float calendar math",
+)
+def evt_cohort_matrix(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wk = as_date(F.date_trunc("week", F.col("ts")))
+    e = ev.select("user_id", wk.alias("w"))
+    f = e.groupBy("user_id").agg(F.min("w").alias("w0"))
+    sz = f.groupBy("w0").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "w0",
+            (F.datediff(F.col("w"), F.col("w0")) / 7).cast("long").alias(
+                "offset_w"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        a.join(F.broadcast(sz), "w0")
+        .groupBy("w0", "offset_w", "cohort_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .select(
+            F.col("w0").cast("string").alias("cohort_week"),
+            "offset_w",
+            "n_active",
+            ((F.col("n_active") * 1000000) / F.col("cohort_size"))
+            .cast("long")
+            .alias("retained_ppm"),
+        )
+    )
+
+
+@register(
+    "evt_rfm_scores",
+    section="2.10",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             MAX(CAST(ts AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                           FILTER (event_type = 'purchase'), 0) AS BIGINT)
+               AS revenue_cents
+      FROM events GROUP BY user_id),
+    g AS (SELECT MAX(last_day) AS gd FROM per),
+    m AS (SELECT user_id,
+                 CAST(date_diff('day', last_day, g.gd) AS BIGINT) AS r_days,
+                 n_events, revenue_cents
+          FROM per CROSS JOIN g),
+    e AS (SELECT quantile_disc(r_days, 0.2) AS r1, quantile_disc(r_days, 0.4) AS r2,
+                 quantile_disc(r_days, 0.6) AS r3, quantile_disc(r_days, 0.8) AS r4,
+                 quantile_disc(n_events, 0.2) AS f1, quantile_disc(n_events, 0.4) AS f2,
+                 quantile_disc(n_events, 0.6) AS f3, quantile_disc(n_events, 0.8) AS f4,
+                 quantile_disc(revenue_cents, 0.2) AS m1, quantile_disc(revenue_cents, 0.4) AS m2,
+                 quantile_disc(revenue_cents, 0.6) AS m3, quantile_disc(revenue_cents, 0.8) AS m4
+          FROM m)
+    SELECT user_id, r_days, n_events, revenue_cents,
+           CAST(5 - ((r_days > e.r1)::INT + (r_days > e.r2)::INT
+                     + (r_days > e.r3)::INT + (r_days > e.r4)::INT)
+                AS BIGINT) AS r_score,
+           CAST(1 + (n_events > e.f1)::INT + (n_events > e.f2)::INT
+                  + (n_events > e.f3)::INT + (n_events > e.f4)::INT
+                AS BIGINT) AS f_score,
+           CAST(1 + (revenue_cents > e.m1)::INT + (revenue_cents > e.m2)::INT
+                  + (revenue_cents > e.m3)::INT + (revenue_cents > e.m4)::INT
+                AS BIGINT) AS m_score
+    FROM m CROSS JOIN e
+    """,
+    notes="RFM customer segmentation (recency / frequency / monetary "
+    "quintile scores): per-user exact-integer metrics in one "
+    "conditional aggregate, then the 12 quintile EDGES come from one "
+    "global percentile_disc aggregate (a 1-row broadcast) and scores "
+    "are row-local comparisons — never an NTILE over all users (the "
+    "global-window single-partition trap win_ntile_pct exists to "
+    "avoid; here even the two-pass rank is unnecessary because only "
+    "the 4 edges are needed, not每 rank). Discrete percentiles are "
+    "actual data values, so the whole pipeline is integer-exact",
+)
+def evt_rfm_scores(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    purchase = F.col("event_type") == "purchase"
+    per = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(purchase, F.round(F.col("value") * 100).cast("long"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    g = per.agg(F.max("last_day").alias("gd"))
+    m = per.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.datediff(F.col("gd"), F.col("last_day")).cast("long").alias("r_days"),
+        "n_events",
+        "revenue_cents",
+    )
+    edge_aggs = []
+    for pre, col in (("r", "r_days"), ("f", "n_events"), ("m", "revenue_cents")):
+        for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1):
+            edge_aggs.append(
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})"
+                ).alias(f"{pre}{i}")
+            )
+    e = m.agg(*edge_aggs)
+
+    def score(col, pre):
+        hits = sum(
+            (F.col(col) > F.col(f"{pre}{i}")).cast("int") for i in (1, 2, 3, 4)
+        )
+        return hits
+
+    return m.crossJoin(F.broadcast(e)).select(
+        "user_id",
+        "r_days",
+        "n_events",
+        "revenue_cents",
+        (F.lit(5) - score("r_days", "r")).cast("long").alias("r_score"),
+        (F.lit(1) + score("n_events", "f")).cast("long").alias("f_score"),
+        (F.lit(1) + score("revenue_cents", "m")).cast("long").alias("m_score"),
+    )

@@ -148,7 +148,7 @@ def _load_all() -> None:
         similarity,
         text,
     )
-    from .sources import io_roundtrip, pyds  # noqa: F401
+    from .sources import io_roundtrip, maintenance, pyds  # noqa: F401
     from .streaming import latedata, lift  # noqa: F401
 
     _LOADED = True

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import as_date, money
+from ..registry import register
 from ..session import apply_runtime_confs
 
 
@@ -112,4 +113,49 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     return deltas.groupBy("day", "event_type").agg(
         F.sum("n").alias("n"),
         money(F.sum("sum_value")).alias("sum_value"),
+    )
+
+
+@register(
+    "maintenance_compaction",
+    section="2.1",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1
+    """,
+    notes="small-file compaction as a declared lifecycle query: the "
+    "events table is first exploded into 40 tiny files (the streaming-"
+    "ingest pathology — every file costs a task, a footer read, and an "
+    "open at scan time), then compact() rewrites the directory into "
+    "~target-size files via repartition (not coalesce — skewed inputs "
+    "rebalance). The query asserts the file count actually collapsed "
+    "and returns content aggregates from the COMPACTED copy; the "
+    "oracle aggregates the source table, so a hash match proves "
+    "compaction is content-preserving end to end",
+)
+def maintenance_compaction(spark, sf_dir):
+    import glob
+    import os
+
+    from .io_roundtrip import _scratch
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    src = _scratch(f"compact_src_{base}")
+    dst = _scratch(f"compact_dst_{base}")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(40).write.mode("overwrite").parquet(src)
+    n_small = len(glob.glob(f"{src}/*.parquet"))
+    n_after = compact(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    assert n_after < n_small, (n_after, n_small)
+    back = spark.read.parquet(dst)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("event_id").cast("long").alias("n_ids"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "value_cents"
+        ),
     )

@@ -253,3 +253,125 @@ def stream_exactly_once_sink(spark, sf_dir):
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
         shutil.rmtree(f"{target}_ckpt", ignore_errors=True)
+
+
+def _stage_chrono_with_flush(spark, sf_dir: str) -> str:
+    """Stage events CHRONOLOGICALLY (two halves by event time, oldest
+    first) plus two far-future FLUSH files holding one dummy row each.
+    Outer-join null emission is watermark-driven: an unmatched left row
+    surfaces only after the watermark passes its join bound, and the
+    watermark both (a) advances using the batch BEFORE last and (b)
+    evicts in the batch AFTER it advances — so two flush batches are
+    needed to push every real row's state out. Chronological order means
+    no real row ever arrives late (this query is about OUTER emission,
+    not drops — stream_late_accounting covers drops)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = f"/tmp/shippinglanes_stage/outer_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = t["ts"]
+    if str(ts.type) == "int64":  # nanos-as-long flavor
+        ts_us = pc.cast(pc.divide(ts, 1000), pa.timestamp("us"))
+    else:
+        ts_us = pc.cast(ts, pa.timestamp("us"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    mid = pa.scalar(
+        datetime.datetime.fromisoformat(CUTOFF), type=pa.timestamp("us")
+    )
+    far = pc.max(ts_us).as_py() + datetime.timedelta(days=30)
+
+    def dummy(offset_days: int):
+        return pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [far + datetime.timedelta(days=offset_days)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["flush"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ).select(t.column_names)
+
+    parts = [
+        ("b0_old.parquet", t.filter(pc.less(ts_us, mid))),
+        ("b1_new.parquet", t.filter(pc.greater_equal(ts_us, mid))),
+        ("b2_flush.parquet", dummy(0)),
+        ("b3_flush.parquet", dummy(1)),
+    ]
+    now = time.time()
+    for i, (fname, tab) in enumerate(parts):
+        pq.write_table(tab, f"{stage}/{fname}")
+        mt = now - 240 + i * 60
+        os.utime(f"{stage}/{fname}", (mt, mt))
+    return stage
+
+
+@register(
+    "stream_join_outer",
+    section="2.10",
+    oracle="""
+    WITH v AS (SELECT user_id AS p_user, event_id AS view_id, ts AS v_ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.p_user, p.purchase_id, v.view_id
+    FROM p LEFT JOIN v ON v.p_user = p.p_user
+       AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
+    """,
+    notes="stream-stream LEFT OUTER join: purchases joined to the same "
+    "user's preceding-hour views, with null rows for view-less "
+    "purchases. Unlike the inner join (watermark-independent "
+    "emissions), outer nulls exist ONLY via watermark eviction — state "
+    "for an unmatched purchase is held until the watermark passes its "
+    "bound, then emitted with nulls. The drain stages events "
+    "chronologically and appends two far-future flush batches so every "
+    "real row's state evicts before the stream ends (watermark "
+    "advances on batch N-1, evicts on N); the flush rows are filtered "
+    "from the result. Hash-equal to the batch LEFT interval join — a "
+    "full value oracle for watermark-eviction semantics",
+)
+def stream_join_outer(spark, sf_dir):
+    from .lift import _drain
+
+    apply_runtime_confs(spark)
+    stage = _stage_chrono_with_flush(spark, sf_dir)
+    stream = _staged_stream(spark, sf_dir, stage)
+    # the flush rows ride BOTH sides: the outer join's eviction watermark
+    # is the MIN of the two sides' watermarks, so a flush on only one
+    # side leaves the other stalled an hour below the end and the last
+    # unmatched purchases never emit (measured: 2 rows short)
+    views = (
+        stream.where(F.col("event_type").isin("view", "flush"))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type").isin("purchase", "flush"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("p_user", "purchase_id", "view_id")
+    out = _drain(joined, "stream_join_outer", "append")
+    return out.where(F.col("p_user") >= 0)

@@ -140,3 +140,36 @@ def test_m4_downsample_preserves_extremes(spark, sf_dir):
     ).first()
     assert abs(out["v_min"].min() - ev.lo) < 1e-9
     assert abs(out["v_max"].max() - ev.hi) < 1e-9
+
+
+def test_agg_ols_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer-from-moments solve must equal an independent dense
+    lstsq on the same integerized inputs (the oracle shares the formula
+    text with the engine, so this is the external reference)."""
+    import numpy as np
+
+    from shippinglanes_spark.registry import all_queries
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    got = {
+        r.l_returnflag: (float(r.b0), float(r.b1), float(r.b2))
+        for r in all_queries()["agg_ols"].fn(spark, sf_dir).collect()
+    }
+    for flag, grp in li.groupby("l_returnflag"):
+        # HALF_UP like both engines' ROUND (np.round is half-even and
+        # diverges on the .50-cent prices)
+        x1 = np.floor(grp["l_quantity"].to_numpy() + 0.5)
+        x2 = np.floor(grp["l_discount"].to_numpy() * 100 + 0.5)
+        y = np.floor(grp["l_extendedprice"].to_numpy() + 0.5)
+        X = np.column_stack([np.ones_like(x1), x1, x2])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        for got_b, ref_b in zip(got[flag], beta):
+            # Cramer-in-doubles vs SVD lstsq: compare at relative
+            # precision (the normal equations square the condition number)
+            assert abs(got_b - ref_b) <= 1e-5 * max(1.0, abs(ref_b)), (
+                flag,
+                got[flag],
+                beta,
+            )
