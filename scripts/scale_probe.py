@@ -194,7 +194,7 @@ def build_sfdir(spark):
     quadratically — which would measure the fixture's degeneracy, not
     the operator's scaling."""
     sfdir = os.path.join(SCRATCH, "sfdir10")
-    if os.path.exists(os.path.join(sfdir, "documents.parquet", "_SUCCESS")):
+    if os.path.exists(os.path.join(sfdir, "part.parquet", "_SUCCESS")):
         return sfdir
     ev = table(spark, SF, "events")
     copies = F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("c")
@@ -246,6 +246,42 @@ def build_sfdir(spark):
     d10.repartition(32).write.mode("overwrite").parquet(
         f"{sfdir}/documents.parquet"
     )
+    # fact + dim tables for the lineitem/orders-reading shapes: facts get
+    # disjoint key spaces per copy; dims stay 1x (a 10x lake has 10x the
+    # facts, not 10x the vocabulary), so the derived graphs/joins keep
+    # their real shape and only the data-sized stages grow
+    li = table(spark, SF, "lineitem")
+    li10 = (
+        li.select("*", copies)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("c") * 100_000_000)
+        .drop("c")
+    )
+    li10.repartition(32).write.mode("overwrite").parquet(
+        f"{sfdir}/lineitem.parquet"
+    )
+    o = table(spark, SF, "orders")
+    o10 = (
+        o.select("*", copies)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("c") * 100_000_000)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("c") * 1_000_000)
+        .drop("c")
+    )
+    o10.repartition(32).write.mode("overwrite").parquet(
+        f"{sfdir}/orders.parquet"
+    )
+    c1 = table(spark, SF, "customer")
+    c10 = (
+        c1.select("*", copies)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("c") * 1_000_000)
+        .drop("c")
+    )
+    c10.repartition(8).write.mode("overwrite").parquet(
+        f"{sfdir}/customer.parquet"
+    )
+    for dim in ("supplier", "nation", "region", "part"):
+        table(spark, SF, dim).write.mode("overwrite").parquet(
+            f"{sfdir}/{dim}.parquet"
+        )
     return sfdir
 
 
@@ -303,11 +339,44 @@ def round5_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round6_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-4 session-2 additions probed through their registered entry
+    points: one-pass moment analytics, A-Res top-k, basket rules,
+    RFM bucketing, paragraph dedup, shard manifest, bounded
+    Bellman-Ford."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_corr_matrix",
+        "agg_ols",
+        "sample_weighted",
+        "evt_assoc_rules",
+        "evt_rfm_scores",
+        "text_dedup_paragraph",
+        "pipeline_shard_manifest",
+        "graph_weighted_path",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r6" in sys.argv:
+        round6_registered(spark, SF, sfdir10)
+        return
     if "--r5" in sys.argv:
         round5_registered(spark, SF, sfdir10)
         return

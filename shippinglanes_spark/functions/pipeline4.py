@@ -335,3 +335,165 @@ def pipeline_pair_dataset(spark, sf_dir):
     return gated.select(
         "doc_id", "source", "lang", "n_chars", emb_norm.alias("emb_norm")
     )
+
+
+_SEG = 20  # fixed segmentation (fixture text has no sentence structure)
+
+
+@register(
+    "text_dedup_paragraph",
+    section="2.9",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, greatest(len(toks), 1), {_SEG})) AS start
+          FROM t),
+    c AS (SELECT doc_id,
+                 CAST(start // {_SEG} AS BIGINT) AS seg_idx,
+                 array_to_string(toks[start + 1 : least(start + {_SEG}, n)],
+                                 ' ') AS seg
+          FROM s WHERE start < n),
+    r AS (SELECT doc_id, seg_idx, seg,
+                 ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                    ORDER BY doc_id, seg_idx) AS rn
+          FROM c)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+           md5(COALESCE(array_to_string(list(seg ORDER BY seg_idx)
+                                        FILTER (rn = 1), ' '), '')) AS new_fp
+    FROM r GROUP BY doc_id
+    """,
+    notes="paragraph-level exact dedup (the Dolma/CCNet pass BETWEEN "
+    "document dedup and near-dup): every 20-token segment is kept only "
+    "at its FIRST corpus occurrence (min doc_id, then position), and "
+    "each document is reassembled from its surviving segments in "
+    "order. Two keyed shuffles — one on the segment hash (global "
+    "first-occurrence rank), one on doc_id (reassembly) — both "
+    "corpus-linear; the segment text rides the shuffle but at 100 TB "
+    "you'd carry the hash + (doc_id, seg_idx) and rejoin the text, "
+    "same plan shape. Reassembly order is restored by sorting the "
+    "collected (seg_idx, seg) structs — collect_list order is never "
+    "trusted",
+)
+def text_dedup_paragraph(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(_SEG))
+        ).alias("start"),
+    ).where(F.col("start") < F.col("n"))
+    c = s.select(
+        "doc_id",
+        F.expr(f"start DIV {_SEG}").alias("seg_idx"),
+        F.array_join(F.slice(F.col("toks"), F.col("start") + 1, F.lit(_SEG)), " ")
+        .alias("seg"),
+    )
+    w = W.partitionBy(F.md5(F.col("seg"))).orderBy("doc_id", "seg_idx")
+    r = c.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.count_if(F.col("rn") == 1).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["seg"]
+                ),
+                " ",
+            )
+        ).alias("new_fp"),
+    )
+
+
+_HOLDOUT = 100  # eval-set size (largest-remainder allocated across sources)
+
+
+@register(
+    "pipeline_eval_holdout",
+    section="2.9",
+    oracle=f"""
+    WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM per),
+    q AS (SELECT source, n,
+                 CAST({_HOLDOUT} * n // tot.total AS BIGINT) AS quota,
+                 CAST(({_HOLDOUT} * n) % tot.total AS BIGINT) AS rem
+          FROM per CROSS JOIN tot),
+    l AS (SELECT CAST({_HOLDOUT} - SUM(quota) AS BIGINT) AS leftover FROM q),
+    a AS (SELECT source, quota, rem,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS pri
+          FROM q),
+    alloc AS (SELECT a.source,
+                     a.quota + CASE WHEN a.pri <= l.leftover THEN 1 ELSE 0 END
+                       AS k
+              FROM a CROSS JOIN l),
+    rk AS (SELECT doc_id, source,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('hold:' || CAST(doc_id AS VARCHAR)), doc_id)
+                    AS rn
+           FROM documents)
+    SELECT rk.doc_id, rk.source, CAST(rk.rn AS BIGINT) AS rank_in_source
+    FROM rk JOIN alloc ON alloc.source = rk.source
+    WHERE rk.rn <= alloc.k
+    """,
+    notes=f"evaluation holdout with EXACT size {_HOLDOUT}: per-source "
+    "quotas by the largest-remainder method (floor shares, then the "
+    "sources with the largest exact-integer remainders get the "
+    "leftovers — proportional AND exactly totalling the target, which "
+    "floor-only or round-only allocation cannot guarantee), then each "
+    "source contributes its first quota docs by salted-md5 order "
+    "(content-addressed, stable under reruns). The allocation windows "
+    "run on the SOURCE table (vocabulary-sized — the one place a "
+    "plain ORDER BY window is fine); the per-doc rank is a keyed "
+    "window. Everything is exact integer arithmetic",
+)
+def pipeline_eval_holdout(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per.agg(F.sum("n").cast("long").alias("total"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        ((F.lit(_HOLDOUT) * F.col("n")) / F.col("total")).cast("long").alias(
+            "quota"
+        ),
+        ((F.lit(_HOLDOUT) * F.col("n")) % F.col("total")).cast("long").alias(
+            "rem"
+        ),
+    )
+    l = q.agg((F.lit(_HOLDOUT) - F.sum("quota")).cast("long").alias("leftover"))
+    a = q.withColumn(
+        "pri", F.row_number().over(W.orderBy(F.col("rem").desc(), F.col("source")))
+    )
+    alloc = a.crossJoin(F.broadcast(l)).select(
+        "source",
+        (
+            F.col("quota")
+            + F.when(F.col("pri") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("k"),
+    )
+    h = F.md5(F.concat(F.lit("hold:"), F.col("doc_id").cast("string")))
+    rk = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rank_in_source"),
+    )
+    return rk.join(F.broadcast(alloc), "source").where(
+        F.col("rank_in_source") <= F.col("k")
+    ).select("doc_id", "source", "rank_in_source")

@@ -1020,3 +1020,89 @@ def agg_ols(spark, sf_dir):
         f"{sql['b1']} AS b1",
         f"{sql['b2']} AS b2",
     )
+
+
+@register(
+    "agg_anova",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT event_type AS grp,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(SUM(v * v) AS BIGINT) AS ss
+          FROM x GROUP BY grp),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts,
+                 CAST(SUM(ss) AS BIGINT) AS tss,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 list_reduce(list((s / n) * s ORDER BY grp),
+                             (a, b) -> a + b) AS gm
+          FROM g),
+    d AS (SELECT gm - (ts / tn) * ts AS ss_between,
+                 tss - gm AS ss_within,
+                 k, tn
+          FROM t)
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(tn AS BIGINT) AS n_rows,
+           FLOOR(ss_between / 10000.0 * 1e2) / 1e2 AS ss_between,
+           FLOOR(ss_within / 10000.0 * 1e2) / 1e2 AS ss_within,
+           FLOOR((ss_between / (k - 1)) / (ss_within / (tn - k)) * 1e6) / 1e6
+             AS f_stat
+    FROM d
+    """,
+    notes="one-way ANOVA (between/within variance decomposition + "
+    "F-statistic) across event types: the does-the-group-matter test "
+    "behind every A/B readout and feature-importance screen. The whole "
+    "decomposition comes from per-group (n, sum, sum-of-squares) — one "
+    "map-side-combined aggregate over integer cents, one k-row fold — "
+    "never a second pass for deviations-from-mean. Group means enter "
+    "as (s/n)*s single-division doubles with an identical expression "
+    "tree on both engines; SS values are rescaled from cents^2 to "
+    "units^2 and floor-disciplined",
+)
+def agg_anova(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    # fold the k group rows in one tiny aggregate. The between-group
+    # term sums k DOUBLES, and distributed SUM order is arbitrary — so
+    # the terms are collected, sorted by group, and LEFT-FOLDED (the
+    # emb_quantize_int8 discipline); DuckDB's list_reduce(ORDER BY grp)
+    # is the same sequential fold
+    term = (F.col("s") / F.col("n")) * F.col("s")
+    d = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts"),
+        F.sum("ss").cast("long").alias("tss"),
+        F.array_sort(F.collect_list(F.struct(F.col("grp"), term.alias("t"))))
+        .alias("terms"),
+    ).select(
+        "k",
+        "tn",
+        "ts",
+        "tss",
+        F.aggregate(
+            F.transform("terms", lambda x: x["t"]),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("gm"),
+    )
+    ss_between = F.col("gm") - (F.col("ts") / F.col("tn")) * F.col("ts")
+    ss_within = F.col("tss") - F.col("gm")
+    f_stat = (ss_between / (F.col("k") - 1)) / (ss_within / (F.col("tn") - F.col("k")))
+    return d.select(
+        F.col("k").alias("k_groups"),
+        F.col("tn").alias("n_rows"),
+        (F.floor(ss_between / 10000.0 * 1e2) / 1e2).alias("ss_between"),
+        (F.floor(ss_within / 10000.0 * 1e2) / 1e2).alias("ss_within"),
+        (F.floor(f_stat * 1e6) / 1e6).alias("f_stat"),
+    )

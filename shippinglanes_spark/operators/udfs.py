@@ -330,3 +330,57 @@ def udf_map_arrow(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "udtf_analyze",
+    section="2.11",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id, toks[1] AS tok_1, toks[2] AS tok_2, toks[3] AS tok_3
+    FROM t
+    """,
+    notes="POLYMORPHIC Python UDTF (Spark 4 static analyze): the output "
+    "schema (tok_1..tok_k) is computed at plan time from the literal k "
+    "argument — the table function changes shape with its arguments, "
+    "which no fixed returnType UDTF or lateral view can express. The "
+    "analyze hook runs on the driver during resolution, so the "
+    "dynamic schema costs nothing per row; eval stays the documented "
+    "slow path (row-at-a-time Python) and the oracle's list-index "
+    "formulation is what production code should use when k is static",
+)
+def udtf_analyze(spark, sf_dir):
+    """Spark 4 UDTF with `analyze`: schema derived from the constant k.
+    Out-of-range positions yield NULL, matching SQL list indexing."""
+    from pyspark.sql.functions import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        udtf,
+    )
+    from pyspark.sql.types import StringType, StructType
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument):
+            schema = StructType()
+            for i in range(k.value):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(k)
+            )
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_analyze_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok_1, s.tok_2, s.tok_3
+        FROM udtf_analyze_in d,
+             LATERAL first_tokens(d.text, 3) s
+        """
+    )

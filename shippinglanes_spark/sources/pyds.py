@@ -108,3 +108,115 @@ def source_python_datasource(spark, sf_dir):
         F.sum("dwt").cast("long").alias("total_dwt"),
         F.min("imo").alias("first_imo"),
     )
+
+
+_STREAM_BATCHES = 5
+_PER_BATCH = 200
+
+
+def _make_stream_datasource():
+    """Streaming flavor of the Python Data Source API (Spark 4
+    SimpleDataSourceStreamReader): a bounded synthetic position feed —
+    offsets advance one batch of rows at a time and stop at
+    _STREAM_BATCHES, so an availableNow drain terminates."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class FeedReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= _STREAM_BATCHES:
+                return iter([]), {"batch": b}
+            rows = [
+                (
+                    b * _PER_BATCH + i,
+                    b,
+                    ((b * _PER_BATCH + i) * 7919) % 360,
+                )
+                for i in range(_PER_BATCH)
+            ]
+            return iter(rows), {"batch": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for b in range(start["batch"], end["batch"]):
+                rows.extend(
+                    (
+                        b * _PER_BATCH + i,
+                        b,
+                        ((b * _PER_BATCH + i) * 7919) % 360,
+                    )
+                    for i in range(_PER_BATCH)
+                )
+            return iter(rows)
+
+    class PositionFeedDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "position_feed"
+
+        def schema(self):
+            return "msg_id bigint, batch bigint, heading bigint"
+
+        def simpleStreamReader(self, schema):
+            return FeedReader()
+
+    return PositionFeedDataSource
+
+
+@register(
+    "source_python_stream",
+    section="2.1",
+    oracle=f"""
+    WITH m AS (SELECT UNNEST(range({_STREAM_BATCHES * _PER_BATCH})) AS msg_id)
+    SELECT CAST(msg_id // {_PER_BATCH} AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((msg_id * 7919) % 360) AS BIGINT) AS heading_sum
+    FROM m GROUP BY 1
+    """,
+    notes="Spark 4 Python STREAMING Data Source "
+    "(SimpleDataSourceStreamReader): a pure-Python micro-batch feed "
+    "with driver-side offset tracking (initialOffset / read / "
+    "readBetweenOffsets for replay) — the extension surface for "
+    "streaming feeds with no JVM connector. The synthetic feed is "
+    "bounded and integer-derived, so the drained result is "
+    "hash-certified against a SQL recomputation; readBetweenOffsets "
+    "is the replay path a checkpoint recovery exercises",
+)
+def source_python_stream(spark, sf_dir):
+    import uuid as _uuid
+
+    spark.dataSource.register(_make_stream_datasource())
+    stream = spark.readStream.format("position_feed").load()
+    agg = stream.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("heading").cast("long").alias("heading_sum"),
+    )
+    name = f"pystream_{_uuid.uuid4().hex[:8]}"
+    # availableNow snapshots only the FIRST offset advance of a simple
+    # stream reader (one read() call), so drain with a running trigger
+    # and stop once the bounded feed's final state is in the sink
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    expect = _STREAM_BATCHES * _PER_BATCH
+    while _time.time() < deadline:
+        rows = spark.table(name).agg(F.sum("n")).first()[0]
+        if rows == expect:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    assert spark.table(name).agg(F.sum("n")).first()[0] == expect
+    return spark.table(name)
