@@ -1106,3 +1106,32 @@ def agg_anova(spark, sf_dir):
         (F.floor(ss_within / 10000.0 * 1e2) / 1e2).alias("ss_within"),
         (F.floor(f_stat * 1e6) / 1e6).alias("f_stat"),
     )
+
+
+@register(
+    "profile_histogram_log2",
+    section="2.4",
+    oracle="""
+    SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS lo,
+           CAST(MAX(n_chars) AS BIGINT) AS hi
+    FROM documents WHERE n_chars > 0 GROUP BY 1
+    """,
+    notes="log2 (power-of-two bucket) histogram of document lengths — "
+    "the right profiling tool for heavy-tailed size distributions "
+    "where profile_histogram's equi-width bins put everything in "
+    "bucket 0. floor(log2(x)) is computed as length(bin(x)) - 1: a "
+    "pure integer/string operation identical on both engines, with "
+    "none of log2()'s boundary-rounding hazard at exact powers of "
+    "two. Single map-side-combined aggregate; bucket count is "
+    "~64 regardless of corpus size",
+)
+def profile_histogram_log2(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bucket = (F.length(F.bin(F.col("n_chars"))) - 1).cast("long")
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("lo"),
+        F.max("n_chars").cast("long").alias("hi"),
+    )

@@ -338,3 +338,35 @@ def join_lateral(spark, sf_dir):
                       LIMIT 2) t
         """
     )
+
+
+@register(
+    "sql_group_by_all",
+    section="2.2",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM lineitem GROUP BY ALL ORDER BY ALL
+    """,
+    notes="GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered shorthand "
+    "Spark 4 adopted): every non-aggregate select item groups, every "
+    "output column orders — the ergonomic surface analysts reach for "
+    "first. Identical dialect text runs on both engines but each "
+    "resolves the shorthand through its own analyzer; Spark compiles "
+    "it to the same pushed-scan + partial-agg plan the explicit form "
+    "gets (no penalty for the sugar)",
+)
+def sql_group_by_all(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+        FROM lineitem GROUP BY ALL ORDER BY ALL
+        """
+    )

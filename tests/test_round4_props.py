@@ -173,3 +173,69 @@ def test_agg_ols_matches_numpy_lstsq(spark, sf_dir):
                 got[flag],
                 beta,
             )
+
+
+def test_eval_holdout_exact_size_and_proportional(spark, sf_dir):
+    """Largest-remainder allocation: total is EXACTLY the target and each
+    source's quota is within 1 of its real-valued proportional share."""
+    from shippinglanes_spark.registry import all_queries
+
+    out = all_queries()["pipeline_eval_holdout"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 100
+    per = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+    )
+    total = per.sum()
+    got = out.groupby("source").size()
+    for src, n in per.items():
+        share = 100 * n / total
+        assert abs(got.get(src, 0) - share) < 1.0, (src, got.get(src, 0), share)
+
+
+def test_dedup_paragraph_first_occurrence_bruteforce(spark, sf_dir):
+    """Independent recomputation of the keep set: a segment survives only
+    in the (doc_id, seg_idx)-smallest document that contains it."""
+    from shippinglanes_spark.registry import all_queries
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    seen = set()
+    kept = {}
+    segs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        n = 0
+        k = 0
+        for start in range(0, max(len(toks), 1), 20):
+            if start >= len(toks):
+                break
+            seg = " ".join(toks[start : start + 20])
+            n += 1
+            if seg not in seen:
+                seen.add(seg)
+                k += 1
+        kept[int(doc_id)] = k
+        segs[int(doc_id)] = n
+    out = all_queries()["text_dedup_paragraph"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r.n_segs == segs[r.doc_id], r
+        assert r.n_kept == kept[r.doc_id], r
+
+
+def test_stream_join_outer_emits_null_rows(spark, sf_dir):
+    """The left-outer drain must contain BOTH matched and null-view rows
+    (the watermark-eviction path actually fired)."""
+    from shippinglanes_spark.registry import all_queries
+
+    out = all_queries()["stream_join_outer"].fn(spark, sf_dir)
+    n_null = out.where(F.col("view_id").isNull()).count()
+    n_match = out.where(F.col("view_id").isNotNull()).count()
+    assert n_null > 0 and n_match > 0, (n_null, n_match)
