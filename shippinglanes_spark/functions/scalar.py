@@ -624,3 +624,72 @@ def fn_collate_ci(spark, sf_dir):
             "n_types",
         )
     )
+
+
+@register(
+    "fn_xpath",
+    section="2.8",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS name_out,
+           CAST(n_regionkey AS BIGINT) AS region_out
+    FROM nation
+    """,
+    notes="XPath function surface (xpath_string / xpath_long over an "
+    "XML payload column): the payload is constructed from the row, "
+    "extracted back via XPath, and the oracle is simply the source "
+    "columns — a full value check that the construct->parse->extract "
+    "path is lossless. The B2B-feed shape where upstream hands you "
+    "XML fragments in a column; at scale this is per-row JVM string "
+    "work inside codegen, no Python",
+)
+def fn_xpath(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></nation>"),
+    )
+    return n.withColumn("xml_payload", xml).select(
+        "n_nationkey",
+        F.expr("xpath_string(xml_payload, '/nation/name')").alias("name_out"),
+        F.expr("xpath_long(xml_payload, '/nation/region')").alias("region_out"),
+    )
+
+
+@register(
+    "fn_crypto_roundtrip",
+    section="2.8",
+    oracle="""
+    SELECT c_custkey, c_name AS name_roundtrip,
+           md5(c_name) AS name_fp
+    FROM customer WHERE c_custkey <= 500
+    """,
+    notes="column-level encryption surface (aes_encrypt/aes_decrypt, "
+    "GCM): the PII-at-rest pattern — encrypt the sensitive column, "
+    "decrypt it back, and the oracle is the plaintext source, so the "
+    "hash match proves the crypto path is lossless. GCM nonces make "
+    "ciphertext nondeterministic, which is WHY the declared output is "
+    "the decrypted roundtrip and not the ciphertext; key management "
+    "is out of engine scope (a literal key here)",
+)
+def fn_crypto_roundtrip(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    # 16-byte literal AES-128 key (demo only; key management out of scope)
+    enc = F.expr(
+        "aes_encrypt(c_name, '0123456789abcdef', 'GCM')"
+    )
+    dec = F.expr(
+        "CAST(aes_decrypt(ct, '0123456789abcdef', 'GCM') AS STRING)"
+    )
+    return (
+        c.select("c_custkey", enc.alias("ct"))
+        .select("c_custkey", dec.alias("name_roundtrip"))
+        .select(
+            "c_custkey",
+            "name_roundtrip",
+            F.md5(F.col("name_roundtrip")).alias("name_fp"),
+        )
+    )

@@ -384,3 +384,38 @@ def udtf_analyze(spark, sf_dir):
              LATERAL first_tokens(d.text, 3) s
         """
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    section="2.11",
+    oracle="""
+    SELECT p_partkey,
+           CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                * (100 - CAST(p_size AS BIGINT) % 20) // 100 AS BIGINT)
+             AS discounted_cents
+    FROM part WHERE p_partkey <= 1000
+    """,
+    notes="Arrow-optimized Python UDF (Spark 4 useArrow=True): the "
+    "row-at-a-time pickle path replaced by Arrow batch transfer "
+    "WITHOUT rewriting the function as a pandas UDF — the migration "
+    "story for existing scalar-UDF code. Integer-exact size-banded "
+    "discount so the SQL oracle replays it bit-for-bit; the engine's "
+    "guidance stands that built-in expressions beat ANY Python UDF "
+    "where expressible — this row exists to prove the surface",
+)
+def udf_arrow_scalar(spark, sf_dir):
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def discount(cents: int, size: int) -> int:
+        return cents * (100 - size % 20) // 100
+
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") <= 1000)
+    return p.select(
+        "p_partkey",
+        discount(
+            F.round(F.col("p_retailprice") * 100).cast("long"),
+            F.col("p_size").cast("long"),
+        ).alias("discounted_cents"),
+    )

@@ -488,3 +488,56 @@ def sink_dynamic_overwrite(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "source_xml",
+    section="2.1",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum,
+           md5(string_agg(p_name, '|' ORDER BY p_partkey)) AS names_fp
+    FROM part WHERE p_partkey <= 400 GROUP BY p_brand
+    """,
+    notes="XML roundtrip (Spark 4 ships the former spark-xml as a "
+    "built-in source): rowTag-framed write, schema-pinned read back — "
+    "the interchange format B2B/EDI feeds still arrive in. The "
+    "order-pinned name digest proves text survives XML "
+    "escaping/unescaping byte-exactly; oracle aggregates the source "
+    "table, so a hash match certifies the whole write->parse path. "
+    "Explicit schema on read (XML inference is a double scan, same "
+    "rule as CSV/JSON at lake scale)",
+)
+def source_xml(spark, sf_dir):
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
+    out = _scratch(f"source_xml_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        p.select("p_partkey", "p_brand", "p_size", "p_name")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "part")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema("p_partkey bigint, p_brand string, p_size bigint, p_name string")
+        .load(out)
+    )
+    from pyspark.sql import Window as W
+
+    ordered = W.partitionBy("p_brand").orderBy("p_partkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        back.withColumn(
+            "names", F.array_join(F.collect_list("p_name").over(ordered), "|")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p_size").cast("long").alias("size_sum"),
+            F.md5(F.first("names")).alias("names_fp"),
+        )
+    )
