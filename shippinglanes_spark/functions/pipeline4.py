@@ -497,3 +497,110 @@ def pipeline_eval_holdout(spark, sf_dir):
     return rk.join(F.broadcast(alloc), "source").where(
         F.col("rank_in_source") <= F.col("k")
     ).select("doc_id", "source", "rank_in_source")
+
+
+@register(
+    "pipeline_quality_ensemble",
+    section="2.9",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, LENGTH(text) AS L,
+             string_split(text, ' ') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, L, len(toks) AS n,
+             list_max(list_transform(list_distinct(toks),
+               x -> len(list_filter(toks, y -> y = x)))) AS top_cnt,
+             len(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS n_tri,
+             len(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS n_tri_uniq
+      FROM t),
+    f AS (
+      SELECT doc_id, n,
+             (n BETWEEN 30 AND 2000) AS len_ok,
+             (L - n + 1 >= 2 * n AND L - n + 1 <= 12 * n) AS wordlen_ok,
+             (top_cnt * 5 <= n) AS toptok_ok,
+             (n_tri_uniq * 10 >= n_tri * 7) AS rep_ok
+      FROM s)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           (len_ok AND wordlen_ok AND toptok_ok AND rep_ok) AS keep,
+           COALESCE(array_to_string(list_sort(
+             [x FOR x IN [CASE WHEN NOT len_ok THEN 'length' END,
+                          CASE WHEN NOT wordlen_ok THEN 'word_len' END,
+                          CASE WHEN NOT toptok_ok THEN 'top_token' END,
+                          CASE WHEN NOT rep_ok THEN 'repetition' END]
+              IF x IS NOT NULL]), ','), '') AS reasons
+    FROM f
+    """,
+    notes="multi-signal quality gate with EXPLAINABLE verdicts (the "
+    "FineWeb/Gopher-rule ensemble as one declared pass): token-count "
+    "bounds, mean word length, top-token concentration, and duplicate "
+    "3-gram fraction, each thresholded in exact integer arithmetic "
+    "(top_cnt*5 <= n is 'top token <= 20%' with no division), plus a "
+    "sorted reasons list naming every failed rule — curation debugging "
+    "needs to know WHY a doc dropped, not just that it did. Entirely "
+    "per-row array expressions: ZERO shuffles, a pure map at any "
+    "scale. The in-array top-token count is O(distinct x n) per doc — "
+    "bounded by doc length, the right trade vs an explode + two "
+    "shuffles per signal",
+)
+def pipeline_quality_ensemble(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.length("text").alias("L"),
+        F.split("text", " ").alias("toks"),
+    ).select("doc_id", "L", "toks", F.size("toks").alias("n"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda x: F.size(F.filter("toks", lambda y: y == x)),
+        )
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+    s = t.select(
+        "doc_id",
+        "L",
+        "n",
+        top_cnt.alias("top_cnt"),
+        F.size(tri).alias("n_tri"),
+        F.size(F.array_distinct(tri)).alias("n_tri_uniq"),
+    )
+    len_ok = F.col("n").between(30, 2000)
+    wordlen_ok = ((F.col("L") - F.col("n") + 1) >= 2 * F.col("n")) & (
+        (F.col("L") - F.col("n") + 1) <= 12 * F.col("n")
+    )
+    toptok_ok = F.col("top_cnt") * 5 <= F.col("n")
+    rep_ok = F.col("n_tri_uniq") * 10 >= F.col("n_tri") * 7
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(~len_ok, F.lit("length")),
+                    F.when(~wordlen_ok, F.lit("word_len")),
+                    F.when(~toptok_ok, F.lit("top_token")),
+                    F.when(~rep_ok, F.lit("repetition")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (len_ok & wordlen_ok & toptok_ok & rep_ok).alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -408,3 +408,35 @@ def test_weighted_path_matches_local_dijkstra(spark, sf_dir):
         for r in Q["graph_weighted_path"].fn(spark, sf_dir).collect()
     }
     assert got == dist
+
+
+def test_moment_queries_single_scan_no_joins(spark, sf_dir):
+    """agg_corr_matrix / agg_ols / agg_anova claim one-pass moment
+    aggregation: one scan, no join of any kind, partial+final agg."""
+    import re
+
+    for name in ("agg_corr_matrix", "agg_ols"):
+        p = plan(spark, sf_dir, name)
+        # formatted explain lists each node twice (tree + details):
+        # count the numbered detail entries
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, name
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert j not in p, (name, j)
+        assert "HashAggregate" in p, name
+
+
+def test_entity_resolution_is_blocked_equi_join(spark, sf_dir):
+    """The ER candidate join must be a hash equi-join on the blocking
+    key, never a nested-loop over all pairs."""
+    p = plan(spark, sf_dir, "join_entity_resolution")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_quality_ensemble_zero_shuffle(spark, sf_dir):
+    """The ensemble gate claims pure per-row compute: no Exchange at all."""
+    p = plan(spark, sf_dir, "pipeline_quality_ensemble")
+    assert "Exchange" not in p
