@@ -592,3 +592,114 @@ def _local_union_find(pairs):
         t=pairs.schema.fields[0].dataType.simpleString()
     )
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "join_set_similarity",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id % 3 = 0),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS s
+          FROM t WHERE len(toks) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(a.s) AS na, len(b.s) AS nb
+          FROM d a JOIN d b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jac_ppm
+    FROM p WHERE inter * 5 >= 3 * (na + nb - inter)
+    """,
+    notes="EXACT near-dup join (3-gram-shingle Jaccard >= 0.6) via "
+    "PREFIX FILTERING (the PPJoin family): shingles are globally "
+    "ordered rarest-first, each doc's candidate prefix is its first "
+    "n - ceil(0.6 n) + 1 shingles, and two docs can pass the "
+    "threshold only if their prefixes share a shingle — so the join "
+    "is an equi-join on prefix shingles (rare by construction, tiny "
+    "buckets) followed by exact in-array verification. Unlike the "
+    "MinHash path (probabilistic recall) this is LOSSLESS, and the "
+    "oracle proves it: DuckDB brute-forces ALL pairs, so a hash "
+    "match certifies the prefix filter dropped nothing. Threshold "
+    "math is exact integers (inter*5 >= 3*union; ceil(3n/5) = "
+    "(3n+4) DIV 5) — no float anywhere. Candidates scale with "
+    "shingle collisions (true near-dups), never n^2 — that is the "
+    "whole point vs the brute force the oracle runs; the doc subset "
+    "(doc_id % 3) only bounds the ORACLE's quadratic cost",
+)
+def join_set_similarity(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("w", i),
+            F.element_at("w", i + 1),
+            F.element_at("w", i + 2),
+        ),
+    )
+    d = (
+        base.where(F.size("w") >= 3)
+        .select("doc_id", F.array_distinct(sh).alias("toks"))
+    )
+    # global rarity order: token -> (df, token) rank
+    freq = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda x: x["tok"],
+            ).alias("s")
+        )
+        .select("doc_id", "s", F.size("s").alias("n"))
+    )
+    # prefix length n - ceil(0.6n) + 1, ceil as exact integer arithmetic
+    plen = F.col("n") - ((F.lit(3) * F.col("n") + 4) / 5).cast("long") + 1
+    pref = ordered.select(
+        "doc_id", "s", "n", F.explode(F.slice("s", 1, plen)).alias("ptok")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+        "ptok",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+        "ptok",
+    )
+    cand = (
+        a.join(b, "ptok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb", "na", "nb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        cand.select("doc_a", "doc_b", inter.alias("i"), union.alias("u"))
+        .where(F.col("i") * 5 >= 3 * F.col("u"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ((F.col("i") * 1000000) / F.col("u")).cast("long").alias("jac_ppm"),
+        )
+    )
