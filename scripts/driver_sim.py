@@ -1,0 +1,82 @@
+"""Driver-contract simulator: plain SparkSession (no engine confs — the
+point is that the engine must self-configure), __spark_entry__ surface,
+DuckDB hash-compare.
+
+    python scripts/driver_sim.py                       # sf0.01, UTC
+    python scripts/driver_sim.py "America/New_York"    # non-UTC probe
+    SPARK_GRAFT_SIM_SF=/root/testdata/sf0.1 python scripts/driver_sim.py
+
+Expect `RESULT: ALL GREEN`; exit code 1 on any mismatch."""
+import os
+import hashlib
+import sys
+
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
+TZ = sys.argv[1] if len(sys.argv) > 1 else None
+
+from pyspark.sql import SparkSession
+
+b = SparkSession.builder.master("local[8]").config("spark.ui.enabled", "false")
+if TZ:
+    b = b.config("spark.sql.session.timeZone", TZ)
+spark = b.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E
+
+import duckdb
+import pandas as pd
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+r = E.entry(spark).collect()
+assert len(r) >= 0
+print(f"entry: {len(r)} rows OK", flush=True)
+
+
+def canon(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    cells = []
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_float_dtype(s):
+            cells.append(s.map(lambda v: "" if pd.isna(v) else f"{v:.9g}"))
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            cells.append(s.astype("string").str.replace(" 00:00:00", "", regex=False).fillna(""))
+        else:
+            cells.append(s.map(lambda v: "" if v is None or v is pd.NA else str(v)))
+    rows = sorted("\x01".join(str(x) for x in tup) for tup in zip(*cells)) if cells else []
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+qs = E.queries()
+oracles = E.oracle_sql()
+fail = []
+n_hash = n_rows_only = 0
+for name, fn in qs.items():
+    try:
+        spdf = fn(spark, SF).toPandas()
+        if name not in oracles:
+            n_rows_only += 1
+            continue
+        opdf = con.sql(oracles[name]).df()
+        ok = (len(spdf) == len(opdf)
+              and sorted(spdf.columns) == sorted(opdf.columns)
+              and canon(spdf) == canon(opdf))
+        if ok:
+            n_hash += 1
+        else:
+            fail.append(name)
+            print(f"MISMATCH {name}: rows {len(spdf)}/{len(opdf)}", flush=True)
+    except Exception as ex:
+        fail.append(name)
+        print(f"ERROR {name}: {str(ex)[:200]}", flush=True)
+
+print(f"hash-green: {n_hash}  rows-only: {n_rows_only}  fail: {len(fail)}")
+print("RESULT: ALL GREEN" if not fail else f"RESULT: FAIL {fail}")
+spark.stop()
+sys.exit(1 if fail else 0)
