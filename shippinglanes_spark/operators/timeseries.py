@@ -807,3 +807,55 @@ def join_feature_pit(spark, sf_dir):
             "spend_prior_90d_cents"
         ),
     )
+
+
+@register(
+    "agg_decay_sum",
+    section="2.10",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+    b AS (SELECT user_id,
+                 date_diff('day', CAST(ts AS DATE), mx.d0) // 7 AS age_w,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events, mx
+          WHERE event_type = 'purchase'),
+    k AS (SELECT user_id, age_w, CAST(SUM(cents) AS BIGINT) AS s
+          FROM b GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(SUM(s) AS BIGINT) AS raw_cents,
+           FLOOR(list_reduce(
+             list(s * pow(0.5, age_w) ORDER BY age_w),
+             (a, x) -> a + x) * 1e2) / 1e2 AS decayed
+    FROM k GROUP BY user_id
+    """,
+    notes="exponentially time-decayed revenue (half-life = 1 week), "
+    "computed EXACTLY: ages quantize to integer week buckets, per-"
+    "bucket cents sum as exact BIGINTs (order-free), and the decay "
+    "fold multiplies each bucket by pow(0.5, k) — an exactly-"
+    "representable power of two — then LEFT-FOLDS the few dozen "
+    "buckets in age order on both engines. Every floating op is "
+    "either exact (2^-k scaling) or sequenced identically, so the "
+    "recency-weighted metric needs no tolerance. One keyed aggregate "
+    "+ one in-array fold; the decay never touches row-level floats",
+)
+def agg_decay_sum(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("d0"))
+    b = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.datediff(F.col("d0"), F.col("ts").cast("date")) / 7)
+        .cast("long")
+        .alias("age_w"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    k = b.groupBy("user_id", "age_w").agg(F.sum("cents").cast("long").alias("s"))
+    terms = F.array_sort(F.collect_list(F.struct("age_w", "s")))
+    decayed = F.aggregate(
+        terms,
+        F.lit(0.0),
+        lambda a, x: a + x["s"] * F.pow(F.lit(0.5), x["age_w"]),
+    )
+    return k.groupBy("user_id").agg(
+        F.sum("s").cast("long").alias("raw_cents"),
+        (F.floor(decayed * 1e2) / 1e2).alias("decayed"),
+    )
