@@ -1388,3 +1388,90 @@ def evt_rfm_scores(spark, sf_dir):
         (F.lit(1) + score("n_events", "f")).cast("long").alias("f_score"),
         (F.lit(1) + score("revenue_cents", "m")).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "evt_growth_accounting",
+    section="2.10",
+    oracle="""
+    WITH um AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('month', ts) AS DATE) AS m
+                FROM events),
+    lagd AS (SELECT user_id, m,
+                    LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS pm,
+                    LEAD(m) OVER (PARTITION BY user_id ORDER BY m) AS nm
+             FROM um),
+    st AS (SELECT m,
+                  CAST(COUNT(*) FILTER (pm IS NULL) AS BIGINT) AS n_new,
+                  CAST(COUNT(*) FILTER (
+                    pm IS NOT NULL AND date_diff('month', pm, m) = 1)
+                    AS BIGINT) AS n_retained,
+                  CAST(COUNT(*) FILTER (
+                    pm IS NOT NULL AND date_diff('month', pm, m) > 1)
+                    AS BIGINT) AS n_resurrected
+           FROM lagd GROUP BY m),
+    ch AS (SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+                  CAST(COUNT(*) AS BIGINT) AS n_churned
+           FROM lagd
+           WHERE nm IS NULL OR date_diff('month', m, nm) > 1
+           GROUP BY 1)
+    SELECT CAST(COALESCE(st.m, ch.m) AS VARCHAR) AS month,
+           COALESCE(st.n_new, 0) AS n_new,
+           COALESCE(st.n_retained, 0) AS n_retained,
+           COALESCE(st.n_resurrected, 0) AS n_resurrected,
+           COALESCE(ch.n_churned, 0) AS n_churned
+    FROM st FULL JOIN ch ON ch.m = st.m
+    """,
+    notes="monthly growth accounting (the canonical new / retained / "
+    "resurrected / churned decomposition every growth team reports): "
+    "distinct user-months, one keyed LAG/LEAD window classifies each "
+    "user-month, churn attributes to the month AFTER last activity, "
+    "and a months-dimension full join merges the two count streams. "
+    "actives(m) = new + retained + resurrected by construction; all "
+    "counts are exact integers over month-truncated dates (no float "
+    "calendar math). Two keyed shuffles (user window, month "
+    "aggregate) — corpus-linear",
+)
+def evt_growth_accounting(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id", as_date(F.date_trunc("month", F.col("ts"))).alias("m")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("m")
+    lagd = um.select(
+        "user_id",
+        "m",
+        F.lag("m").over(w).alias("pm"),
+        F.lead("m").over(w).alias("nm"),
+    )
+    gap_in = F.months_between(F.col("m"), F.col("pm")).cast("long")
+    st = lagd.groupBy("m").agg(
+        F.count_if(F.col("pm").isNull()).cast("long").alias("n_new"),
+        F.count_if(F.col("pm").isNotNull() & (gap_in == 1))
+        .cast("long")
+        .alias("n_retained"),
+        F.count_if(F.col("pm").isNotNull() & (gap_in > 1))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    gap_out = F.months_between(F.col("nm"), F.col("m")).cast("long")
+    ch = (
+        lagd.where(F.col("nm").isNull() | (gap_out > 1))
+        .select(F.add_months(F.col("m"), 1).alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        st.join(ch, "m", "full")
+        .select(
+            F.col("m").cast("string").alias("month"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
