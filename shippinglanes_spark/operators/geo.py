@@ -514,44 +514,44 @@ def geo_encounters(spark, sf_dir):
     EPS_DEG = 0.5
     EPS_US = 3_600_000_000
     fx = _fixes(spark, sf_dir)
-    cx = F.floor(F.col("lon") / EPS_DEG)
-    cy = F.floor(F.col("lat") / EPS_DEG)
-    tb = F.floor(F.col("ts_us") / EPS_US)
+
+    # double-cell probe (same scheme as geo_convoys): 2*eps cells, probe
+    # explodes into the <=2 cells per axis its eps-ball touches — up to
+    # 8 offsets instead of 27, identical candidate superset
+    def _cells(col, width):
+        q = col / width
+        return F.array_distinct(F.array(F.floor(q - 0.5), F.floor(q + 0.5)))
+
     home = fx.select(
         F.col("user_id").alias("id_b"),
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
         F.col("ts_us").alias("ts_b"),
-        cx.alias("cx"),
-        cy.alias("cy"),
-        tb.alias("tb"),
+        F.floor(F.col("lon") / (2 * EPS_DEG)).alias("cx"),
+        F.floor(F.col("lat") / (2 * EPS_DEG)).alias("cy"),
+        F.floor(F.col("ts_us") / (2 * EPS_US)).alias("ct"),
     )
-    offsets = ", ".join(
-        f"struct({dx} AS dx, {dy} AS dy, {dt} AS dt)"
-        for dx in (-1, 0, 1)
-        for dy in (-1, 0, 1)
-        for dt in (-1, 0, 1)
-    )
-    probe = fx.select(
-        F.col("user_id").alias("id_a"),
-        F.col("lat").alias("lat_a"),
-        F.col("lon").alias("lon_a"),
-        F.col("ts_us").alias("ts_a"),
-        cx.alias("pcx"),
-        cy.alias("pcy"),
-        tb.alias("ptb"),
-        F.expr(f"explode(array({offsets}))").alias("o"),
-    ).select(
-        "id_a",
-        "lat_a",
-        "lon_a",
-        "ts_a",
-        (F.col("pcx") + F.col("o.dx")).alias("cx"),
-        (F.col("pcy") + F.col("o.dy")).alias("cy"),
-        (F.col("ptb") + F.col("o.dt")).alias("tb"),
+    probe = (
+        fx.select(
+            F.col("user_id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            F.col("ts_us").alias("ts_a"),
+            F.explode(_cells(F.col("lon"), 2 * EPS_DEG)).alias("cx"),
+            _cells(F.col("lat"), 2 * EPS_DEG).alias("cys"),
+            _cells(F.col("ts_us"), 2.0 * EPS_US).alias("cts"),
+        )
+        .select(
+            "id_a", "lat_a", "lon_a", "ts_a", "cx",
+            F.explode("cys").alias("cy"), "cts",
+        )
+        .select(
+            "id_a", "lat_a", "lon_a", "ts_a", "cx", "cy",
+            F.explode("cts").alias("ct"),
+        )
     )
     return (
-        probe.join(home, ["cx", "cy", "tb"])
+        probe.join(home, ["cx", "cy", "ct"])
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("lat_a") - F.col("lat_b")) <= EPS_DEG)
