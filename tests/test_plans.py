@@ -440,3 +440,16 @@ def test_quality_ensemble_zero_shuffle(spark, sf_dir):
     """The ensemble gate claims pure per-row compute: no Exchange at all."""
     p = plan(spark, sf_dir, "pipeline_quality_ensemble")
     assert "Exchange" not in p
+
+
+def test_geo_grid_joins_are_equi_not_nested_loop(spark, sf_dir):
+    """The double-cell spacetime joins must stay plain equi-joins on
+    (cx, cy, ct) — no nested loop, no cartesian — with probe fanout
+    bounded by the explode chain, not a range predicate."""
+    for name in ("geo_encounters", "geo_convoys"):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+            "BroadcastHashJoin" in p
+        ), name
