@@ -1135,3 +1135,80 @@ def profile_histogram_log2(spark, sf_dir):
         F.min("n_chars").cast("long").alias("lo"),
         F.max("n_chars").cast("long").alias("hi"),
     )
+
+
+@register(
+    "agg_mannwhitney_auc",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE event_type IN ('click', 'view')),
+    d AS (SELECT v,
+                 CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+                 CAST(COUNT(*) AS BIGINT) AS c_all
+          FROM x GROUP BY v),
+    p AS (SELECT v, c1, c_all,
+                 CAST(COALESCE(SUM(c_all) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cb
+          FROM d),
+    s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c_all - c1) AS BIGINT) AS n2,
+                 CAST(SUM(c1 * (2 * cb + c_all + 1)) AS BIGINT) AS r1_x2
+          FROM p)
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST((r1_x2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2)
+                AS BIGINT) AS auc_ppm
+    FROM s
+    """,
+    notes="Mann-Whitney U / rank-sum test between two groups' value "
+    "distributions, with EXACT tie handling and zero floats: instead "
+    "of ranking every row (a data-sized global sort), the statistic "
+    "folds over DISTINCT values — 2*R1 = sum c1*(2*cum_below + c + 1) "
+    "gives doubled average-ranks as exact integers. The one ordered "
+    "window runs on the distinct-VALUE table (bounded by cent "
+    "cardinality, orders of magnitude below row count; the "
+    "bucketed_global_rank two-pass is the documented path if value "
+    "cardinality ever goes data-sized). U1/(n1*n2) is exactly the "
+    "AUC of 'value predicts group' — the ML evaluation metric, "
+    "reported as exact integer ppm",
+)
+def agg_mannwhitney_auc(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    x = ev.select(
+        (F.col("event_type") == "click").cast("long").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    d = x.groupBy("v").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    p = d.select(
+        "v",
+        "c1",
+        "c_all",
+        F.coalesce(F.sum("c_all").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    s = p.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c_all") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c_all") + 1))
+        .cast("long")
+        .alias("r1_x2"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        ((u1_x2 * 1000000) / (2 * F.col("n1") * F.col("n2")))
+        .cast("long")
+        .alias("auc_ppm"),
+    )

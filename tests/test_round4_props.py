@@ -239,3 +239,26 @@ def test_stream_join_outer_emits_null_rows(spark, sf_dir):
     n_null = out.where(F.col("view_id").isNull()).count()
     n_match = out.where(F.col("view_id").isNotNull()).count()
     assert n_null > 0 and n_match > 0, (n_null, n_match)
+
+
+def test_mannwhitney_auc_matches_pairwise_bruteforce(spark, sf_dir):
+    """U/(n1*n2) must equal the literal pairwise win-rate
+    (wins + half-ties) computed by numpy broadcasting."""
+    import numpy as np
+
+    from shippinglanes_spark.registry import all_queries
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("v"))
+        .toPandas()
+    )
+    g1 = ev.loc[ev["event_type"] == "click", "v"].to_numpy()
+    g2 = ev.loc[ev["event_type"] == "view", "v"].to_numpy()
+    wins = (g1[:, None] > g2[None, :]).sum()
+    ties = (g1[:, None] == g2[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(g1) * len(g2))
+    row = all_queries()["agg_mannwhitney_auc"].fn(spark, sf_dir).first()
+    assert row.n1 == len(g1) and row.n2 == len(g2)
+    assert row.auc_ppm == int(auc * 1_000_000)
