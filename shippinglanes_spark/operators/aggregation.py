@@ -1212,3 +1212,76 @@ def agg_mannwhitney_auc(spark, sf_dir):
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+@register(
+    "agg_ks_test",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE event_type IN ('click', 'view')),
+    d AS (SELECT v,
+                 CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+                 CAST(COUNT(*) FILTER (g = 0) AS BIGINT) AS c2
+          FROM x GROUP BY v),
+    p AS (SELECT v,
+                 CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+                 CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+          FROM d),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+          FROM d)
+    SELECT t.n1, t.n2,
+           CAST(MAX(ABS(p.f1 * t.n2 - p.f2 * t.n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(p.f1 * t.n2 - p.f2 * t.n1)) * 1000000
+                // (t.n1 * t.n2) AS BIGINT) AS d_ppm
+    FROM p CROSS JOIN t
+    GROUP BY t.n1, t.n2
+    """,
+    notes="two-sample Kolmogorov-Smirnov statistic (max empirical-CDF "
+    "gap) with ZERO floats: cumulative counts over distinct values "
+    "cross-multiplied — |F1(v)-F2(v)| maximized as the exact integer "
+    "|cum1*n2 - cum2*n1| and reported as integer ppm of n1*n2. The "
+    "drift-detection statistic every feature-monitoring pipeline "
+    "computes between yesterday's and today's distribution; same "
+    "distinct-value prefix machinery as agg_mannwhitney_auc (ordered "
+    "window on the value-cardinality table, two-pass bucketed path "
+    "documented if values go data-sized)",
+)
+def agg_ks_test(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    x = ev.select(
+        (F.col("event_type") == "click").cast("long").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    d = x.groupBy("v").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(1 - F.col("g")).cast("long").alias("c2"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    p = d.select(
+        "v",
+        F.sum("c1").over(w).cast("long").alias("f1"),
+        F.sum("c2").over(w).cast("long").alias("f2"),
+    )
+    t = d.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    gap = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).cast("long").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            ((F.col("d_num") * 1000000) / (F.col("n1") * F.col("n2")))
+            .cast("long")
+            .alias("d_ppm"),
+        )
+    )

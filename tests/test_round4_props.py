@@ -262,3 +262,26 @@ def test_mannwhitney_auc_matches_pairwise_bruteforce(spark, sf_dir):
     row = all_queries()["agg_mannwhitney_auc"].fn(spark, sf_dir).first()
     assert row.n1 == len(g1) and row.n2 == len(g2)
     assert row.auc_ppm == int(auc * 1_000_000)
+
+
+def test_ks_statistic_matches_numpy_cdf_gap(spark, sf_dir):
+    """D must equal the max |F1 - F2| computed from raw arrays."""
+    import numpy as np
+
+    from shippinglanes_spark.registry import all_queries
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("v"))
+        .toPandas()
+    )
+    g1 = np.sort(ev.loc[ev["event_type"] == "click", "v"].to_numpy())
+    g2 = np.sort(ev.loc[ev["event_type"] == "view", "v"].to_numpy())
+    vals = np.unique(np.concatenate([g1, g2]))
+    f1 = np.searchsorted(g1, vals, side="right") / len(g1)
+    f2 = np.searchsorted(g2, vals, side="right") / len(g2)
+    d_ref = np.abs(f1 - f2).max()
+    row = all_queries()["agg_ks_test"].fn(spark, sf_dir).first()
+    assert row.n1 == len(g1) and row.n2 == len(g2)
+    assert abs(row.d_num / (row.n1 * row.n2) - d_ref) < 1e-12
