@@ -1285,3 +1285,79 @@ def agg_ks_test(spark, sf_dir):
             .alias("d_ppm"),
         )
     )
+
+
+@register(
+    "agg_psi",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+                      CAST(length(bin(CAST(ROUND(value * 100) AS BIGINT) + 1))
+                           AS BIGINT) - 1 AS bucket
+               FROM events WHERE event_type IN ('click', 'view')
+                 AND value IS NOT NULL),
+    d AS (SELECT bucket,
+                 CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+                 CAST(COUNT(*) FILTER (g = 0) AS BIGINT) AS c2
+          FROM x GROUP BY bucket
+          HAVING COUNT(*) FILTER (g = 1) > 0
+             AND COUNT(*) FILTER (g = 0) > 0),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+                 list_reduce(
+                   list((c1 / (SELECT SUM(c1) FROM d)
+                         - c2 / (SELECT SUM(c2) FROM d))
+                        * ln((c1 * (SELECT SUM(c2) FROM d))
+                             / (c2 * (SELECT SUM(c1) FROM d)))
+                        ORDER BY bucket),
+                   (a, b) -> a + b) AS psi
+          FROM d)
+    SELECT n1, n2, FLOOR(psi * 1e6) / 1e6 AS psi
+    FROM t
+    """,
+    notes="Population Stability Index between two groups' value "
+    "distributions over power-of-two buckets (the credit-risk / "
+    "feature-drift score): PSI = sum (p - q) ln(p/q). Buckets are "
+    "exact integer log2 bins (length(bin(x+1))-1); p/q enter as "
+    "single divisions of exact counts and the ln ratio is computed "
+    "from the exact integer cross-product c1*n2 / (c2*n1); the "
+    "per-bucket terms are LEFT-FOLDED in bucket order on both "
+    "engines (the agg_anova discipline), so the only nondeterminism "
+    "float sums could add is gone. Empty-on-either-side buckets are "
+    "excluded (standard practice — ln blows up); one aggregate + a "
+    "~60-element fold",
+)
+def agg_psi(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    bucket = (
+        F.length(F.bin(F.round(F.col("value") * 100).cast("long") + 1)) - 1
+    ).cast("long")
+    x = ev.select(
+        (F.col("event_type") == "click").cast("long").alias("g"),
+        bucket.alias("bucket"),
+    )
+    d = (
+        x.groupBy("bucket")
+        .agg(
+            F.sum("g").cast("long").alias("c1"),
+            F.sum(1 - F.col("g")).cast("long").alias("c2"),
+        )
+        .where((F.col("c1") > 0) & (F.col("c2") > 0))
+    )
+    t = d.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.array_sort(F.collect_list(F.struct("bucket", "c1", "c2"))).alias(
+            "terms"
+        ),
+    )
+    term = lambda s: (
+        s["c1"] / F.col("n1") - s["c2"] / F.col("n2")
+    ) * F.log((s["c1"] * F.col("n2")) / (s["c2"] * F.col("n1")))
+    psi = F.aggregate(
+        F.col("terms"), F.lit(0.0), lambda a, s: a + term(s)
+    )
+    return t.select(
+        "n1", "n2", (F.floor(psi * 1e6) / 1e6).alias("psi")
+    )
