@@ -1361,3 +1361,84 @@ def agg_psi(spark, sf_dir):
     return t.select(
         "n1", "n2", (F.floor(psi * 1e6) / 1e6).alias("psi")
     )
+
+
+@register(
+    "agg_cramers_v",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT event_type AS et,
+                      CAST(dayofweek(ts) AS BIGINT) AS dw
+               FROM events),
+    o AS (SELECT et, dw, CAST(COUNT(*) AS BIGINT) AS o FROM x GROUP BY 1, 2),
+    r AS (SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY et),
+    c AS (SELECT dw, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY dw),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS t,
+                 CAST(COUNT(DISTINCT et) AS BIGINT) AS nr,
+                 CAST(COUNT(DISTINCT dw) AS BIGINT) AS nc
+          FROM o),
+    cells AS (SELECT o.et, o.dw, o.o, r.r, c.c
+              FROM o JOIN r USING (et) JOIN c USING (dw)),
+    s AS (SELECT t.t, t.nr, t.nc,
+                 list_reduce(
+                   list(CAST((o * t.t - r * c) AS DOUBLE)
+                        * CAST((o * t.t - r * c) AS DOUBLE)
+                        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                           * CAST(t.t AS DOUBLE))
+                        ORDER BY et, dw),
+                   (a, b) -> a + b) AS chi2
+          FROM cells CROSS JOIN t
+          GROUP BY t.t, t.nr, t.nc)
+    SELECT t AS n_rows,
+           FLOOR(chi2 * 1e4) / 1e4 AS chi2,
+           FLOOR(sqrt(chi2 / (t * (least(nr, nc) - 1))) * 1e6) / 1e6
+             AS cramers_v
+    FROM s
+    """,
+    notes="chi-square independence + Cramer's V between event type and "
+    "day-of-week (is behavior day-dependent?): every cell term is "
+    "(o*t - r*c)^2 / (r*c*t) built from exact integer contingency "
+    "marginals — the numerator is an exact integer BEFORE the one "
+    "division — and the ~35 cell terms LEFT-FOLD in (row, col) order "
+    "on both engines. One aggregate for the contingency table, "
+    "marginals join back as vocabulary-sized broadcasts, V "
+    "normalizes by sqrt (exact IEEE). The categorical-association "
+    "screen for feature selection, engine-deterministic end to end. "
+    "(Label caveat: Spark dayofweek is 1-7, DuckDB 0-6 — a constant "
+    "shift, so cell identities, marginals, fold ORDER and the "
+    "statistic are all unchanged; dw itself is deliberately not an "
+    "output column)",
+)
+def agg_cramers_v(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        F.col("event_type").alias("et"), F.dayofweek("ts").cast("long").alias("dw")
+    )
+    o = x.groupBy("et", "dw").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    r = o.groupBy("et").agg(F.sum("o").cast("long").alias("r"))
+    c = o.groupBy("dw").agg(F.sum("o").cast("long").alias("c"))
+    t = o.agg(
+        F.sum("o").cast("long").alias("t"),
+        F.count_distinct("et").cast("long").alias("nr"),
+        F.count_distinct("dw").cast("long").alias("nc"),
+    )
+    cells = o.join(F.broadcast(r), "et").join(F.broadcast(c), "dw").crossJoin(
+        F.broadcast(t)
+    )
+    term = lambda s: (
+        (s["o"] * s["t"] - s["r"] * s["c"]).cast("double")
+        * (s["o"] * s["t"] - s["r"] * s["c"]).cast("double")
+        / (s["r"].cast("double") * s["c"].cast("double") * s["t"].cast("double"))
+    )
+    agg = cells.groupBy("t", "nr", "nc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("et", "dw", "o", "r", "c", "t"))
+        ).alias("terms")
+    )
+    chi2 = F.aggregate(F.col("terms"), F.lit(0.0), lambda a, s: a + term(s))
+    v = F.sqrt(chi2 / (F.col("t") * (F.least("nr", "nc") - 1)))
+    return agg.select(
+        F.col("t").alias("n_rows"),
+        (F.floor(chi2 * 1e4) / 1e4).alias("chi2"),
+        (F.floor(v * 1e6) / 1e6).alias("cramers_v"),
+    )
