@@ -502,3 +502,65 @@ def win_distinct_frame(spark, sf_dir):
         .cast("long")
         .alias("distinct_types_5"),
     )
+
+
+@register(
+    "win_rolling_slope",
+    section="2.5",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS i,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT user_id, event_id, i, y,
+             CAST(COUNT(*) OVER f AS BIGINT) AS n,
+             CAST(SUM(i) OVER f AS BIGINT) AS sx,
+             CAST(SUM(y) OVER f AS BIGINT) AS sy,
+             CAST(SUM(i * y) OVER f AS BIGINT) AS sxy,
+             CAST(SUM(i * i) OVER f AS BIGINT) AS sxx
+      FROM x
+      WINDOW f AS (PARTITION BY user_id ORDER BY i
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           CASE WHEN n >= 3
+                THEN FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) / 1e6
+           END AS slope_cents
+    FROM w
+    """,
+    notes="per-entity ROLLING regression slope (trailing-10-event "
+    "linear trend of spend): the five OLS moment sums ride ONE keyed "
+    "sliding frame — n*sxy - sx*sy and n*sxx - sx^2 are exact "
+    "integers (index x row number, y integer cents), floats appear "
+    "only in the final one-shot division, so the trend signal is "
+    "engine-exact with no tolerance. The trend-feature shape risk "
+    "models compute per account per day; one shuffle on the entity "
+    "key, frame evaluation is O(1) per row amortized. Short frames "
+    "(n < 3) emit NULL rather than a degenerate fit",
+)
+def win_rolling_slope(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    wi = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    f = Window.partitionBy("user_id").orderBy("i").rowsBetween(-9, 0)
+    w = x.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(f).cast("long").alias("n"),
+        F.sum("i").over(f).cast("long").alias("sx"),
+        F.sum("y").over(f).cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).over(f).cast("long").alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).over(f).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.when(F.col("n") >= 3, F.floor(num / den * 1e6) / 1e6)
+    return w.select("user_id", "event_id", slope.alias("slope_cents"))
