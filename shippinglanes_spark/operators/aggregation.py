@@ -1442,3 +1442,68 @@ def agg_cramers_v(spark, sf_dir):
         (F.floor(chi2 * 1e4) / 1e4).alias("chi2"),
         (F.floor(v * 1e6) / 1e6).alias("cramers_v"),
     )
+
+
+@register(
+    "agg_gini",
+    section="2.4",
+    oracle="""
+    WITH u AS (SELECT event_type,
+                      user_id,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                        AS cents
+               FROM events WHERE value IS NOT NULL
+               GROUP BY event_type, user_id),
+    r AS (SELECT event_type, cents,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY cents, user_id) AS BIGINT)
+                   AS i
+          FROM u),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS t,
+                 CAST(SUM(i * cents) AS BIGINT) AS wt
+          FROM r GROUP BY event_type)
+    SELECT event_type, n,
+           FLOOR(CAST(2 * wt - (n + 1) * t AS DOUBLE)
+                 / CAST(n * t AS DOUBLE) * 1e6) / 1e6 AS gini
+    FROM s WHERE t > 0
+    """,
+    notes="per-group Gini coefficient of the per-user value "
+    "distribution (how concentrated is each event type's spend?): "
+    "the Lorenz-sum formulation G = (2*sum(i*x) - (n+1)*sum(x)) / "
+    "(n*sum(x)) over ranks WITHIN each group — the rank window is "
+    "KEYED (per event type), so no global sort exists; at a billion "
+    "users per group the two-pass bucketed_global_rank substitutes "
+    "for the window, same formula. Every sum is an exact integer "
+    "(rank x cents), the single division is the only float. "
+    "Complements agg_concentration's top-decile share with the full "
+    "inequality index",
+)
+def agg_gini(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "cents"
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("cents", "user_id")
+    r = u.select(
+        "event_type", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("wt"),
+    )
+    gini = (
+        F.floor(
+            (2 * F.col("wt") - (F.col("n") + 1) * F.col("t")).cast("double")
+            / (F.col("n") * F.col("t")).cast("double")
+            * 1e6
+        )
+        / 1e6
+    )
+    return s.where(F.col("t") > 0).select("event_type", "n", gini.alias("gini"))
