@@ -1507,3 +1507,72 @@ def agg_gini(spark, sf_dir):
         / 1e6
     )
     return s.where(F.col("t") > 0).select("event_type", "n", gini.alias("gini"))
+
+
+@register(
+    "agg_mutual_info",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT event_type AS et,
+                      CAST(dayofweek(ts) AS BIGINT) - 
+                        (SELECT MIN(CAST(dayofweek(ts) AS BIGINT)) FROM events)
+                        AS dw
+               FROM events),
+    o AS (SELECT et, dw, CAST(COUNT(*) AS BIGINT) AS o FROM x GROUP BY 1, 2),
+    r AS (SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY et),
+    c AS (SELECT dw, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY dw),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM o),
+    cells AS (SELECT o.et, o.dw, o.o, r.r, c.c
+              FROM o JOIN r USING (et) JOIN c USING (dw)),
+    s AS (SELECT t.t,
+                 list_reduce(
+                   list((o / t.t) * ln(CAST(o * t.t AS DOUBLE)
+                                       / CAST(r * c AS DOUBLE))
+                        ORDER BY et, dw),
+                   (a, b) -> a + b) AS mi
+          FROM cells CROSS JOIN t GROUP BY t.t)
+    SELECT t AS n_rows, FLOOR(mi * 1e6) / 1e6 AS mi_nats
+    FROM s
+    """,
+    notes="mutual information I(event_type; day-of-week) in nats — the "
+    "information-theoretic cousin of agg_cramers_v and the standard "
+    "categorical feature-selection score: each cell contributes "
+    "(o/t) ln(o*t / (r*c)) where o*t and r*c are EXACT integer "
+    "products before the one division, and the ~35 terms left-fold in "
+    "cell order on both engines. The day-of-week label is normalized "
+    "to a 0-based offset via the min (Spark 1-7 vs DuckDB 0-6 — the "
+    "shift cancels, making the key explicitly engine-neutral rather "
+    "than accidentally so). Same contingency + vocabulary-broadcast "
+    "plan as the chi-square screen",
+)
+def agg_mutual_info(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("et"),
+        F.dayofweek("ts").cast("long").alias("dwr"),
+    )
+    mn = base.agg(F.min("dwr").alias("m"))
+    x = base.crossJoin(F.broadcast(mn)).select(
+        "et", (F.col("dwr") - F.col("m")).alias("dw")
+    )
+    o = x.groupBy("et", "dw").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    r = o.groupBy("et").agg(F.sum("o").cast("long").alias("r"))
+    c = o.groupBy("dw").agg(F.sum("o").cast("long").alias("c"))
+    t = o.agg(F.sum("o").cast("long").alias("t"))
+    cells = (
+        o.join(F.broadcast(r), "et")
+        .join(F.broadcast(c), "dw")
+        .crossJoin(F.broadcast(t))
+    )
+    term = lambda s: (s["o"] / s["t"]) * F.log(
+        (s["o"] * s["t"]).cast("double") / (s["r"] * s["c"]).cast("double")
+    )
+    agg = cells.groupBy("t").agg(
+        F.array_sort(
+            F.collect_list(F.struct("et", "dw", "o", "r", "c", "t"))
+        ).alias("terms")
+    )
+    mi = F.aggregate(F.col("terms"), F.lit(0.0), lambda a, s: a + term(s))
+    return agg.select(
+        F.col("t").alias("n_rows"), (F.floor(mi * 1e6) / 1e6).alias("mi_nats")
+    )
