@@ -564,3 +564,60 @@ def win_rolling_slope(spark, sf_dir):
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     slope = F.when(F.col("n") >= 3, F.floor(num / den * 1e6) / 1e6)
     return w.select("user_id", "event_id", slope.alias("slope_cents"))
+
+
+@register(
+    "win_drawdown",
+    section="2.5",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS equity
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p AS (
+      SELECT user_id, equity,
+             CAST(MAX(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak
+      FROM x)
+    SELECT user_id,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents
+    FROM p GROUP BY user_id
+    """,
+    notes="maximum drawdown per entity (the risk metric behind every "
+    "equity-curve and SLA-budget chart): running cumulative sum -> "
+    "running peak -> max shortfall, three stacked keyed windows "
+    "sharing ONE (user_id) shuffle and sort, then a keyed max. "
+    "Integer cents end to end — running sums never touch floats, so "
+    "the metric is engine-exact. The same composition computes burn "
+    "rate vs high-water-mark for error budgets",
+)
+def win_drawdown(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("equity"),
+    )
+    p = x.select(
+        "user_id",
+        "equity",
+        F.max("equity").over(w).cast("long").alias("peak"),
+    )
+    return p.groupBy("user_id").agg(
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("equity")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+    )
