@@ -1475,3 +1475,66 @@ def evt_growth_accounting(spark, sf_dir):
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+
+@register(
+    "evt_abandonment",
+    section="2.10",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    a AS (SELECT c.user_id, c.event_id
+          FROM c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = c.user_id
+              AND p.ts >= c.ts
+              AND p.ts <= c.ts + INTERVAL 1 HOUR))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_abandoned
+    FROM a GROUP BY user_id
+    """,
+    notes="temporal ANTI-join (abandonment): clicks with NO purchase by "
+    "the same user within the following hour — the non-conversion "
+    "complement of evt_funnel. The oracle is the textbook NOT EXISTS "
+    "interval subquery; the engine side never runs an anti-join at "
+    "all: one keyed window computes each click's NEXT purchase time "
+    "(running-min over the time-ordered interleaved stream, the "
+    "forward as-of trick), and abandonment is a row-local comparison "
+    "— one (user_id) shuffle, no second scan, no correlated probe "
+    "per click",
+)
+def evt_abandonment(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    purchase_us = F.when(
+        F.col("event_type") == "purchase", epoch_us("ts")
+    )
+    # purchases sort BEFORE clicks at an identical timestamp (desc on
+    # event_type: 'purchase' > 'click'), matching the oracle's inclusive
+    # p.ts >= c.ts — without this a same-instant purchase would fall
+    # outside the click's forward frame (no collision in the fixtures,
+    # but the semantics shouldn't depend on that)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(epoch_us("ts"), F.col("event_type").desc(), "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    x = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us("ts").alias("ts_us"),
+        F.min(purchase_us).over(wf).alias("next_purchase_us"),
+    ).where(F.col("event_type") == "click")
+    abandoned = x.where(
+        F.col("next_purchase_us").isNull()
+        | (F.col("next_purchase_us") > F.col("ts_us") + 3_600_000_000)
+    )
+    return abandoned.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_abandoned")
+    )

@@ -621,3 +621,61 @@ def win_drawdown(spark, sf_dir):
             "max_drawdown_cents"
         ),
     )
+
+
+@register(
+    "agg_spearman",
+    section="2.5",
+    oracle="""
+    WITH x AS (SELECT o_orderkey AS k,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p,
+                      CAST(date_diff('day', DATE '1990-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT) AS q
+               FROM orders),
+    r AS (SELECT k,
+                 CAST(ROW_NUMBER() OVER (ORDER BY p, k) AS BIGINT) AS rp,
+                 CAST(ROW_NUMBER() OVER (ORDER BY q, k) AS BIGINT) AS rq
+          FROM x),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM((rp - rq) * (rp - rq)) AS BIGINT) AS sd2
+          FROM r)
+    SELECT n,
+           FLOOR((1 - CAST(6 * sd2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                          - 1))) * 1e6) / 1e6 AS rho
+    FROM s
+    """,
+    notes="Spearman rank correlation between order value and order "
+    "date (is spend drifting over time?): both "
+    "rank permutations come from the DISTRIBUTED two-pass "
+    "bucketed_global_rank (value-bucketed keyed windows + driver-side "
+    "64-bucket offsets — the oracle's flat ROW_NUMBER is exactly what "
+    "the engine must NOT do at scale), joined on the row key, then "
+    "rho = 1 - 6*sum(d^2)/(n(n^2-1)) with d^2 accumulated as exact "
+    "integers (decimal accumulation guards the sf>=1 overflow; the "
+    "final n^3 denominator goes double). Ties break on the unique "
+    "row key in both engines, so the permutations are identical — "
+    "deterministic without average-rank machinery, documented as the "
+    "tie convention",
+)
+def agg_spearman(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("q"),
+    )
+    rp, n = bucketed_global_rank(o, "p", "k")
+    rq, _ = bucketed_global_rank(o, "q", "k")
+    joined = rp.select("k", F.col("rn").alias("rp")).join(
+        rq.select("k", F.col("rn").alias("rq")), "k"
+    )
+    d2 = (F.col("rp") - F.col("rq")) * (F.col("rp") - F.col("rq"))
+    s = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2.cast("decimal(38,0)")).cast("long").alias("sd2"),
+    )
+    nd = F.col("n").cast("double")
+    rho = 1 - (6 * F.col("sd2")).cast("double") / (nd * (nd * nd - 1))
+    return s.select("n", (F.floor(rho * 1e6) / 1e6).alias("rho"))
