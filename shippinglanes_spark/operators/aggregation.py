@@ -1576,3 +1576,42 @@ def agg_mutual_info(spark, sf_dir):
     return agg.select(
         F.col("t").alias("n_rows"), (F.floor(mi * 1e6) / 1e6).alias("mi_nats")
     )
+
+
+@register(
+    "agg_benford",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS digit
+               FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+    SELECT d.digit, d.n,
+           CAST(d.n * 1000000 // t.total AS BIGINT) AS observed_ppm
+    FROM d CROSS JOIN t
+    """,
+    notes="Benford first-digit distribution of order amounts (the "
+    "classic fabricated-numbers screen in fraud/forensic analytics): "
+    "the leading digit is extracted from the INTEGER-cents string — "
+    "no log10, whose rounding at exact powers of ten differs between "
+    "engines — and shares are exact integer ppm. One "
+    "map-side-combined aggregate + a 1-row broadcast total; comparing "
+    "observed_ppm to log10(1+1/d) is a reader-side one-liner",
+)
+def agg_benford(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    )
+    d = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = d.agg(F.sum("n").cast("long").alias("total"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        ((F.col("n") * 1000000) / F.col("total")).cast("long").alias(
+            "observed_ppm"
+        ),
+    )
