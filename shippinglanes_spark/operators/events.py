@@ -1538,3 +1538,87 @@ def evt_abandonment(spark, sf_dir):
     return abandoned.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_abandoned")
     )
+
+
+@register(
+    "evt_attribution_linear",
+    section="2.10",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    p AS (
+      SELECT user_id, ts_us, cents,
+             CAST(COUNT(*) FILTER (event_type = 'click') OVER w AS BIGINT)
+               AS n_click,
+             CAST(COUNT(*) FILTER (event_type = 'view') OVER w AS BIGINT)
+               AS n_view,
+             event_type
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)),
+    c AS (SELECT cents, n_click, n_view FROM p
+          WHERE event_type = 'purchase')
+    SELECT
+      CAST(SUM(CASE WHEN n_click + n_view > 0
+               THEN cents * n_click // (n_click + n_view) ELSE 0 END)
+           AS BIGINT) AS click_cents,
+      CAST(SUM(CASE WHEN n_click + n_view > 0
+               THEN cents * n_view // (n_click + n_view) ELSE 0 END)
+           AS BIGINT) AS view_cents,
+      CAST(SUM(CASE WHEN n_click + n_view = 0 THEN cents ELSE 0 END)
+           AS BIGINT) AS unattributed_cents,
+      CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM c
+    """,
+    notes="LINEAR multi-touch attribution (equal credit to every touch "
+    "in the preceding hour) — the many-touch complement of "
+    "evt_attribution's last-touch: per purchase the touch counts come "
+    "from one value-RANGE window over integer microseconds (a sliding "
+    "two-pointer per user — never a purchase-to-touches interval "
+    "join), and credit splits are exact integer floor-division of "
+    "cents (remainders stay unassigned by documented convention, so "
+    "the books balance without float shares). Purchases with no "
+    "preceding touch report as unattributed — the bucket every "
+    "attribution report must disclose",
+)
+def evt_attribution_linear(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    x = ev.select(
+        "user_id",
+        "event_type",
+        epoch_us("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    p = x.select(
+        "event_type",
+        "cents",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w)
+        .cast("long")
+        .alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w)
+        .cast("long")
+        .alias("n_view"),
+    ).where(F.col("event_type") == "purchase")
+    nt = F.col("n_click") + F.col("n_view")
+    credit = lambda n: F.when(nt > 0, (F.col("cents") * n / nt).cast("long")).otherwise(
+        F.lit(0)
+    )
+    return p.agg(
+        F.sum(credit(F.col("n_click"))).cast("long").alias("click_cents"),
+        F.sum(credit(F.col("n_view"))).cast("long").alias("view_cents"),
+        F.sum(F.when(nt == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("unattributed_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )
