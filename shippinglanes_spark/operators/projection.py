@@ -184,3 +184,33 @@ def project_unpivot(spark, sf_dir):
         "metric",
         (F.floor(F.col("raw") * 100) / 100.0).alias("val"),
     )
+
+
+@register(
+    "project_explode_outer",
+    section="2.2",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  t -> length(t) >= 6) AS longs
+               FROM documents)
+    SELECT d.doc_id, u.tok
+    FROM d LEFT JOIN (SELECT doc_id, UNNEST(longs) AS tok FROM d) u
+      ON u.doc_id = d.doc_id
+    """,
+    notes="NULL-PRESERVING explode (explode_outer / LEFT JOIN UNNEST): "
+    "documents whose filtered token array is EMPTY survive as a row "
+    "with a NULL element instead of vanishing — the difference "
+    "between 'docs and their long tokens' and 'docs that happen to "
+    "have long tokens', which silently changes downstream counts "
+    "when inner explode is used by habit. Pure per-row generate, "
+    "zero shuffles",
+)
+def project_explode_outer(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split("text", " "), lambda t: F.length(t) >= 6
+        ).alias("longs"),
+    )
+    return d.select("doc_id", F.explode_outer("longs").alias("tok"))
