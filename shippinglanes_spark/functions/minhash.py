@@ -62,7 +62,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return sh.groupBy(id_col).agg(*mins)
 
 
-MAX_BUCKET = 1000  # drop degenerate LSH buckets (everything-matches-everything)
+MAX_BUCKET = 1000  # in-bucket all-pairs cap (quadratic-expansion guard)
 
 
 def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -74,10 +74,25 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     aggregation, the expensive part) is computed ONCE. The equivalent
     band self-join evaluates it twice: the broadcast side's subtree
     differs from the probe side's, so Catalyst cannot reuse the exchange.
-    Buckets larger than MAX_BUCKET are dropped as degenerate (a bucket
-    that big means the band matches boilerplate, not near-duplication —
-    the standard LSH too-common-bucket guard, which also caps the
-    quadratic in-bucket pair expansion)."""
+
+    Over-cap buckets are NOT dropped (no silent recall holes — the
+    refinement idea of embedding_neardups below, extended with
+    representative linking): a bucket over MAX_BUCKET is sub-bucketed on
+    a hash of the FULL 32-value signature, then
+
+    - each sub-bucket emits LINEAR anchor pairs (first member vs the
+      rest): a boilerplate cluster of identical documents shares the
+      whole signature, so it collapses into one sub-bucket and costs
+      O(n) pairs instead of O(n^2), while every member stays reachable
+      through the anchor — all a downstream connected-components dedup
+      needs;
+    - the sub-bucket REPRESSENTATIVES (first member of each, including
+      singleton sub-buckets) pair with each other — all-pairs when the
+      representative set fits MAX_BUCKET, linear anchor chain past that
+      — so a near-duplicate whose signature differs slightly from the
+      giant cluster's (own sub-bucket) still reaches it through the
+      representative link. Candidates are a superset by design; the
+      exact re-rank (text_ngram_jaccard) discards false positives."""
     sig = minhash_signatures(docs, text_col, id_col)
     rows_per_band = N_HASHES // N_BANDS
     bands = [
@@ -89,22 +104,59 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
         )
         for b in range(N_BANDS)
     ]
+    full_sig_hash = F.hash(*[F.col(f"h{i}") for i in range(N_HASHES)])
     exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    buckets = (
-        exploded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids").between(2, MAX_BUCKET))
+        F.col(id_col),
+        full_sig_hash.alias("sigh"),
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select(
+        id_col, "sigh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    # the window shuffles on (band, bh); both groupBys' clusterings are
+    # satisfied by that partitioning, so ONE exchange covers the window
+    # and the two-level collect — the signature pipeline runs once
+    cnt = F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+    sub = exploded.withColumn(
+        "subkey", F.when(cnt > MAX_BUCKET, F.col("sigh")).otherwise(F.lit(-1))
+    )
+    buckets = (
+        sub.groupBy("band", "bh", "subkey")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("subkey", "ids")).alias("subs"))
+    )
+
+    def all_pairs(ids):
+        return F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
         )
+
+    def anchor_pairs(ids):
+        return F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda y: F.struct(F.element_at(ids, 1).alias("id_a"), y.alias("id_b")),
+        )
+
+    # a bucket's rows all share one subkey condition: either the single
+    # subkey=-1 entry (normal bucket, guaranteed <= MAX_BUCKET members)
+    # or a set of full-signature sub-buckets (hot bucket)
+    is_normal = (F.size("subs") == 1) & (F.col("subs")[0]["subkey"] == -1)
+    normal_pairs = all_pairs(F.col("subs")[0]["ids"])
+    member_pairs = F.flatten(
+        F.transform("subs", lambda s: anchor_pairs(s["ids"]))
+    )
+    reps = F.array_sort(F.transform("subs", lambda s: F.element_at(s["ids"], 1)))
+    rep_pairs = F.when(F.size(reps) <= MAX_BUCKET, all_pairs(reps)).otherwise(
+        anchor_pairs(reps)
+    )
+    pairs = F.when(is_normal, normal_pairs).otherwise(
+        F.concat(member_pairs, rep_pairs)
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))

@@ -1143,7 +1143,8 @@ def profile_histogram_log2(spark, sf_dir):
     oracle="""
     WITH x AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
                       CAST(ROUND(value * 100) AS BIGINT) AS v
-               FROM events WHERE event_type IN ('click', 'view')),
+               FROM events WHERE event_type IN ('click', 'view')
+                 AND value IS NOT NULL),
     d AS (SELECT v,
                  CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
                  CAST(COUNT(*) AS BIGINT) AS c_all
@@ -1178,8 +1179,12 @@ def profile_histogram_log2(spark, sf_dir):
 def agg_mannwhitney_auc(spark, sf_dir):
     from pyspark.sql import Window as W
 
+    # NULL values are excluded on BOTH sides: a NULL distinct-value row
+    # would sort NULLS FIRST on Spark but NULLS LAST on DuckDB, silently
+    # shifting every cumulative count (same guard as agg_anova/agg_psi)
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     x = ev.select(
         (F.col("event_type") == "click").cast("long").alias("g"),
@@ -1220,7 +1225,8 @@ def agg_mannwhitney_auc(spark, sf_dir):
     oracle="""
     WITH x AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
                       CAST(ROUND(value * 100) AS BIGINT) AS v
-               FROM events WHERE event_type IN ('click', 'view')),
+               FROM events WHERE event_type IN ('click', 'view')
+                 AND value IS NOT NULL),
     d AS (SELECT v,
                  CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
                  CAST(COUNT(*) FILTER (g = 0) AS BIGINT) AS c2
@@ -1251,8 +1257,10 @@ def agg_mannwhitney_auc(spark, sf_dir):
 def agg_ks_test(spark, sf_dir):
     from pyspark.sql import Window as W
 
+    # NULL guard: see agg_mannwhitney_auc (cross-engine NULL sort order)
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     )
     x = ev.select(
         (F.col("event_type") == "click").cast("long").alias("g"),

@@ -1514,14 +1514,14 @@ def evt_abandonment(spark, sf_dir):
     purchase_us = F.when(
         F.col("event_type") == "purchase", epoch_us("ts")
     )
-    # purchases sort BEFORE clicks at an identical timestamp (desc on
-    # event_type: 'purchase' > 'click'), matching the oracle's inclusive
-    # p.ts >= c.ts — without this a same-instant purchase would fall
-    # outside the click's forward frame (no collision in the fixtures,
+    # clicks sort BEFORE purchases at an identical timestamp (asc on
+    # event_type: 'click' < 'purchase'), so a same-instant purchase lands
+    # INSIDE the click's [currentRow, unboundedFollowing] frame — matching
+    # the oracle's inclusive p.ts >= c.ts (no collision in the fixtures,
     # but the semantics shouldn't depend on that)
     wf = (
         W.partitionBy("user_id")
-        .orderBy(epoch_us("ts"), F.col("event_type").desc(), "event_id")
+        .orderBy(epoch_us("ts"), F.col("event_type").asc(), "event_id")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     x = ev.select(

@@ -97,6 +97,40 @@ def test_embedding_lsh_overcap_bucket_not_dropped(spark, monkeypatch):
     assert covered == set(range(8))
 
 
+def test_minhash_giant_cluster_not_dropped(spark):
+    """A boilerplate cluster bigger than MAX_BUCKET (2048 exact copies of
+    one paragraph — over cap in EVERY band, since identical text gives
+    identical signatures) must still be fully recoverable. Pre-round-5
+    code dropped every over-cap bucket, so the whole cluster vanished
+    from the candidate stream. Now the over-cap bucket sub-buckets on the
+    full-signature hash and the (still giant, identical-signature)
+    sub-bucket emits linear anchor pairs: every member reaches the
+    cluster through the anchor, and connected-components collapses all
+    2048 docs into one cluster at O(n) pairs instead of O(n^2)."""
+    from shippinglanes_spark.functions.text import connected_components
+
+    n = 2048
+    rows = [(i, BASE) for i in range(n)]
+    rows.append((n, BASE.replace("quick", "swift")))  # near-dup, small bucket
+    rows.append((n + 1, "entirely unrelated text about columnar storage "
+                        "engines and vectorized shuffle partition pruning"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = minhash_candidates(docs)
+    pairs = [(r.id_a, r.id_b) for r in cand.collect()]
+    assert pairs, "giant cluster was silently dropped"
+    # anchor-pair shape: O(n) pairs, nowhere near the n^2 expansion
+    assert len(pairs) < 4 * n
+    # every cluster member is reachable: CC collapses all copies into one
+    # cluster labelled by the smallest doc_id
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    labels = {r.id: r.label for r in connected_components(edges).collect()}
+    assert all(labels[i] == 0 for i in range(n)), "a copy is unreachable"
+    # the near-dup doc still pairs through the normal small-bucket path
+    assert labels.get(n) == 0
+    # the unrelated doc never joins the cluster
+    assert labels.get(n + 1, n + 1) == n + 1
+
+
 def test_exact_dedup_on_planted(spark, docs):
     fp = docs.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")

@@ -415,7 +415,7 @@ def test_moment_queries_single_scan_no_joins(spark, sf_dir):
     aggregation: one scan, no join of any kind, partial+final agg."""
     import re
 
-    for name in ("agg_corr_matrix", "agg_ols"):
+    for name in ("agg_corr_matrix", "agg_ols", "agg_anova"):
         p = plan(spark, sf_dir, name)
         # formatted explain lists each node twice (tree + details):
         # count the numbered detail entries
