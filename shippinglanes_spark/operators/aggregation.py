@@ -264,15 +264,37 @@ def agg_grouping_sets(spark, sf_dir):
 @register(
     "agg_quantile_sketch",
     section="2.4",
-    oracle=None,
-    notes="percentile_approx sketch (mergeable across partitions); "
-    "accuracy vs exact asserted in tests/test_events_edge.py",
+    oracle="""
+    SELECT event_type,
+           CAST(1 AS BIGINT) AS med_ok,
+           CAST(1 AS BIGINT) AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+    notes="percentile_approx sketch (mergeable across partitions), "
+    "certified by DERIVED-PROPERTY oracle: the sketch value is exact "
+    "only up to its rank-error guarantee, so the declared output is a "
+    "per-group flag that the approx median/p95 lies between the exact "
+    "interpolated percentiles at q +/- 0.02 (200x the sketch's 1e-4 "
+    "rank-error budget at accuracy=10000; the margin must also cover "
+    ">= 1 whole element at the smallest fixture, where 1e-3 of a "
+    "~200-row group is a fifth of a rank) — a bound DuckDB can assert "
+    "as the constant-true row without replaying the sketch. Accuracy "
+    "vs exact additionally asserted in tests/test_events_edge.py",
 )
 def agg_quantile_sketch(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("med_approx"),
-        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    g = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("ma"),
+        F.percentile_approx("value", 0.95, 10000).alias("pa"),
+        F.expr("percentile(value, 0.48)").alias("mlo"),
+        F.expr("percentile(value, 0.52)").alias("mhi"),
+        F.expr("percentile(value, 0.93)").alias("plo"),
+        F.expr("percentile(value, 0.97)").alias("phi"),
+    )
+    return g.select(
+        "event_type",
+        F.col("ma").between(F.col("mlo"), F.col("mhi")).cast("long").alias("med_ok"),
+        F.col("pa").between(F.col("plo"), F.col("phi")).cast("long").alias("p95_ok"),
     )
 
 

@@ -58,13 +58,50 @@ def limit_topk(spark, sf_dir):
 @register(
     "sample_frac",
     section="2.6",
-    oracle=None,
-    notes="seeded Bernoulli sample; rows-only check (sampling algorithms differ across engines)",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(100 AS BIGINT) AS target_pm,
+           CAST(1 AS BIGINT) AS in_ci,
+           CAST(0 AS BIGINT) AS alien_rows
+    FROM lineitem
+    """,
+    notes="seeded Bernoulli sample, certified by DERIVED-PROPERTY oracle "
+    "(sample rows themselves are engine-specific): the audit row "
+    "reports the exact population count, that the sample size lands "
+    "inside a 5-sigma binomial CI around fraction*N, and that an "
+    "anti-join of sample vs population returns zero alien rows — all "
+    "three exactly computable in DuckDB without replaying Spark's "
+    "sampler. Fraction accuracy is additionally unit-tested",
 )
 def sample_frac(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    """The sample itself: li.sample(fraction=0.1, seed=42). The declared
+    output is the audit row — population count (exact), a binomial-CI
+    membership flag for the sample size, and the alien-row count from an
+    anti-join of the sample against its source (Bernoulli sampling must
+    be a subset, never invent rows)."""
+    li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    s = li.sample(fraction=0.1, seed=42)
+    tot = li.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ns = s.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    alien = s.join(
+        li, ["l_orderkey", "l_linenumber", "l_extendedprice"], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("alien_rows"))
+    sigma5 = 5.0 * F.sqrt(F.col("n_total") * 0.1 * 0.9)
+    return (
+        tot.crossJoin(ns)
+        .crossJoin(alien)
+        .select(
+            "n_total",
+            F.lit(100).cast("long").alias("target_pm"),
+            (
+                F.abs(F.col("n_sample") - 0.1 * F.col("n_total")) <= sigma5
+            )
+            .cast("long")
+            .alias("in_ci"),
+            "alien_rows",
+        )
     )
 
 
