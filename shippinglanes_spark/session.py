@@ -13,6 +13,7 @@ Design notes (100 TB mandate):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +36,35 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf may be forbidden on a locked-down session; proceed
+
+
+@_contextmanager
+def stream_partitions(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming drain, then restore the caller's value.
+
+    A streaming query captures its state-store partition count from this
+    conf at query START and keeps it for the life of the checkpoint. A
+    plain driver session runs the 200-partition default, so every
+    micro-batch of a fixture-scale drain dispatches 200 state tasks —
+    measured as most of stream_join_outer's ~5 s. Batch plans are
+    untouched: the previous value is restored after the drain (and on a
+    real cluster the state partition count should instead be sized to
+    executor count x a small factor at the first deployment of each
+    checkpoint)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:
+        prev = None  # locked-down session: run with whatever it has
+    try:
+        yield
+    finally:
+        if prev is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            except Exception:
+                pass
 
 
 def get_spark(

@@ -201,22 +201,27 @@ def source_python_stream(spark, sf_dir):
     # availableNow snapshots only the FIRST offset advance of a simple
     # stream reader (one read() call), so drain with a running trigger
     # and stop once the bounded feed's final state is in the sink
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="250 milliseconds")
-        .start()
-    )
+    from ..session import stream_partitions
+
     import time as _time
 
-    deadline = _time.time() + 120
-    expect = _STREAM_BATCHES * _PER_BATCH
-    while _time.time() < deadline:
-        rows = spark.table(name).agg(F.sum("n")).first()[0]
-        if rows == expect:
-            break
-        _time.sleep(0.5)
-    q.stop()
+    # the pin must outlive start(): micro-batch 0 reads the conf on the
+    # stream thread, which may plan after start() returns
+    with stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + 120
+        expect = _STREAM_BATCHES * _PER_BATCH
+        while _time.time() < deadline:
+            rows = spark.table(name).agg(F.sum("n")).first()[0]
+            if rows == expect:
+                break
+            _time.sleep(0.5)
+        q.stop()
     assert spark.table(name).agg(F.sum("n")).first()[0] == expect
     return spark.table(name)

@@ -37,7 +37,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import apply_runtime_confs
+from ..session import apply_runtime_confs, stream_partitions
 from .lift import _eventtime_ts
 
 CUTOFF = "2024-01-08"  # late batch: ts < CUTOFF
@@ -139,14 +139,15 @@ def stream_late_accounting(spark, sf_dir):
             ["event_id", "ts"]
         )
         name = f"late_acct_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         n_input = 0
         n_dropped = 0
         for p in q.recentProgress:
@@ -231,14 +232,15 @@ def stream_exactly_once_sink(spark, sf_dir):
     try:
         stream = _staged_stream(spark, sf_dir, stage)
         writer = exactly_once_batch_writer(target)
-        q = (
-            stream.writeStream.foreachBatch(writer)
-            .option("checkpointLocation", f"{target}_ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
+        with stream_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(writer)
+                .option("checkpointLocation", f"{target}_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
         versions = sorted(
             int(d[1:]) for d in os.listdir(target) if d.startswith("v")
         )
@@ -256,8 +258,8 @@ def stream_exactly_once_sink(spark, sf_dir):
 
 
 def _stage_chrono_with_flush(spark, sf_dir: str) -> str:
-    """Stage events CHRONOLOGICALLY (two halves by event time, oldest
-    first) plus two far-future FLUSH files holding one dummy row each.
+    """Stage events as one data batch plus two far-future FLUSH files
+    holding one dummy row each.
     Outer-join null emission is watermark-driven: an unmatched left row
     surfaces only after the watermark passes its join bound, and the
     watermark both (a) advances using the batch BEFORE last and (b)
@@ -280,9 +282,6 @@ def _stage_chrono_with_flush(spark, sf_dir: str) -> str:
     else:
         ts_us = pc.cast(ts, pa.timestamp("us"))
     t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
-    mid = pa.scalar(
-        datetime.datetime.fromisoformat(CUTOFF), type=pa.timestamp("us")
-    )
     far = pc.max(ts_us).as_py() + datetime.timedelta(days=30)
 
     def dummy(offset_days: int):
@@ -300,9 +299,12 @@ def _stage_chrono_with_flush(spark, sf_dir: str) -> str:
             }
         ).select(t.column_names)
 
+    # one data batch + the two flush batches: chronological arrival only
+    # matters ACROSS micro-batches (the watermark updates between them),
+    # so splitting the real data into several batches buys nothing and
+    # each extra micro-batch pays a full incremental re-plan + state pass
     parts = [
-        ("b0_old.parquet", t.filter(pc.less(ts_us, mid))),
-        ("b1_new.parquet", t.filter(pc.greater_equal(ts_us, mid))),
+        ("b0_data.parquet", t),
         ("b2_flush.parquet", dummy(0)),
         ("b3_flush.parquet", dummy(1)),
     ]
@@ -373,5 +375,5 @@ def stream_join_outer(spark, sf_dir):
         & (F.col("v_ts") <= F.col("p_ts")),
         "left_outer",
     ).select("p_user", "purchase_id", "view_id")
-    out = _drain(joined, "stream_join_outer", "append")
+    out = _drain(joined, "stream_join_outer", "append", partitions=4)
     return out.where(F.col("p_user") >= 0)

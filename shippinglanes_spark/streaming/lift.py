@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..core import as_date, epoch_us, money
 from ..io import table
 from ..registry import register
-from ..session import apply_runtime_confs
+from ..session import apply_runtime_confs, stream_partitions
 
 
 @register(
@@ -55,15 +55,16 @@ def stream_lift(spark, sf_dir):
         money(F.sum("value")).alias("sum_value"),
     )
     name = f"stream_lift_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
@@ -111,15 +112,16 @@ def stream_session_window(spark, sf_dir):
         )
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
@@ -166,15 +168,16 @@ def stream_dedup(spark, sf_dir):
         )
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
@@ -223,19 +226,26 @@ def _events_stream(spark, sf_dir):
     return _eventtime_ts(stream)
 
 
-def _drain(agg, name_prefix: str, output_mode: str):
+def _drain(agg, name_prefix: str, output_mode: str, partitions: int = 8):
     """Run a streaming DataFrame to completion into a memory sink and
-    return the drained table."""
+    return the drained table. State-store partitions are pinned small for
+    the drain (see session.stream_partitions) — a plain driver session's
+    200-partition default costs ~200 state tasks per micro-batch.
+    Stream-stream joins keep FOUR state stores per partition, so their
+    drains pass an even smaller count (measured: 8 -> 5.0 s, 4 -> 3.8 s
+    for stream_join_outer at sf0.1; the rest is the per-micro-batch
+    incremental re-plan floor)."""
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with stream_partitions(agg.sparkSession, partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return agg.sparkSession.table(name)
 
 
@@ -256,7 +266,9 @@ def _drain(agg, name_prefix: str, output_mode: str):
     "watermark-independent, so the equality is exact",
 )
 def stream_join(spark, sf_dir):
-    return _drain(stream_stream_join(spark, sf_dir), "stream_join", "append")
+    return _drain(
+        stream_stream_join(spark, sf_dir), "stream_join", "append", partitions=4
+    )
 
 
 @register(
@@ -384,8 +396,9 @@ def stream_incremental_rollup(spark, sf_dir):
 
     out = tempfile.mkdtemp(prefix="rollup_")
     shutil.rmtree(out, ignore_errors=True)
-    q = incremental_rollup(spark, sf_dir, out)
-    q.awaitTermination()
+    with stream_partitions(spark):
+        q = incremental_rollup(spark, sf_dir, out)
+        q.awaitTermination()
     folded = read_rollup(spark, out)
     # localCheckpoint materializes the fold, so the scratch delta dir
     # (and its checkpoint) can be removed before returning
