@@ -369,11 +369,40 @@ def round6_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round7_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-5 probe set (judge-requested r4 joins): PPJoin set-similarity
+    self-join, growth accounting (MAU deltas via keyed month windows),
+    end-to-end LSH dedup pipeline, and the rewritten over-cap-safe
+    text MinHash candidates."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "join_set_similarity",
+        "evt_growth_accounting",
+        "pipeline_dedup_end2end",
+        "text_minhash_dedup",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r7" in sys.argv:
+        round7_registered(spark, SF, sfdir10)
+        return
     if "--r6" in sys.argv:
         round6_registered(spark, SF, sfdir10)
         return

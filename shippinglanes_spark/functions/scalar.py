@@ -219,6 +219,8 @@ def fn_json(spark, sf_dir):
     # get_json_object (JsonPath per call) and from_json (struct coercion)
     # by ~25% at sf0.1; fan_out first because the parse, not the scan,
     # dominates this query and the fixture is a one-row-group file.
+    # Re-measured round 5 (steady-state, sf0.1): 0.077 s with fan_out vs
+    # 0.447 s without — the repartition pays for itself 6x here; keep it.
     src = fan_out(ev.select("event_id", "user_id", "props"))
     k = F.expr("try_variant_get(parse_json(props), '$.k', 'int')")
     return (
