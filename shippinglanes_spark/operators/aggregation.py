@@ -1645,3 +1645,196 @@ def agg_benford(spark, sf_dir):
             "observed_ppm"
         ),
     )
+
+
+@register(
+    "agg_ttest_welch",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE event_type IN ('click', 'view')
+                 AND value IS NOT NULL),
+    s AS (SELECT CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS n1,
+                 CAST(SUM(v) FILTER (g = 1) AS BIGINT) AS s1,
+                 CAST(SUM(v * v) FILTER (g = 1) AS BIGINT) AS ss1,
+                 CAST(COUNT(*) FILTER (g = 0) AS BIGINT) AS n2,
+                 CAST(SUM(v) FILTER (g = 0) AS BIGINT) AS s2,
+                 CAST(SUM(v * v) FILTER (g = 0) AS BIGINT) AS ss2
+          FROM x),
+    f AS (SELECT n1, n2,
+                 (ss1 - (CAST(s1 AS DOUBLE) / n1) * s1) / (n1 - 1) / n1 AS q1,
+                 (ss2 - (CAST(s2 AS DOUBLE) / n2) * s2) / (n2 - 1) / n2 AS q2,
+                 CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+          FROM s)
+    SELECT n1, n2,
+           FLOOR(md / sqrt(q1 + q2) * 1e6) / 1e6 AS t_stat,
+           FLOOR((q1 + q2) * (q1 + q2)
+                 / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1)) * 1e3) / 1e3
+             AS df_welch
+    FROM f
+    """,
+    notes="Welch's unequal-variance t-test between two groups' value "
+    "distributions, from SIX exact integer sums (n/sum/sum-of-squares "
+    "per group) in ONE map-side-combined pass — the zero-shuffle "
+    "moment discipline of agg_anova/agg_corr_matrix. Floats appear "
+    "only in the final row-local formula, written with identical "
+    "association on both engines so the doubles are bit-identical "
+    "(sqrt and arithmetic are correctly-rounded IEEE); t and the "
+    "Welch-Satterthwaite df are floor-disciplined. The variance terms "
+    "cast the sum to DOUBLE before squaring: BIGINT s*s would "
+    "overflow near 3e9 cents-sum, an SF-dependent trap",
+)
+def agg_ttest_welch(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    x = ev.select(
+        (F.col("event_type") == "click").cast("long").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    is1 = F.col("g") == 1
+    is0 = F.col("g") == 0
+    s = x.agg(
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(is1, F.col("v"))).cast("long").alias("s1"),
+        F.sum(F.when(is1, F.col("v") * F.col("v"))).cast("long").alias("ss1"),
+        F.count(F.when(is0, 1)).cast("long").alias("n2"),
+        F.sum(F.when(is0, F.col("v"))).cast("long").alias("s2"),
+        F.sum(F.when(is0, F.col("v") * F.col("v"))).cast("long").alias("ss2"),
+    )
+    q1 = (
+        (F.col("ss1") - (F.col("s1").cast("double") / F.col("n1")) * F.col("s1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    q2 = (
+        (F.col("ss2") - (F.col("s2").cast("double") / F.col("n2")) * F.col("s2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    md = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
+        "double"
+    ) / F.col("n2")
+    f = s.select("n1", "n2", q1.alias("q1"), q2.alias("q2"), md.alias("md"))
+    return f.select(
+        "n1",
+        "n2",
+        (F.floor(F.col("md") / F.sqrt(F.col("q1") + F.col("q2")) * 1e6) / 1e6).alias(
+            "t_stat"
+        ),
+        (
+            F.floor(
+                (F.col("q1") + F.col("q2"))
+                * (F.col("q1") + F.col("q2"))
+                / (
+                    F.col("q1") * F.col("q1") / (F.col("n1") - 1)
+                    + F.col("q2") * F.col("q2") / (F.col("n2") - 1)
+                )
+                * 1e3
+            )
+            / 1e3
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "agg_cuped",
+    section="2.4",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                               THEN CAST(FLOOR(value) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS pre,
+                      CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                               THEN CAST(FLOOR(value) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS post
+               FROM events WHERE value IS NOT NULL
+               GROUP BY user_id),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pre) AS BIGINT) AS sx,
+                 CAST(SUM(post) AS BIGINT) AS sy,
+                 CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+                 CAST(SUM(pre * post) AS BIGINT) AS sxy
+          FROM u),
+    t AS (SELECT n, sx,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS theta
+          FROM m),
+    g AS (SELECT user_id % 2 AS grp,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(pre) AS BIGINT) AS sxg,
+                 CAST(SUM(post) AS BIGINT) AS syg
+          FROM u GROUP BY 1)
+    SELECT g.grp, g.n_users,
+           FLOOR(CAST(g.syg AS DOUBLE) / g.n_users * 1e6) / 1e6 AS post_mean,
+           FLOOR((g.syg - t.theta
+                  * (g.sxg - CAST(g.n_users AS DOUBLE)
+                     * (CAST(t.sx AS DOUBLE) / t.n)))
+                 / g.n_users * 1e6) / 1e6 AS cuped_mean,
+           FLOOR(t.theta * 1e6) / 1e6 AS theta
+    FROM g CROSS JOIN t
+    """,
+    notes="CUPED variance-reduced A/B metric (experimentation-platform "
+    "staple): per-user pre-period spend is the covariate, "
+    "theta = cov(pre, post)/var(pre) from FIVE exact integer moments "
+    "over users, and each arm's adjusted mean subtracts "
+    "theta * (pre - mean_pre). Two keyed aggregates + a 1-row "
+    "broadcast — no per-user regression, no second scan. Moment "
+    "cross-products cast to DOUBLE before multiplying (n*sxy "
+    "overflows BIGINT by sf1); whole-dollar units keep the integer "
+    "moments exact and order-free below that",
+)
+def agg_cuped(spark, sf_dir):
+    cut = "2024-01-16"
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    unit = F.floor(F.col("value")).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < F.lit(cut).cast("timestamp"), unit).otherwise(0))
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit(cut).cast("timestamp"), unit).otherwise(0)
+        )
+        .cast("long")
+        .alias("post"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+    )
+    theta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    t = m.select("n", "sx", theta.alias("theta"))
+    g = u.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre").cast("long").alias("sxg"),
+        F.sum("post").cast("long").alias("syg"),
+    )
+    cuped = (
+        F.col("syg")
+        - F.col("theta")
+        * (
+            F.col("sxg")
+            - F.col("n_users").cast("double")
+            * (F.col("sx").cast("double") / F.col("n"))
+        )
+    ) / F.col("n_users")
+    return g.crossJoin(F.broadcast(t)).select(
+        "grp",
+        "n_users",
+        (
+            F.floor(F.col("syg").cast("double") / F.col("n_users") * 1e6) / 1e6
+        ).alias("post_mean"),
+        (F.floor(cuped * 1e6) / 1e6).alias("cuped_mean"),
+        (F.floor(F.col("theta") * 1e6) / 1e6).alias("theta"),
+    )

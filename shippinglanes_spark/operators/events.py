@@ -1622,3 +1622,142 @@ def evt_attribution_linear(spark, sf_dir):
         .alias("unattributed_cents"),
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
     )
+
+
+@register(
+    "evt_survival_km",
+    section="2.10",
+    oracle="""
+    WITH c AS (SELECT user_id, MIN(epoch_us(ts)) AS t_c FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT c.user_id, MIN(epoch_us(e.ts)) AS t_p
+          FROM c JOIN events e
+            ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND epoch_us(e.ts) >= c.t_c
+          GROUP BY c.user_id),
+    m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+    d AS (SELECT c.user_id,
+                 CASE WHEN p.t_p IS NULL THEN (m.mx - c.t_c) // 86400000000
+                      ELSE (p.t_p - c.t_c) // 86400000000 END AS day,
+                 CASE WHEN p.t_p IS NULL THEN 0 ELSE 1 END AS ev
+          FROM c LEFT JOIN p USING (user_id) CROSS JOIN m),
+    g AS (SELECT day, CAST(SUM(ev) AS BIGINT) AS deaths,
+                 CAST(COUNT(*) - SUM(ev) AS BIGINT) AS censored
+          FROM d GROUP BY day),
+    r AS (SELECT day, deaths,
+                 CAST((SELECT COUNT(*) FROM d) AS BIGINT)
+                 - CAST(COALESCE(SUM(deaths + censored) OVER (
+                     ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS n_risk
+          FROM g),
+    k AS (SELECT day, deaths, n_risk FROM r WHERE deaths > 0),
+    a AS (SELECT list(struct_pack(
+                   day := day,
+                   f := 1.0 - CAST(deaths AS DOUBLE) / n_risk)
+                 ORDER BY day) AS fs
+          FROM k)
+    SELECT k.day, k.deaths, k.n_risk,
+           FLOOR(list_reduce(
+             list_prepend(1.0, [x.f FOR x IN a.fs IF x.day <= k.day]),
+             (acc, x) -> acc * x) * 1e6) / 1e6 AS survival
+    FROM k CROSS JOIN a
+    """,
+    notes="Kaplan-Meier survival curve for click-to-purchase conversion "
+    "(right-censored at corpus end): per-user first-click/first-"
+    "subsequent-purchase durations in whole days, then the KM product "
+    "S(t) = prod(1 - d_i/n_i). The sequential product is the classic "
+    "'not SQL-expressible' claim; here both engines fold the SAME "
+    "sorted factor array left-to-right (Spark F.aggregate / DuckDB "
+    "list_reduce), so the doubles are bit-identical — division and "
+    "multiplication are correctly-rounded IEEE ops and the fold order "
+    "is pinned. Day-level machinery is corpus-bounded (one row per "
+    "distinct duration day); the only data-sized work is two keyed "
+    "aggregations and one keyed join",
+)
+def evt_survival_km(spark, sf_dir):
+    """KM estimator, Spark-first: user durations via keyed aggs + one
+    keyed join; the curve itself lives on the day-cardinality table
+    (bounded by the corpus time span), where an unpartitioned window
+    and a collected factor array are O(days), not O(users)."""
+    day_us = 86_400_000_000
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("ts")).alias("t_c"))
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", epoch_us("ts").alias("t_p"))
+        .join(clicks, "user_id")
+        .where(F.col("t_p") >= F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("t_p").alias("t_p"))
+    )
+    mx = ev.agg(F.max(epoch_us("ts")).alias("mx"))
+    d = (
+        clicks.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t_p").isNull(),
+                F.expr(f"(mx - t_c) div {day_us}"),
+            )
+            .otherwise(F.expr(f"(t_p - t_c) div {day_us}"))
+            .alias("day"),
+            F.when(F.col("t_p").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    g = d.groupBy("day").agg(
+        F.sum("ev").cast("long").alias("deaths"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("censored"),
+    )
+    n_total = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # unpartitioned window + collected factor array: both on the
+    # day-cardinality table (<= corpus span in days), never data-sized
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    r = (
+        g.crossJoin(F.broadcast(n_total))
+        .select(
+            "day",
+            "deaths",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("deaths") + F.col("censored")).over(wprev),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("n_risk"),
+        )
+        .where(F.col("deaths") > 0)
+    )
+    factors = r.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("day"),
+                    (
+                        F.lit(1.0)
+                        - F.col("deaths").cast("double") / F.col("n_risk")
+                    ).alias("f"),
+                )
+            )
+        ).alias("fs")
+    )
+    surv = F.aggregate(
+        F.filter(F.col("fs"), lambda x: x["day"] <= F.col("day")),
+        F.lit(1.0),
+        lambda acc, x: acc * x["f"],
+    )
+    return (
+        r.crossJoin(F.broadcast(factors))
+        .select(
+            "day",
+            "deaths",
+            "n_risk",
+            (F.floor(surv * 1e6) / 1e6).alias("survival"),
+        )
+    )

@@ -739,3 +739,128 @@ def geo_nearest_anchor(spark, sf_dir):
             F.countDistinct("user_id").alias("n_vessels"),
         )
     )
+
+
+@register(
+    "geo_track_interp",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL},
+    v AS (SELECT user_id, ts_us, lat, lon FROM fixes
+          WHERE user_id % 97 = 0),
+    b AS (SELECT user_id,
+                 CAST(FLOOR(MIN(ts_us) / 3600000000.0) AS BIGINT) + 1 AS h_lo,
+                 CAST(FLOOR(MAX(ts_us) / 3600000000.0) AS BIGINT) AS h_hi
+          FROM v GROUP BY user_id),
+    grid AS (SELECT user_id, UNNEST(range(h_lo, h_hi + 1)) * 3600000000
+               AS ts_us
+             FROM b WHERE h_hi >= h_lo),
+    u AS (SELECT user_id, ts_us, lat, lon, 0 AS g FROM v
+          UNION ALL
+          SELECT user_id, ts_us, NULL, NULL, 1 AS g FROM grid),
+    w AS (SELECT user_id, ts_us, g,
+                 LAST_VALUE(lat IGNORE NULLS) OVER wb AS plat,
+                 LAST_VALUE(lon IGNORE NULLS) OVER wb AS plon,
+                 LAST_VALUE(CASE WHEN g = 0 THEN ts_us END IGNORE NULLS)
+                   OVER wb AS pts,
+                 FIRST_VALUE(lat IGNORE NULLS) OVER wf AS nlat,
+                 FIRST_VALUE(lon IGNORE NULLS) OVER wf AS nlon,
+                 FIRST_VALUE(CASE WHEN g = 0 THEN ts_us END IGNORE NULLS)
+                   OVER wf AS nts
+          FROM u
+          WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, g
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY ts_us, g
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, ts_us,
+           FLOOR((plat + (nlat - plat)
+                  * ((CAST(ts_us AS DOUBLE) - pts) / (nts - pts))) * 1e6)
+             / 1e6 AS lat_i,
+           FLOOR((plon + (nlon - plon)
+                  * ((CAST(ts_us AS DOUBLE) - pts) / (nts - pts))) * 1e6)
+             / 1e6 AS lon_i
+    FROM w
+    WHERE g = 1 AND pts IS NOT NULL AND nts IS NOT NULL AND nts > pts
+    """,
+    notes="vessel track interpolation: positions resampled onto an hourly "
+    "grid by linear interpolation between the surrounding fixes — the "
+    "union-the-grid trick of evt_resample_interp extended to carry "
+    "BOTH neighbors' (lat, lon, ts) through one backward and one "
+    "forward IGNORE NULLS window pass per vessel, so the interpolation "
+    "is two keyed window scans, never a grid-to-fix interval join. "
+    "Grid hours come from each vessel's own [first, last] fix span; "
+    "the interpolation weight is exact integer-microsecond arithmetic "
+    "and the result floor-disciplined to 1e-6 deg",
+)
+def geo_track_interp(spark, sf_dir):
+    """Hourly track resampling for a deterministic vessel sample
+    (user_id % 97 = 0 keeps the output grid-bounded at any SF). At
+    100 TB this is two keyed window passes over (fixes + grid) — the
+    grid is generated per vessel from its own span, so no global
+    calendar materializes and no interval join ever forms."""
+    fx = _fixes(spark, sf_dir).where(F.col("user_id") % 97 == 0).select(
+        "user_id", "ts_us", "lat", "lon"
+    )
+    hour_us = 3_600_000_000
+    bounds = fx.groupBy("user_id").agg(
+        (F.floor(F.min("ts_us") / float(hour_us)).cast("long") + 1).alias("h_lo"),
+        F.floor(F.max("ts_us") / float(hour_us)).cast("long").alias("h_hi"),
+    )
+    grid = (
+        bounds.where(F.col("h_hi") >= F.col("h_lo"))
+        .select("user_id", F.explode(F.sequence("h_lo", "h_hi")).alias("h"))
+        .select("user_id", (F.col("h") * F.lit(hour_us)).alias("ts_us"))
+    )
+    u = fx.select(
+        "user_id", "ts_us", "lat", "lon", F.lit(0).alias("g")
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(None).cast("double").alias("lon"),
+            F.lit(1).alias("g"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "g")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fix_ts = F.when(F.col("g") == 0, F.col("ts_us"))
+    w = u.select(
+        "user_id",
+        "ts_us",
+        "g",
+        F.last("lat", ignorenulls=True).over(wb).alias("plat"),
+        F.last("lon", ignorenulls=True).over(wb).alias("plon"),
+        F.last(fix_ts, ignorenulls=True).over(wb).alias("pts"),
+        F.first("lat", ignorenulls=True).over(wf).alias("nlat"),
+        F.first("lon", ignorenulls=True).over(wf).alias("nlon"),
+        F.first(fix_ts, ignorenulls=True).over(wf).alias("nts"),
+    )
+    frac = (F.col("ts_us").cast("double") - F.col("pts")) / (
+        F.col("nts") - F.col("pts")
+    )
+    return w.where(
+        (F.col("g") == 1)
+        & F.col("pts").isNotNull()
+        & F.col("nts").isNotNull()
+        & (F.col("nts") > F.col("pts"))
+    ).select(
+        "user_id",
+        "ts_us",
+        (
+            F.floor((F.col("plat") + (F.col("nlat") - F.col("plat")) * frac) * 1e6)
+            / 1e6
+        ).alias("lat_i"),
+        (
+            F.floor((F.col("plon") + (F.col("nlon") - F.col("plon")) * frac) * 1e6)
+            / 1e6
+        ).alias("lon_i"),
+    )
