@@ -1672,33 +1672,48 @@ def evt_attribution_linear(spark, sf_dir):
     "list_reduce), so the doubles are bit-identical — division and "
     "multiplication are correctly-rounded IEEE ops and the fold order "
     "is pinned. Day-level machinery is corpus-bounded (one row per "
-    "distinct duration day); the only data-sized work is two keyed "
-    "aggregations and one keyed join",
+    "distinct duration day); the only data-sized work is ONE keyed "
+    "aggregation over a single events scan (per-user purchase times "
+    "collect into a per-key-bounded array; the first >= first-click is "
+    "an array lookup, so no click-to-purchase join ever forms), and "
+    "the risk set is a suffix sum on the day table — no count branch",
 )
 def evt_survival_km(spark, sf_dir):
-    """KM estimator, Spark-first: user durations via keyed aggs + one
-    keyed join; the curve itself lives on the day-cardinality table
-    (bounded by the corpus time span), where an unpartitioned window
-    and a collected factor array are O(days), not O(users)."""
+    """KM estimator, Spark-first: user durations from ONE keyed agg over
+    one scan (plus the 1-row max-ts broadcast); the curve lives on the
+    day-cardinality table (bounded by the corpus time span), where an
+    unpartitioned window and a collected factor array are O(days), not
+    O(users). The day table is localCheckpoint'ed: it fans out into the
+    factor-array branch and the output branch, and without the cut each
+    branch would re-run the full user aggregation."""
     day_us = 86_400_000_000
     ev = table(spark, sf_dir, "events")
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min(epoch_us("ts")).alias("t_c"))
-    )
-    purch = (
-        ev.where(F.col("event_type") == "purchase")
-        .select("user_id", epoch_us("ts").alias("t_p"))
-        .join(clicks, "user_id")
-        .where(F.col("t_p") >= F.col("t_c"))
-        .groupBy("user_id")
-        .agg(F.min("t_p").alias("t_p"))
-    )
     mx = ev.agg(F.max(epoch_us("ts")).alias("mx"))
+    per_user = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", epoch_us("ts"))
+            ).alias("t_c"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", epoch_us("ts"))
+                )
+            ).alias("p_ts"),
+        )
+        .where(F.col("t_c").isNotNull())
+    )
+    t_p = F.get(
+        F.filter(F.col("p_ts"), lambda x: x >= F.col("t_c")), 0
+    )
     d = (
-        clicks.join(purch, "user_id", "left")
-        .crossJoin(F.broadcast(mx))
+        per_user.crossJoin(F.broadcast(mx))
+        .select(
+            "t_c",
+            t_p.alias("t_p"),
+            F.col("mx"),
+        )
         .select(
             F.when(
                 F.col("t_p").isNull(),
@@ -1713,26 +1728,25 @@ def evt_survival_km(spark, sf_dir):
         F.sum("ev").cast("long").alias("deaths"),
         (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("censored"),
     )
-    n_total = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    # unpartitioned window + collected factor array: both on the
-    # day-cardinality table (<= corpus span in days), never data-sized
-    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    # risk set = suffix sum over the day table (everyone with duration
+    # >= t is still at risk) — no separate total-count branch, so the
+    # user aggregation has exactly one consumer. Unpartitioned window +
+    # collected factor array both run on the day-cardinality table
+    # (<= corpus span in days), never data-sized.
+    wsuf = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
     r = (
-        g.crossJoin(F.broadcast(n_total))
-        .select(
+        g.select(
             "day",
             "deaths",
-            (
-                F.col("n_total")
-                - F.coalesce(
-                    F.sum(F.col("deaths") + F.col("censored")).over(wprev),
-                    F.lit(0),
-                )
-            )
+            F.sum(F.col("deaths") + F.col("censored"))
+            .over(wsuf)
             .cast("long")
             .alias("n_risk"),
         )
         .where(F.col("deaths") > 0)
+        .localCheckpoint()
     )
     factors = r.agg(
         F.array_sort(
