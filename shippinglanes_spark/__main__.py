@@ -29,6 +29,19 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("query")
     p_run.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     p_run.add_argument("--limit", type=int, default=20)
+    p_run.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="re-execute the PREPARED plan N times (plan reused after the "
+        "first run — the prepared-statement mode; see plans/prepared.py)",
+    )
+    p_run.add_argument(
+        "--time",
+        action="store_true",
+        help="print per-run wall time (run 1 includes planning; later "
+        "runs are execution-only)",
+    )
 
     p_ex = sub.add_parser("explain", help="print a query's physical plan")
     p_ex.add_argument("query")
@@ -67,15 +80,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.query not in qs:
         print(f"unknown query {args.query!r}; try: python -m shippinglanes_spark list", file=sys.stderr)
         return 2
-    df = qs[args.query].fn(spark, args.sf_dir)
     if args.cmd == "explain":
+        df = qs[args.query].fn(spark, args.sf_dir)
         print(
             df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), args.mode
             )
         )
-    else:
-        df.show(args.limit, truncate=False)
+        return 0
+    from .plans.prepared import PreparedQueries
+
+    pq = PreparedQueries(spark, args.sf_dir)
+    if args.repeat > 1 or args.time:
+        import time as _time
+
+        for i in range(max(args.repeat, 1)):
+            t0 = _time.perf_counter()
+            n = len(pq.run(args.query))
+            if args.time:
+                tag = "plan+exec" if i == 0 else "exec-only"
+                print(
+                    f"run {i + 1} ({tag}): {_time.perf_counter() - t0:.3f}s"
+                    f"  ({n} rows)"
+                )
+    pq.dataframe(args.query).show(args.limit, truncate=False)
     return 0
 
 

@@ -46,3 +46,22 @@ def test_entry_smoke(spark):
     assert {f.name for f in df.schema.fields} >= {
         "l_returnflag", "l_linestatus", "sum_qty", "count_order",
     }
+
+
+def test_prepared_queries_reuse_handle(spark, sf_dir):
+    """The prepared cache must hand back the SAME DataFrame object (that
+    is what makes Spark skip Catalyst on re-execution) and drop it on
+    invalidate."""
+    from shippinglanes_spark.plans.prepared import PreparedQueries
+
+    pq = PreparedQueries(spark, sf_dir, capacity=2)
+    a = pq.dataframe("agg_groupby")
+    assert pq.dataframe("agg_groupby") is a
+    assert len(pq.run("agg_groupby")) > 0
+    pq.invalidate("agg_groupby")
+    assert pq.dataframe("agg_groupby") is not a
+    # LRU eviction at capacity 2: touching two others evicts the first
+    pq.dataframe("join_semi")
+    b = pq.dataframe("agg_rollup")
+    assert pq.dataframe("agg_rollup") is b
+    assert pq.dataframe("agg_groupby") is not None  # rebuilt, no error
