@@ -263,3 +263,65 @@ def text_ngram_novelty(spark, sf_dir):
             ).cast("long").alias("novelty_ppm"),
         )
     )
+
+
+@register(
+    "text_readability",
+    section="2.9",
+    oracle="""
+    WITH x AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(
+                        trim(text), '[^ ]+')) AS BIGINT) AS words,
+                      CAST(GREATEST(len(regexp_extract_all(
+                        text, '[.!?]')), 1) AS BIGINT) AS sentences,
+                      CAST(GREATEST(len(regexp_extract_all(
+                        lower(text), '[aeiouy]+')), 1) AS BIGINT)
+                        AS syllables
+               FROM documents
+               WHERE length(trim(text)) > 0)
+    SELECT doc_id, words, sentences, syllables,
+           FLOOR((206.835
+                  - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                  - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 1e4)
+             / 1e4 AS flesch
+    FROM x WHERE words > 0
+    """,
+    notes="Flesch reading-ease per document — the classic readability "
+    "gate a curation pipeline runs next to Gopher rules: words, "
+    "sentence marks, and vowel-group syllable approximation are all "
+    "integer regexp counts (engine-deterministic, no tokenizer "
+    "dependency), and the score formula runs on exact integers with "
+    "identical association on both engines. Pure per-row compute — "
+    "zero shuffles, embarrassingly parallel at any corpus size",
+)
+def text_readability(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    x = d.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(trim(text), '[^ ]+', 0))")
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]', 0))"), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return x.where(F.col("words") > 0).select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (F.floor(flesch * 1e4) / 1e4).alias("flesch"),
+    )

@@ -1838,3 +1838,62 @@ def agg_cuped(spark, sf_dir):
         (F.floor(cuped * 1e6) / 1e6).alias("cuped_mean"),
         (F.floor(F.col("theta") * 1e6) / 1e6).alias("theta"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    q AS (SELECT event_type,
+                 CAST(quantile_disc(v, 0.05) AS BIGINT) AS lo,
+                 CAST(quantile_disc(v, 0.95) AS BIGINT) AS hi
+          FROM x GROUP BY event_type)
+    SELECT x.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(LEAST(GREATEST(x.v, q.lo), q.hi)) AS BIGINT)
+             AS wsum_cents,
+           CAST(SUM(LEAST(GREATEST(x.v, q.lo), q.hi)) * 100 // COUNT(*)
+                AS BIGINT) AS wmean_centi
+    FROM x JOIN q USING (event_type)
+    GROUP BY x.event_type
+    """,
+    notes="winsorized mean (outlier-robust metric): per-group p05/p95 "
+    "edges via the DISCRETE percentile (an actual data value — exact "
+    "and engine-deterministic, unlike interpolation), values clamped "
+    "to the edges, then an exact integer mean. Two passes over one "
+    "scan lineage: a tiny per-group quantile aggregate broadcasts "
+    "back onto the stream — never a sort of the data, never a "
+    "re-scan at 100 TB (the quantile table is group-cardinality). "
+    "Everything integer until the final reported centi-cents ratio",
+)
+def agg_winsorized_mean(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    q = x.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY v)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)")
+        .cast("long")
+        .alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        x.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(clamped).cast("long").alias("wsum_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "wsum_cents",
+            F.expr("wsum_cents * 100 div n").cast("long").alias("wmean_centi"),
+        )
+    )

@@ -679,3 +679,61 @@ def agg_spearman(spark, sf_dir):
     nd = F.col("n").cast("double")
     rho = 1 - (6 * F.col("sd2")).cast("double") / (nd * (nd * nd - 1))
     return s.select("n", (F.floor(rho * 1e6) / 1e6).alias("rho"))
+
+
+@register(
+    "win_groups_frame",
+    section="2.5",
+    oracle="""
+    WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS oday,
+                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS day_cents,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                         ORDER BY CAST(o_orderdate AS DATE))
+                        AS g
+               FROM orders GROUP BY 1, 2),
+    j AS (SELECT a.o_custkey, a.oday,
+                 CAST(SUM(b.day_cents) AS BIGINT) AS grp_cents
+          FROM d a JOIN d b
+            ON b.o_custkey = a.o_custkey AND b.g BETWEEN a.g - 2 AND a.g
+          GROUP BY 1, 2)
+    SELECT o.o_custkey, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS oday,
+           j.grp_cents
+    FROM orders o
+    JOIN j ON j.o_custkey = o.o_custkey
+          AND j.oday = CAST(o.o_orderdate AS DATE)
+    """,
+    notes="GROUPS window frame — the frame type NEITHER engine ships "
+    "(Spark: unsupported; DuckDB: 'not implemented yet') — EMULATED "
+    "exactly: a GROUPS frame over ORDER BY k is a RANGE frame over "
+    "dense_rank(k), because dense_rank is the peer-group ordinal "
+    "(consecutive integers, one per distinct key), so '2 peer groups "
+    "preceding' becomes the integer range [rank-2, rank]. Two stacked "
+    "windows on the SAME (custkey, day) sort: Catalyst plans one "
+    "exchange + one sort. The oracle is a structurally INDEPENDENT "
+    "formulation (day-group rollup + ordinal-interval self-join), so "
+    "the hash match proves the emulation's peer semantics rather than "
+    "replaying the same trick",
+)
+def win_groups_frame(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("oday"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wrank = Window.partitionBy("o_custkey").orderBy("oday")
+    ranked = base.withColumn("g", F.dense_rank().over(wrank))
+    wg = (
+        Window.partitionBy("o_custkey")
+        .orderBy("g")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return ranked.select(
+        "o_custkey",
+        "o_orderkey",
+        "oday",
+        F.sum("cents").over(wg).cast("long").alias("grp_cents"),
+    )
