@@ -1775,3 +1775,160 @@ def evt_survival_km(spark, sf_dir):
             (F.floor(surv * 1e6) / 1e6).alias("survival"),
         )
     )
+
+
+@register(
+    "evt_logrank",
+    section="2.10",
+    oracle="""
+    WITH c AS (SELECT user_id, user_id % 2 AS grp,
+                      MIN(epoch_us(ts)) AS t_c FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT c.user_id, MIN(epoch_us(e.ts)) AS t_p
+          FROM c JOIN events e
+            ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND epoch_us(e.ts) >= c.t_c
+          GROUP BY c.user_id),
+    m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+    d AS (SELECT c.grp,
+                 CASE WHEN p.t_p IS NULL THEN (m.mx - c.t_c) // 86400000000
+                      ELSE (p.t_p - c.t_c) // 86400000000 END AS day,
+                 CASE WHEN p.t_p IS NULL THEN 0 ELSE 1 END AS ev
+          FROM c LEFT JOIN p USING (user_id) CROSS JOIN m),
+    g AS (SELECT day,
+                 CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d1,
+                 CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d2,
+                 CAST(COUNT(*) FILTER (grp = 1) AS BIGINT) AS a1,
+                 CAST(COUNT(*) FILTER (grp = 0) AS BIGINT) AS a2
+          FROM d GROUP BY day),
+    r AS (SELECT day, d1, d2,
+                 CAST(SUM(a1) OVER (ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n1,
+                 CAST(SUM(a2) OVER (ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n2
+          FROM g),
+    k AS (SELECT day,
+                 d1 + d2 AS dt, n1 + n2 AS nt, d1, n1
+          FROM r WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+    a AS (SELECT list(struct_pack(
+                   oe := d1 - CAST(dt AS DOUBLE) * n1 / nt,
+                   v := CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+                        * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                        * (nt - dt) / (nt - 1))
+                 ORDER BY day) AS terms
+          FROM k),
+    f AS (SELECT list_reduce(
+                   list_prepend(struct_pack(oe := 0.0, v := 0.0),
+                                [struct_pack(oe := x.oe, v := x.v)
+                                 FOR x IN terms]),
+                   (acc, x) -> struct_pack(oe := acc.oe + x.oe,
+                                           v := acc.v + x.v)) AS s
+          FROM a)
+    SELECT FLOOR(f.s.oe * 1e6) / 1e6 AS o_minus_e,
+           FLOOR(f.s.v * 1e6) / 1e6 AS variance,
+           FLOOR(f.s.oe * f.s.oe / f.s.v * 1e6) / 1e6 AS chi2
+    FROM f
+    """,
+    notes="log-rank test between two cohorts' click-to-purchase survival "
+    "(the hypothesis test that pairs with evt_survival_km): at each "
+    "death day, observed-minus-expected cohort-1 deaths under the "
+    "pooled-risk null, and the hypergeometric variance; chi2 = "
+    "(O-E)^2/V. Cohort at-risk counts are per-cohort suffix sums on "
+    "the day table; the day-term sums fold a SORTED array identically "
+    "on both engines (the agg_anova ordered-fold discipline), so the "
+    "doubles are bit-identical despite being a sum of float terms. "
+    "Data-sized work: one keyed agg over one scan, as evt_survival_km",
+)
+def evt_logrank(spark, sf_dir):
+    day_us = 86_400_000_000
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(epoch_us("ts")).alias("mx"))
+    per_user = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", epoch_us("ts"))
+            ).alias("t_c"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", epoch_us("ts"))
+                )
+            ).alias("p_ts"),
+        )
+        .where(F.col("t_c").isNotNull())
+    )
+    t_p = F.get(F.filter(F.col("p_ts"), lambda x: x >= F.col("t_c")), 0)
+    d = (
+        per_user.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            "t_c",
+            t_p.alias("t_p"),
+            "mx",
+        )
+        .select(
+            "grp",
+            F.when(F.col("t_p").isNull(), F.expr(f"(mx - t_c) div {day_us}"))
+            .otherwise(F.expr(f"(t_p - t_c) div {day_us}"))
+            .alias("day"),
+            F.when(F.col("t_p").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    is1 = F.col("grp") == 1
+    g = d.groupBy("day").agg(
+        F.sum(F.when(is1, F.col("ev")).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(~is1, F.col("ev")).otherwise(0)).cast("long").alias("d2"),
+        F.count(F.when(is1, 1)).cast("long").alias("a1"),
+        F.count(F.when(~is1, 1)).cast("long").alias("a2"),
+    )
+    wsuf = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    r = g.select(
+        "day",
+        "d1",
+        "d2",
+        F.sum("a1").over(wsuf).cast("long").alias("n1"),
+        F.sum("a2").over(wsuf).cast("long").alias("n2"),
+    )
+    k = r.select(
+        "day",
+        (F.col("d1") + F.col("d2")).alias("dt"),
+        (F.col("n1") + F.col("n2")).alias("nt"),
+        "d1",
+        "n1",
+    ).where((F.col("dt") > 0) & (F.col("nt") > 1))
+    oe = F.col("d1") - F.col("dt").cast("double") * F.col("n1") / F.col("nt")
+    v = (
+        F.col("dt").cast("double")
+        * (F.col("n1").cast("double") / F.col("nt"))
+        * (F.lit(1.0) - F.col("n1").cast("double") / F.col("nt"))
+        * (F.col("nt") - F.col("dt"))
+        / (F.col("nt") - 1)
+    )
+    terms = k.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("day"), oe.alias("oe"), v.alias("v"))
+            )
+        ).alias("terms")
+    )
+    folded = F.aggregate(
+        F.col("terms"),
+        F.struct(F.lit(0.0).alias("oe"), F.lit(0.0).alias("v")),
+        lambda acc, x: F.struct(
+            (acc["oe"] + x["oe"]).alias("oe"), (acc["v"] + x["v"]).alias("v")
+        ),
+    )
+    return terms.select(folded.alias("s")).select(
+        (F.floor(F.col("s.oe") * 1e6) / 1e6).alias("o_minus_e"),
+        (F.floor(F.col("s.v") * 1e6) / 1e6).alias("variance"),
+        (
+            F.floor(F.col("s.oe") * F.col("s.oe") / F.col("s.v") * 1e6) / 1e6
+        ).alias("chi2"),
+    )

@@ -143,3 +143,55 @@ def test_track_interp_exact_midpoints(spark, sf_dir):
             la0, la1 = f["lat"].to_numpy()[i - 1], f["lat"].to_numpy()[i]
             w = (r.ts_us - t0) / (t1 - t0)
             assert abs(r.lat_i - (la0 + (la1 - la0) * w)) < 2e-6
+
+
+def test_logrank_matches_numpy_reference(spark, sf_dir):
+    """O-E, V, chi2 re-derived in numpy from raw per-user durations."""
+    import pandas as pd
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .toPandas()
+    )
+    mx = int(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    day_us = 86_400_000_000
+    rows = []
+    for uid, grp_df in ev.groupby("user_id"):
+        clicks = grp_df.loc[grp_df["event_type"] == "click", "ts_us"]
+        if clicks.empty:
+            continue
+        t_c = clicks.min()
+        purch = grp_df.loc[
+            (grp_df["event_type"] == "purchase") & (grp_df["ts_us"] >= t_c),
+            "ts_us",
+        ]
+        if purch.empty:
+            rows.append((uid % 2, (mx - t_c) // day_us, 0))
+        else:
+            rows.append((uid % 2, (purch.min() - t_c) // day_us, 1))
+    df = pd.DataFrame(rows, columns=["grp", "day", "ev"])
+    oe = v = 0.0
+    for day in sorted(df["day"].unique()):
+        at1 = int(((df["grp"] == 1) & (df["day"] >= day)).sum())
+        at2 = int(((df["grp"] == 0) & (df["day"] >= day)).sum())
+        d1 = int(((df["grp"] == 1) & (df["day"] == day) & (df["ev"] == 1)).sum())
+        d2 = int(((df["grp"] == 0) & (df["day"] == day) & (df["ev"] == 1)).sum())
+        dt, nt = d1 + d2, at1 + at2
+        if dt == 0 or nt <= 1:
+            continue
+        oe += d1 - dt * at1 / nt
+        v += dt * (at1 / nt) * (1 - at1 / nt) * (nt - dt) / (nt - 1)
+    row = all_queries()["evt_logrank"].fn(spark, sf_dir).first()
+    assert abs(row.o_minus_e - oe) < 1e-4
+    assert abs(row.variance - v) < 1e-4
+    assert abs(row.chi2 - oe * oe / v) < 1e-3
