@@ -185,3 +185,43 @@ def scan_metadata_columns(spark, sf_dir):
             (F.min("file_size") > 0).cast("int").alias("size_known"),
         )
     )
+
+
+@register(
+    "scan_observed",
+    section="2.1",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT) AS n_null
+    FROM events
+    """,
+    notes="the Observation API (df.observe): accumulator-style metrics "
+    "collected DURING a pass — row count, exact cents sum, null count "
+    "— without a second scan or a separate aggregation job. The "
+    "production use is data-quality counters riding an ETL write for "
+    "free; here the observed metrics are returned as the result row "
+    "and hash-checked against the straight aggregate, proving the "
+    "side-channel sees every row exactly once. The observe pass runs "
+    "a noop sink (full scan, no driver transfer)",
+)
+def scan_observed(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.count(F.when(F.col("value").isNull(), 1)).cast("long").alias("n_null"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_cents"], m["n_null"])],
+        "n_rows long, sum_cents long, n_null long",
+    )
