@@ -395,11 +395,41 @@ def round7_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round8_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-5 additions: KM survival + log-rank (keyed agg + bounded
+    day-table folds), GROUPS-frame emulation (stacked windows, one
+    sort), winsorized mean (quantile broadcast), track interpolation
+    (union-grid windows)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "evt_survival_km",
+        "evt_logrank",
+        "win_groups_frame",
+        "agg_winsorized_mean",
+        "geo_track_interp",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r8" in sys.argv:
+        round8_registered(spark, SF, sfdir10)
+        return
     if "--r7" in sys.argv:
         round7_registered(spark, SF, sfdir10)
         return
