@@ -409,3 +409,102 @@ def emb_dim_stats(spark, sf_dir):
         mean.alias("mean"),
         std.alias("std"),
     )
+
+
+@register(
+    "emb_matryoshka_recall",
+    section="2.9",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 SQRT(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+                   AS nrm,
+                 e[1:16] AS t,
+                 SQRT(list_aggregate(list_transform(e[1:16], x -> x * x),
+                                     'sum')) AS tnrm
+          FROM v
+          WHERE SQRT(list_aggregate(list_transform(e, x -> x * x), 'sum')) > 0
+            AND SQRT(list_aggregate(list_transform(e[1:16], x -> x * x),
+                                    'sum')) > 0),
+    q AS (SELECT * FROM n WHERE vec_id % 101 = 0),
+    pf AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+                  ROUND(list_inner_product(q.e, b.e) / (q.nrm * b.nrm), 4)
+                    AS s
+           FROM q JOIN n b ON b.vec_id <> q.vec_id),
+    rf AS (SELECT qid, nid FROM (
+             SELECT qid, nid, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, nid) AS rn FROM pf)
+           WHERE rn <= 10),
+    pt AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+                  ROUND(list_inner_product(q.t, b.t) / (q.tnrm * b.tnrm), 4)
+                    AS s
+           FROM q JOIN n b ON b.vec_id <> q.vec_id),
+    rt AS (SELECT qid, nid FROM (
+             SELECT qid, nid, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, nid) AS rn FROM pt)
+           WHERE rn <= 10)
+    SELECT rf.qid AS vec_id,
+           CAST(COUNT(rt.nid) AS BIGINT) AS n_overlap,
+           CAST(COUNT(rt.nid) * 10 AS BIGINT) AS recall_pct
+    FROM rf LEFT JOIN rt ON rt.qid = rf.qid AND rt.nid = rf.nid
+    GROUP BY rf.qid
+    """,
+    notes="Matryoshka truncation eval: for a deterministic probe sample "
+    "(vec_id % 101), the top-10 neighbor overlap between full 64-d "
+    "cosine and the FIRST-16-dims truncation (renormalized) — the "
+    "measurement that decides whether cheap low-dim prefilters are "
+    "safe. Both rankings run as ONE broadcast block-matmul pass "
+    "(probes x index, two GEMMs per batch); ranks use ROUND(cos, 4) "
+    "with id tie-break on both engines (the sim_knn discipline). "
+    "recall_pct is exact integer tens",
+)
+def emb_matryoshka_recall(spark, sf_dir):
+    import numpy as np
+
+    from .similarity import _broadcast_index
+
+    K, TRUNC = 10, 16
+    e, b_ids, b_mat = _broadcast_index(spark, sf_dir)
+    probes = e.where(F.col("vec_id") % 101 == 0)
+
+    def overlaps(batches):
+        # imports INSIDE the closure: workers lack this repo on sys.path,
+        # so module-level names must not be captured by reference
+        import numpy as np
+        import pandas as pd
+
+        ids = b_ids.value
+        full = b_mat.value  # row-normalized 64-d
+        tr = full[:, :TRUNC]
+        tnrm = np.linalg.norm(tr, axis=1, keepdims=True)
+        trn = tr / tnrm
+        for pdf in batches:
+            q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qt = q[:, :TRUNC]
+            qtn = qt / np.linalg.norm(qt, axis=1, keepdims=True)
+            sf = np.round(qn @ full.T, 4)
+            st = np.round(qtn @ trn.T, 4)
+            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            out = []
+            for i, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids = ids[mask]
+
+                def topk(s):
+                    order = np.lexsort((cand_ids, -s[mask]))[:K]
+                    return set(cand_ids[order])
+
+                n = len(topk(sf[i]) & topk(st[i]))
+                out.append((qid, n, n * K))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "n_overlap", "recall_pct"]
+            )
+
+    return probes.select("vec_id", "embedding").mapInPandas(
+        overlaps, schema="vec_id long, n_overlap long, recall_pct long"
+    )

@@ -710,8 +710,8 @@ def agg_spearman(spark, sf_dir):
     "dense_rank(k), because dense_rank is the peer-group ordinal "
     "(consecutive integers, one per distinct key), so '2 peer groups "
     "preceding' becomes the integer range [rank-2, rank]. Two stacked "
-    "windows on the SAME (custkey, day) sort: Catalyst plans one "
-    "exchange + one sort. The oracle is a structurally INDEPENDENT "
+    "windows on one (custkey) exchange (the frame re-sorts by the rank "
+    "ordinal — cheap; no second shuffle). The oracle is a structurally INDEPENDENT "
     "formulation (day-group rollup + ordinal-interval self-join), so "
     "the hash match proves the emulation's peer semantics rather than "
     "replaying the same trick",

@@ -453,3 +453,16 @@ def test_geo_grid_joins_are_equi_not_nested_loop(spark, sf_dir):
         assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
             "BroadcastHashJoin" in p
         ), name
+
+
+def test_groups_frame_single_shuffle(spark, sf_dir):
+    """The GROUPS-frame emulation stacks dense_rank and the RANGE sum on
+    the same (custkey) partitioning: one exchange, no join."""
+    p = plan(spark, sf_dir, "win_groups_frame", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+    # two Sorts are expected (rank orders by day, the frame by the rank
+    # ordinal — same partitioning, different sort key), but no join and
+    # no re-shuffle between the stacked windows
