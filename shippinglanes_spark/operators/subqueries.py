@@ -370,3 +370,44 @@ def sql_group_by_all(spark, sf_dir):
         FROM lineitem GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    section="2.11",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders
+    WHERE o_totalprice > 250000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    notes="parameterized SQL (Spark 4 named-parameter binding): the "
+    "statement text carries :min_price / :status placeholders and the "
+    "values bind server-side through spark.sql(args=...) — the "
+    "injection-safe prepared-statement surface a SQL front-end needs. "
+    "Parameter marks bind as typed literals BEFORE optimization, so "
+    "the filter still pushes to the scan exactly like an inlined "
+    "constant (no penalty for the indirection)",
+)
+def sql_parameterized(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 250000.0, "status": "O"},
+    ).select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+    )
