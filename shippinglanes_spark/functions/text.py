@@ -703,3 +703,148 @@ def join_set_similarity(spark, sf_dir):
             ((F.col("i") * 1000000) / F.col("u")).cast("long").alias("jac_ppm"),
         )
     )
+
+
+@register(
+    "join_set_similarity_weighted",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id % 3 = 0),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS s
+          FROM t WHERE len(toks) >= 3),
+    f AS (SELECT doc_id, unnest(s) AS tok FROM d),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+    w AS (SELECT tok, (SELECT nd FROM n) * 1000 // df AS wt FROM df),
+    tw AS (SELECT f.doc_id, CAST(SUM(w.wt) AS BIGINT) AS tw
+           FROM f JOIN w USING (tok) GROUP BY f.doc_id),
+    iw AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(SUM(w.wt) AS BIGINT) AS iw
+           FROM f a JOIN f b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           JOIN w ON w.tok = a.tok
+           GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(iw * 1000000 // (ta.tw + tb.tw - iw) AS BIGINT) AS jw_ppm
+    FROM iw JOIN tw ta ON ta.doc_id = doc_a
+            JOIN tw tb ON tb.doc_id = doc_b
+    WHERE iw * 2 >= ta.tw + tb.tw - iw
+    """,
+    notes="WEIGHTED set-similarity join (idf-weighted shingle Jaccard "
+    ">= 0.5) — the weighted PPJoin variant: shingle weights are exact "
+    "integer milli-idf (N*1000 div df, rare shingles heavy), and each "
+    "doc's candidate PREFIX is the shortest weight-descending prefix "
+    "holding more than half its total weight — if every shared "
+    "shingle sat in the suffix, the intersection weight would already "
+    "be under theta * W(A), so a qualifying pair MUST share a prefix "
+    "shingle (the asymmetric prefix-vs-postings filter, lossless by "
+    "construction, no tuning knob). Candidates then verify with exact "
+    "integer weight sums. The oracle brute-forces intersection "
+    "weights over ALL token-sharing pairs, so the hash match "
+    "certifies the weighted prefix filter dropped nothing. Weighted "
+    "Jaccard is what production near-dup pipelines actually rank by "
+    "— boilerplate shingles stop dominating the score",
+)
+def join_set_similarity_weighted(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("w", i),
+            F.element_at("w", i + 1),
+            F.element_at("w", i + 2),
+        ),
+    )
+    d = (
+        base.where(F.size("w") >= 3)
+        .select("doc_id", F.array_distinct(sh).alias("toks"))
+        .localCheckpoint()
+    )
+    post = d.select("doc_id", F.explode("toks").alias("tok"))
+    freq = post.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    wpost = (
+        post.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            "df",
+            F.expr("nd * 1000 div df").cast("long").alias("wt"),
+        )
+    )
+    # canonical global order: rarest (heaviest) first, tok tiebreak
+    wdoc = W.partitionBy("doc_id").orderBy("df", "tok")
+    wall = W.partitionBy("doc_id")
+    ranked = wpost.select(
+        "doc_id",
+        "tok",
+        "wt",
+        F.sum("wt").over(wdoc.rowsBetween(W.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("wt").over(wall).alias("tw"),
+    )
+    # minimal prefix: keep rows while the cumulative weight BEFORE them
+    # has not yet passed half the doc's total (theta = 0.5, exact ints)
+    pref = ranked.where(
+        2 * (F.col("cumw") - F.col("wt")) <= F.col("tw")
+    ).select("doc_id", "tok")
+    # doc payload for exact verification: (tok, wt) structs + totals
+    payload = (
+        wpost.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("tok", "wt")).alias("ws"),
+            F.sum("wt").cast("long").alias("tw"),
+        )
+        .localCheckpoint()
+    )
+    # asymmetric filter: prefix tokens of one side vs FULL postings of
+    # the other — provably lossless, both directions covered by the
+    # unordered pair dedup
+    cand = (
+        pref.join(post.select(F.col("doc_id").alias("doc_o"), "tok"), "tok")
+        .where(F.col("doc_id") != F.col("doc_o"))
+        .select(
+            F.least("doc_id", "doc_o").alias("doc_a"),
+            F.greatest("doc_id", "doc_o").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = payload.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ws").alias("wsa"),
+        F.col("tw").alias("twa"),
+    )
+    b = payload.select(
+        F.col("doc_id").alias("doc_b"),
+        F.transform("ws", lambda x: x["tok"]).alias("toksb"),
+        F.col("tw").alias("twb"),
+    )
+    iw = F.aggregate(
+        F.filter(
+            F.col("wsa"), lambda x: F.array_contains(F.col("toksb"), x["tok"])
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["wt"],
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", iw.alias("iw"), (F.col("twa") + F.col("twb")).alias("tsum"))
+        .where(F.col("iw") * 2 >= F.col("tsum") - F.col("iw"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("iw * 1000000 div (tsum - iw)").cast("long").alias("jw_ppm"),
+        )
+    )
