@@ -539,3 +539,149 @@ def emb_hard_negatives(spark, sf_dir):
         mine,
         schema="vec_id long, hard_neg_id long, neg_label long, sim double",
     )
+
+
+@register(
+    "sim_mmr_rerank",
+    section="2.9",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 SQRT(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+          FROM v
+          WHERE SQRT(list_aggregate(list_transform(e, x -> x * x), 'sum')) > 0),
+    q AS (SELECT * FROM n WHERE vec_id % 101 = 0),
+    rel AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+                   ROUND(list_inner_product(q.e, b.e) / (q.nrm * b.nrm), 4) AS s
+            FROM q JOIN n b ON b.vec_id <> q.vec_id),
+    sh AS (SELECT qid, nid, s FROM (
+             SELECT qid, nid, s, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, nid) AS rn FROM rel)
+           WHERE rn <= 20),
+    ps AS (SELECT a.qid, a.nid AS na, b.nid AS nb,
+                  ROUND(list_inner_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS s
+           FROM sh a JOIN sh b ON a.qid = b.qid AND a.nid < b.nid
+           JOIN n x ON x.vec_id = a.nid JOIN n y ON y.vec_id = b.nid),
+    sel1 AS (SELECT qid, nid, s FROM (
+               SELECT qid, nid, s, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY s DESC, nid) AS rn FROM sh)
+             WHERE rn = 1),
+    p2 AS (SELECT c.qid, c.nid, c.s,
+                  MAX(ps.s) AS pen
+           FROM sh c JOIN sel1 p ON p.qid = c.qid AND p.nid <> c.nid
+           JOIN ps ON ps.qid = c.qid
+                  AND ((ps.na = c.nid AND ps.nb = p.nid)
+                    OR (ps.na = p.nid AND ps.nb = c.nid))
+           GROUP BY 1, 2, 3),
+    sel2 AS (SELECT qid, nid, s FROM (
+               SELECT qid, nid, s, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY s - pen DESC, nid) AS rn FROM p2)
+             WHERE rn = 1),
+    s12 AS (SELECT qid, nid FROM sel1 UNION ALL SELECT qid, nid FROM sel2),
+    p3 AS (SELECT c.qid, c.nid, c.s, MAX(ps.s) AS pen
+           FROM sh c JOIN s12 p ON p.qid = c.qid
+           JOIN ps ON ps.qid = c.qid
+                  AND ((ps.na = c.nid AND ps.nb = p.nid)
+                    OR (ps.na = p.nid AND ps.nb = c.nid))
+           WHERE NOT EXISTS (SELECT 1 FROM s12 z
+                             WHERE z.qid = c.qid AND z.nid = c.nid)
+           GROUP BY 1, 2, 3),
+    sel3 AS (SELECT qid, nid, s FROM (
+               SELECT qid, nid, s, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY s - pen DESC, nid) AS rn FROM p3)
+             WHERE rn = 1),
+    s13 AS (SELECT * FROM s12 UNION ALL SELECT qid, nid FROM sel3),
+    p4 AS (SELECT c.qid, c.nid, c.s, MAX(ps.s) AS pen
+           FROM sh c JOIN s13 p ON p.qid = c.qid
+           JOIN ps ON ps.qid = c.qid
+                  AND ((ps.na = c.nid AND ps.nb = p.nid)
+                    OR (ps.na = p.nid AND ps.nb = c.nid))
+           WHERE NOT EXISTS (SELECT 1 FROM s13 z
+                             WHERE z.qid = c.qid AND z.nid = c.nid)
+           GROUP BY 1, 2, 3),
+    sel4 AS (SELECT qid, nid, s FROM (
+               SELECT qid, nid, s, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY s - pen DESC, nid) AS rn FROM p4)
+             WHERE rn = 1),
+    s14 AS (SELECT * FROM s13 UNION ALL SELECT qid, nid FROM sel4),
+    p5 AS (SELECT c.qid, c.nid, c.s, MAX(ps.s) AS pen
+           FROM sh c JOIN s14 p ON p.qid = c.qid
+           JOIN ps ON ps.qid = c.qid
+                  AND ((ps.na = c.nid AND ps.nb = p.nid)
+                    OR (ps.na = p.nid AND ps.nb = c.nid))
+           WHERE NOT EXISTS (SELECT 1 FROM s14 z
+                             WHERE z.qid = c.qid AND z.nid = c.nid)
+           GROUP BY 1, 2, 3),
+    sel5 AS (SELECT qid, nid, s FROM (
+               SELECT qid, nid, s, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY s - pen DESC, nid) AS rn FROM p5)
+             WHERE rn = 1),
+    allsel AS (SELECT qid, nid, s, 1 AS rnk FROM sel1
+               UNION ALL SELECT qid, nid, s, 2 FROM sel2
+               UNION ALL SELECT qid, nid, s, 3 FROM sel3
+               UNION ALL SELECT qid, nid, s, 4 FROM sel4
+               UNION ALL SELECT qid, nid, s, 5 FROM sel5)
+    SELECT qid AS vec_id, CAST(rnk AS BIGINT) AS rnk,
+           nid AS sel_id, s AS rel
+    FROM allsel
+    """,
+    notes="Maximal-marginal-relevance re-rank (lambda = 0.5, k = 5 over "
+    "a top-20 relevance shortlist) — the diversity-aware selection "
+    "every RAG retrieval stack runs after ANN: greedily pick the "
+    "candidate maximizing rel - max_sim_to_already_picked. The greedy "
+    "loop is per-probe-local (k x shortlist numpy ops inside one "
+    "mapInPandas pass over the broadcast index — the iteration never "
+    "touches the cluster), so 'iterative' costs nothing distributed. "
+    "The oracle UNROLLS all five greedy steps as chained CTEs over "
+    "the same ROUND(cos,4)+id tie-break sims, certifying the greedy "
+    "semantics step by step. Shortlist-then-rerank is also the 100 TB "
+    "shape: MMR over a 20-item list is O(k*20) per query regardless "
+    "of corpus size",
+)
+def sim_mmr_rerank(spark, sf_dir):
+    K, SHORT = 5, 20
+    e, b_ids, b_mat = _broadcast_index(spark, sf_dir)
+    probes = e.where(F.col("vec_id") % 101 == 0)
+
+    def mmr(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids = b_ids.value
+        full = b_mat.value
+        for pdf in batches:
+            q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            rel_all = np.round(qn @ full.T, 4)
+            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            out = []
+            for i, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids = ids[mask]
+                rel = rel_all[i][mask]
+                order = np.lexsort((cand_ids, -rel))[:SHORT]
+                sids, srel = cand_ids[order], rel[order]
+                svecs = full[mask][order]
+                pair = np.round(svecs @ svecs.T, 4)
+                chosen: list[int] = []
+                for rnk in range(1, min(K, len(sids)) + 1):
+                    best_j, best_key = -1, None
+                    for j in range(len(sids)):
+                        if j in chosen:
+                            continue
+                        pen = max((pair[j, c] for c in chosen), default=0.0)
+                        key = (-(srel[j] - pen), sids[j])
+                        if best_key is None or key < best_key:
+                            best_j, best_key = j, key
+                    chosen.append(best_j)
+                    out.append((qid, rnk, int(sids[best_j]), float(srel[best_j])))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "rnk", "sel_id", "rel"]
+            )
+
+    return probes.select("vec_id", "embedding").mapInPandas(
+        mmr, schema="vec_id long, rnk long, sel_id long, rel double"
+    )
