@@ -272,3 +272,21 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_partitions_pin_restores_conf(spark):
+    """The drain-time state-partition pin must restore the caller's
+    shuffle-partition setting afterwards (batch plans untouched)."""
+    from shippinglanes_spark.session import stream_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with stream_partitions(spark, 4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # exception-safe: the finally path restores too
+    try:
+        with stream_partitions(spark, 3):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
