@@ -267,3 +267,61 @@ def test_dedup_embedding_lsh_collapses_planted_cluster(spark):
     assert out[10] == (10, 1)
     assert out[11] == (10, 0) and out[12] == (10, 0)
     assert out[20] == (20, 1) and out[21] == (21, 1)
+
+
+def test_weighted_ppjoin_lossless_on_random_corpora(spark, tmp_path):
+    """The weighted prefix filter must drop NOTHING: on random small
+    corpora (seeded), the declared query's pairs equal a Python
+    brute-force over all pairs at the same integer milli-idf weights."""
+    import itertools
+    import random
+
+    from shippinglanes_spark.registry import all_queries
+
+    vocab = [f"w{i}" for i in range(40)]
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        rows = []
+        base = [rng.choice(vocab) for _ in range(30)]
+        for i in range(24):
+            doc_id = i * 3  # query filter keeps doc_id % 3 == 0
+            if i % 4 == 0:
+                toks = list(base)
+                for _ in range(rng.randrange(0, 4)):  # near-dups of base
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            else:
+                toks = [rng.choice(vocab) for _ in range(rng.randrange(3, 40))]
+            rows.append((doc_id, " ".join(toks)))
+        p = str(tmp_path / f"wppj{seed}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+
+        # brute-force reference at identical integer weights
+        shingled = {}
+        for doc_id, text in rows:
+            toks = text.split(" ")
+            if len(toks) >= 3:
+                shingled[doc_id] = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+        df_count: dict[str, int] = {}
+        for s in shingled.values():
+            for t in s:
+                df_count[t] = df_count.get(t, 0) + 1
+        nd = len(shingled)
+        wt = {t: (nd * 1000) // c for t, c in df_count.items()}
+        tw = {d: sum(wt[t] for t in s) for d, s in shingled.items()}
+        want = {}
+        for a, b in itertools.combinations(sorted(shingled), 2):
+            iw = sum(wt[t] for t in shingled[a] & shingled[b])
+            u = tw[a] + tw[b] - iw
+            if u and iw * 2 >= u:
+                want[(a, b)] = iw * 1_000_000 // u
+        got = {
+            (r.doc_a, r.doc_b): r.jw_ppm
+            for r in all_queries()["join_set_similarity_weighted"]
+            .fn(spark, p)
+            .collect()
+        }
+        assert got == want, f"seed {seed}: {got} != {want}"
