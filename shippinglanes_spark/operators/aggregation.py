@@ -1897,3 +1897,85 @@ def agg_winsorized_mean(spark, sf_dir):
             F.expr("wsum_cents * 100 div n").cast("long").alias("wmean_centi"),
         )
     )
+
+
+@register(
+    "profile_expectations",
+    section="2.4",
+    oracle="""
+    WITH k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                        AS viol
+               FROM orders),
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) FILTER (
+                   o_orderkey IS NULL) AS BIGINT) AS viol
+          FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT) AS viol
+          FROM events),
+    p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) AS viol
+          FROM orders),
+    u AS (
+      SELECT 'orders_pk_unique' AS check_name, n, viol FROM k
+      UNION ALL
+      SELECT 'lineitem_fk_orders', n, viol FROM r
+      UNION ALL
+      SELECT 'events_value_not_null', n, viol FROM v
+      UNION ALL
+      SELECT 'orders_price_positive', n, viol FROM p)
+    SELECT check_name, n AS n_checked, viol AS n_violations,
+           CAST(CASE WHEN viol = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM u
+    """,
+    notes="declarative data-quality EXPECTATIONS (the dbt-test / "
+    "great-expectations shape): primary-key uniqueness, referential "
+    "integrity (fact -> dim anti-join), not-null, and range checks, "
+    "each reported as (checked, violations, passed) — the verdict "
+    "table a lake onboarding gate publishes. Each check is one "
+    "aggregate over its own scan (the FK check a broadcast left "
+    "join); verdicts union into a bounded table. Exact counts, no "
+    "sampling — at 100 TB these are the same map-side-combined "
+    "aggregates as any groupBy, and the FK anti-join shuffles only "
+    "if the dim outgrows broadcast",
+)
+def profile_expectations(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    pk = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("viol"),
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n", "viol")
+    fk = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("k")),
+            li.l_orderkey == F.col("k"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("viol"),
+        )
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "n", "viol")
+    )
+    nn = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("value").isNull(), 1)).cast("long").alias("viol"),
+    ).select(F.lit("events_value_not_null").alias("check_name"), "n", "viol")
+    rng = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("long")
+        .alias("viol"),
+    ).select(F.lit("orders_price_positive").alias("check_name"), "n", "viol")
+    u = pk.unionByName(fk).unionByName(nn).unionByName(rng)
+    return u.select(
+        "check_name",
+        F.col("n").alias("n_checked"),
+        F.col("viol").alias("n_violations"),
+        F.when(F.col("viol") == 0, 1).otherwise(0).cast("long").alias("passed"),
+    )
