@@ -101,13 +101,35 @@ def agg_distinct(spark, sf_dir):
 @register(
     "agg_approx_distinct",
     section="2.4",
-    oracle=None,
-    notes="HLL sketch; no exact oracle — ±5%-vs-exact asserted in tests/test_aggregation.py",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    notes="HLL sketch certified by DERIVED-PROPERTY oracle: the sketch "
+    "value itself is engine-specific, so the declared output carries "
+    "the EXACT per-group distinct count (hash-checked against DuckDB) "
+    "plus a flag that the rsd=0.01 sketch landed within ±5%% of it — "
+    "a bound DuckDB asserts as the constant-true row. The exact "
+    "distinct costs one extra Expand pass at fixture scale; at 100 TB "
+    "a user keeps only the sketch column and the mergeability story "
+    "(agg_sketch_merge). Tightness additionally asserted in "
+    "tests/test_aggregation.py",
 )
 def agg_approx_distinct(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    bound = 0.05 * F.col("exact_users")
+    return g.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("a") - F.col("exact_users")) <= bound)
+        .cast("long")
+        .alias("within_5pct"),
     )
 
 

@@ -108,15 +108,52 @@ def sample_frac(spark, sf_dir):
 @register(
     "sample_stratified",
     section="2.6",
-    oracle=None,
-    notes="per-stratum seeded sampling (df.sampleBy); rows-only — fraction "
-    "accuracy asserted in tests/test_events_edge.py",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_stratum,
+           CAST(CASE event_type
+                WHEN 'click' THEN 500 WHEN 'view' THEN 100
+                WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 1000
+                ELSE 0 END AS BIGINT) AS target_pm,
+           CAST(1 AS BIGINT) AS in_ci
+    FROM events GROUP BY event_type
+    """,
+    notes="per-stratum seeded sampling (df.sampleBy), certified by "
+    "DERIVED-PROPERTY oracle (the sample_frac discipline): per stratum "
+    "the audit row reports the exact population count, the target "
+    "fraction in per-mille, and a 5-sigma binomial CI flag on the "
+    "sampled size — deterministic strata (fraction 0 and 1) must hit "
+    "their targets EXACTLY, which the CI bound degenerates to. "
+    "Fraction accuracy additionally unit-tested",
 )
 def sample_stratified(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.0}
-    return ev.sampleBy("event_type", fractions, seed=42).select(
-        "event_id", "user_id", "event_type"
+    s = ev.sampleBy("event_type", fractions, seed=42).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample")
+    )
+    pop = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_stratum")
+    )
+    frac = F.when(F.col("event_type") == "click", 0.5).when(
+        F.col("event_type") == "view", 0.1
+    ).when(F.col("event_type").isin("purchase", "signup"), 1.0).otherwise(0.0)
+    j = pop.join(s, "event_type", "left").select(
+        "event_type",
+        "n_stratum",
+        F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
+        frac.alias("p"),
+    )
+    sigma5 = 5.0 * F.sqrt(F.col("n_stratum") * F.col("p") * (1.0 - F.col("p")))
+    return j.select(
+        "event_type",
+        "n_stratum",
+        (F.col("p") * 1000).cast("long").alias("target_pm"),
+        (
+            F.abs(F.col("n_sample") - F.col("p") * F.col("n_stratum")) <= sigma5
+        )
+        .cast("long")
+        .alias("in_ci"),
     )
 
 
@@ -136,8 +173,9 @@ def sample_stratified(spark, sf_dir):
     notes="deterministic fixed-size per-key sample (5 docs per source): "
     "rank by a salted md5 within each key. Unlike seeded Bernoulli "
     "sampling this is content-addressed — reproducible across engines "
-    "AND stable under corpus growth — so it gets a full value oracle "
-    "where sample_frac/sample_stratified are rows-only",
+    "AND stable under corpus growth — so it gets a full VALUE oracle "
+    "where sample_frac/sample_stratified (engine-specific samplers) "
+    "carry derived-property audit oracles instead",
 )
 def sample_per_key(spark, sf_dir):
     """Fixed-size uniform sample per key without rand(): order each
