@@ -418,3 +418,55 @@ def etl_snapshot_diff(spark, sf_dir):
             "new_price",
         )
     )
+
+
+@register(
+    "etl_surrogate_keys",
+    section="2.12",
+    oracle="""
+    WITH k AS (SELECT l_orderkey, l_linenumber,
+                      ('0x' || substr(md5('sk:' || CAST(l_orderkey AS VARCHAR)
+                                      || ':' || CAST(l_linenumber AS VARCHAR)
+                                      || ':' || CAST(l_partkey AS VARCHAR)),
+                                      1, 13))::BIGINT AS sk
+               FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT sk) AS BIGINT) AS collisions,
+           CAST(MIN(sk) AS BIGINT) AS min_key,
+           CAST(MAX(sk) AS BIGINT) AS max_key
+    FROM k
+    """,
+    notes="content-addressed SURROGATE-KEY minting + collision audit: "
+    "52-bit keys from md5 over the salted natural key (13 hex chars — "
+    "exactly the conv/hex-parse range both engines agree on), with "
+    "the dedup-grade audit row every warehouse key pipeline needs "
+    "(rows vs distinct keys vs collisions, key range). Unlike "
+    "monotonically_increasing_id or sequences, content-addressed keys "
+    "are REPRODUCIBLE across engines, reruns, and backfills — no "
+    "coordination, no gaps-on-retry; at 52 bits the birthday bound "
+    "keeps collision expectation ~2e-4 at a billion rows, and this "
+    "query is the monitor that proves it on the actual data. "
+    "Map-side-combined aggregate over one scan",
+)
+def etl_surrogate_keys(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    nat = F.concat(
+        F.lit("sk:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(":"),
+        F.col("l_partkey").cast("string"),
+    )
+    sk = F.conv(F.substring(F.md5(nat), 1, 13), 16, 10).cast("long")
+    k = li.select(sk.alias("sk"))
+    return k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("sk").cast("long").alias("n_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("sk"))
+        .cast("long")
+        .alias("collisions"),
+        F.min("sk").cast("long").alias("min_key"),
+        F.max("sk").cast("long").alias("max_key"),
+    )
