@@ -508,3 +508,88 @@ def emb_matryoshka_recall(spark, sf_dir):
     return probes.select("vec_id", "embedding").mapInPandas(
         overlaps, schema="vec_id long, n_overlap long, recall_pct long"
     )
+
+
+_HAM_BITS = 62  # sign bits packed into one BIGINT (63 would hit the sign bit)
+_HAM_QUERIES = 8
+_HAM_K = 5
+
+_SIG_SPARK = (
+    "aggregate(sequence(0, {b}), CAST(0 AS BIGINT), (acc, i) -> acc + "
+    "IF(element_at(embedding, i + 1) >= 0, "
+    "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+).format(b=_HAM_BITS - 1)
+
+
+@register(
+    "emb_hamming_topk",
+    section="2.9",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i + 1] >= 0
+                                 THEN CAST(1 AS BIGINT) << i
+                                 ELSE CAST(0 AS BIGINT) END
+                            for i in range({_HAM_BITS})]) AS BIGINT) AS sig
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, sig AS qsig
+          FROM s WHERE vec_id < {_HAM_QUERIES}),
+    d AS (SELECT q.query_id, s.vec_id,
+                 CAST(bit_count(xor(s.sig, q.qsig)) AS BIGINT) AS hamming
+          FROM s JOIN q ON s.vec_id <> q.query_id),
+    r AS (SELECT query_id, vec_id, hamming,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming, vec_id) AS BIGINT) AS rnk
+          FROM d)
+    SELECT query_id, rnk, vec_id, hamming FROM r WHERE rnk <= {_HAM_K}
+    """,
+    notes=f"binary-embedding retrieval: each vector compresses to a "
+    f"{_HAM_BITS}-bit SIGN SIGNATURE packed into one BIGINT (the "
+    "64x-compression trick production vector stores use for the "
+    "first-stage filter), then the top-5 neighbors per query are "
+    "ranked by Hamming distance = bit_count(xor) — pure integer ops, "
+    "engine-exact, no float tolerance. Ties break on vec_id. The "
+    "sign-of-float comparison is exact on both engines, so the "
+    "signatures (and therefore every distance) hash-match bit for bit",
+)
+def emb_hamming_topk(spark, sf_dir):
+    """Hamming-space top-k over packed sign bits. The signature scan is
+    one in-codegen fold per row (no shuffle, 8 bytes out per vector);
+    the 8 query signatures broadcast, so distance evaluation is a
+    single map-side pass over the corpus. Top-k is the two-phase
+    scale shape: a salted per-(query, shard) row_number keeps <= k
+    rows per shard, then the global rank runs over <= k * shards
+    survivors — never a single-partition sort of the whole corpus.
+    At 100 TB this is the standard first-stage ANN filter; the exact
+    float re-rank (sim_knn) runs only on these survivors."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    s = e.select("vec_id", F.expr(_SIG_SPARK).alias("sig"))
+    q = s.where(F.col("vec_id") < _HAM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    d = s.join(F.broadcast(q), s.vec_id != q.query_id).select(
+        "query_id",
+        "vec_id",
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+        .cast("long")
+        .alias("hamming"),
+    )
+    shard = F.pmod(F.col("vec_id"), F.lit(32)).alias("shard")
+    w1 = Window.partitionBy("query_id", "shard").orderBy("hamming", "vec_id")
+    local = (
+        d.select("query_id", "vec_id", "hamming", shard)
+        .withColumn("lr", F.row_number().over(w1))
+        .where(F.col("lr") <= _HAM_K)
+    )
+    w2 = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        local.select(
+            "query_id",
+            F.row_number().over(w2).cast("long").alias("rnk"),
+            "vec_id",
+            "hamming",
+        )
+        .where(F.col("rnk") <= _HAM_K)
+    )

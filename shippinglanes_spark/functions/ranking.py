@@ -384,3 +384,145 @@ def text_zipf_fit(spark, sf_dir):
             / 1000000.0
         ).alias("zipf_slope"),
     )
+
+
+_RRF_K = 60        # the standard RRF dampening constant
+_RRF_DEPTH = 100   # per-ranker shortlist depth
+_RRF_OUT = 20      # fused results returned
+_RRF_TERM = "join"
+
+
+@register(
+    "sim_rrf_fusion",
+    section="2.9",
+    oracle=f"""
+    WITH u AS (
+      SELECT d.doc_id, {_TOKS_SQL} AS toks,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    fp AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x = '{_RRF_TERM}')) AS BIGINT)
+               AS tf,
+             CAST(list_sum(
+               [CAST(ROUND(v[i + 1] * 1e6) AS BIGINT)
+                * CAST(ROUND(qv[i + 1] * 1e6) AS BIGINT)
+                for i in range(64)]) AS BIGINT) AS dot_fp
+      FROM u, q),
+    lex AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id)
+                        AS BIGINT) AS lex_rank
+            FROM fp QUALIFY lex_rank <= {_RRF_DEPTH}),
+    sem AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY dot_fp DESC, doc_id)
+                        AS BIGINT) AS sem_rank
+            FROM fp QUALIFY sem_rank <= {_RRF_DEPTH}),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0.0) AS score
+      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS fused_rank,
+           doc_id, lex_rank, sem_rank,
+           CAST(FLOOR(score * 1e9) AS BIGINT) AS rrf_ppb
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_OUT}
+    """,
+    notes=f"hybrid-retrieval fusion: a lexical ranker (term frequency of "
+    f"'{_RRF_TERM}', integer) and a semantic ranker (query-vector dot "
+    "product on an exact 1e-6 fixed-point grid — BIGINT products, no "
+    "float-sum order anywhere) each produce a top-100 shortlist, then "
+    f"reciprocal-rank fusion sum(1/({_RRF_K}+rank)) merges them and the "
+    "top-20 fused results emit. Scores are two-term sums of exact-rank "
+    "rationals, so the doubles are bit-identical across engines; ties "
+    "break on doc_id. The per-ranker global top-N is the "
+    "TakeOrderedAndProject shape (map-side partial top-k, never a "
+    "global sort), and the fusion join touches only 2x100 rows",
+)
+def sim_rrf_fusion(spark, sf_dir):
+    """The standard two-tower retrieval merge: each ranker computes its
+    shortlist independently (bounded top-N per ranker — at corpus scale
+    each is a TakeOrdered, not a global sort), then RRF fuses on rank
+    alone, which is why it needs no score calibration between BM25-like
+    and cosine-like scales. All rank arithmetic is integer; the only
+    floats are the final 1/(k+rank) rationals, computed identically on
+    both engines."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6)"
+            " AS BIGINT))"
+        ).alias("qfp")
+    )
+    u = (
+        d.join(e, d.doc_id == e.vec_id)
+        .join(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split("text", "[^a-z0-9]+"), lambda x: x == _RRF_TERM
+                )
+            )
+            .cast("long")
+            .alias("tf"),
+            F.expr(
+                "aggregate(zip_with(transform(embedding, x ->"
+                " CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)), qfp,"
+                " (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot_fp"),
+        )
+    )
+    # bounded top-N per ranker: orderBy+limit plans as
+    # TakeOrderedAndProject (partial top-k per partition, merged on one
+    # reducer over <= N*partitions rows) — the scale-safe global-rank
+    # escape hatch for shortlist-sized N
+    lex = u.orderBy(F.col("tf").desc(), "doc_id").limit(_RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    sem = u.orderBy(F.col("dot_fp").desc(), "doc_id").limit(_RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("dot_fp").desc(), "doc_id"))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    fused = (
+        lex.withColumnRenamed("doc_id", "ldoc")
+        .join(
+            sem.withColumnRenamed("doc_id", "sdoc"),
+            F.col("ldoc") == F.col("sdoc"),
+            "full",
+        )
+        .select(
+            F.coalesce("ldoc", "sdoc").alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    wf = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        fused.select(
+            F.row_number().over(wf).cast("long").alias("fused_rank"),
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.floor(F.col("score") * 1e9).cast("long").alias("rrf_ppb"),
+        )
+        .where(F.col("fused_rank") <= _RRF_OUT)
+    )

@@ -293,3 +293,127 @@ def graph_weighted_path(spark, sf_dir):
             .localCheckpoint()
         )
     return dist.select(F.col("id").alias("nation_id"), F.col("cost").alias("min_cost"))
+
+
+@register(
+    "graph_link_prediction",
+    section="2.9",
+    oracle="""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(COUNT(*) AS BIGINT) AS ne FROM e),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e, tot WHERE w * ne >= tw),
+    nbr AS (SELECT a AS v, b AS w FROM und
+            UNION ALL SELECT b AS v, a AS w FROM und),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY v),
+    cn AS (SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+           FROM nbr x JOIN nbr y ON x.w = y.w AND x.v < y.v
+           GROUP BY x.v, y.v),
+    nonedge AS (
+      SELECT cn.a, cn.b, cn.common FROM cn
+      LEFT JOIN und ON und.a = cn.a AND und.b = cn.b
+      WHERE und.a IS NULL)
+    SELECT n.a AS node_a, n.b AS node_b,
+           n.common AS common_neighbors,
+           CAST(n.common * 1000000 // (da.d + db.d - n.common) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(da.d * db.d AS BIGINT) AS pref_attachment
+    FROM nonedge n
+    JOIN deg da ON da.v = n.a
+    JOIN deg db ON db.v = n.b
+    """,
+    notes="link prediction on the undirected nation trade graph: for "
+    "every NON-adjacent pair sharing at least one neighbor, emit the "
+    "three classic scores — common-neighbor count, neighborhood "
+    "Jaccard (integer ppm via BIGINT floor-division, engine-exact), "
+    "and preferential attachment deg_a*deg_b. Edges are the "
+    "ABOVE-AVERAGE trade links (w * n_edges >= total_w — an exact "
+    "integer cross-multiply, no float average), which keeps the graph "
+    "mid-density at every SF; the raw nation graph saturates to a "
+    "complete graph as data grows and link prediction degenerates. "
+    "The wedge enumeration (neighbor-list self-join on the shared "
+    "endpoint) is the same bounded-fanout shape as graph_triangles; "
+    "existing edges drop via a left-anti join. All integer math — no "
+    "float tolerance anywhere",
+)
+def graph_link_prediction(spark, sf_dir):
+    """Who *should* be trading but isn't: wedge-join link prediction.
+    Neighbor lists come from one distinct over the aggregated edge
+    list (graph-sized, broadcastable); candidate pairs are wedges
+    (v-w-u with v<u) counted per endpoint pair; known edges are
+    removed with a broadcast anti-join. Degrees attach via two
+    broadcast joins of the |V|-row degree table. At real scale the
+    wedge join is the standard two-path enumeration bounded by
+    orienting on degree; every relation after the first groupBy is
+    graph-sized, so nothing here grows with the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    tot = e.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.count(F.lit(1)).cast("long").alias("ne"),
+    )
+    und = (
+        e.join(F.broadcast(tot))
+        # above-average links via exact integer cross-multiply: w >= tw/ne
+        .where(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = nbr.select(F.col("v").alias("pa"), F.col("w").alias("via"))
+    y = nbr.select(F.col("v").alias("pb"), F.col("w").alias("via"))
+    cn = (
+        x.join(F.broadcast(y), "via")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    nonedge = cn.join(
+        F.broadcast(und),
+        (cn.pa == und.a) & (cn.pb == und.b),
+        "left_anti",
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("deg_b"))
+    return (
+        nonedge.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            F.col("pa").alias("node_a"),
+            F.col("pb").alias("node_b"),
+            F.col("common").alias("common_neighbors"),
+            F.expr(
+                "CAST(common * 1000000 div (deg_a + deg_b - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            (F.col("deg_a") * F.col("deg_b")).cast("long").alias("pref_attachment"),
+        )
+    )

@@ -737,3 +737,88 @@ def win_groups_frame(spark, sf_dir):
         "oday",
         F.sum("cents").over(wg).cast("long").alias("grp_cents"),
     )
+
+
+@register(
+    "win_rolling_corr",
+    section="2.5",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS i,
+             CAST(ROUND(value * 100) AS BIGINT) AS y,
+             CAST((epoch_us(ts) -
+                   LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))
+                  // 1000000 AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT user_id, event_id,
+             CAST(COUNT(*) OVER f AS BIGINT) AS n,
+             CAST(SUM(x) OVER f AS BIGINT) AS sx,
+             CAST(SUM(y) OVER f AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER f AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER f AS BIGINT) AS syy
+      FROM seq WHERE x IS NOT NULL
+      WINDOW f AS (PARTITION BY user_id ORDER BY i
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           CASE WHEN n >= 5 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE))
+                          * 1e6) AS BIGINT)
+           END AS corr_ppm
+    FROM w
+    """,
+    notes="per-entity ROLLING Pearson correlation between inter-arrival "
+    "gap (seconds) and spend (cents) over the trailing 20 events — the "
+    "'does waiting longer change what they spend' behavioral feature. "
+    "The six moment sums ride ONE keyed sliding frame as exact BIGINTs "
+    "(gap <= ~2.6e6 s, cents <= ~5.6e4: every cross term is orders of "
+    "magnitude inside BIGINT); floats appear only in the final "
+    "division/sqrt on exactly-representable (< 2^53) integers, so both "
+    "engines see bit-identical doubles and FLOOR(x*1e6) is "
+    "engine-exact with no tolerance. Short (n < 5) or degenerate "
+    "(zero-variance) frames emit NULL rather than a garbage fit",
+)
+def win_rolling_corr(spark, sf_dir):
+    """Rolling correlation as window-framed integer moment sums: one
+    shuffle on the entity key, one sort, six running sums sharing the
+    same frame (O(1) amortized per row), then a single closed-form
+    combine. The same composition computes any rolling second-moment
+    statistic (beta, R^2) without a second pass."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    wi = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.floor((us - F.lag(us).over(wi)) / 1000000).cast("long").alias("x"),
+    ).where(F.col("x").isNotNull())
+    f = Window.partitionBy("user_id").orderBy("i").rowsBetween(-19, 0)
+    w = seq.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(f).cast("long").alias("n"),
+        F.sum("x").over(f).cast("long").alias("sx"),
+        F.sum("y").over(f).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (F.col("n") >= 5) & (dx > 0) & (dy > 0),
+        F.floor(num / F.sqrt(dx.cast("double") * dy.cast("double")) * 1e6).cast(
+            "long"
+        ),
+    )
+    return w.select("user_id", "event_id", corr.alias("corr_ppm"))
