@@ -604,3 +604,84 @@ def pipeline_quality_ensemble(spark, sf_dir):
         (len_ok & wordlen_ok & toptok_ok & rep_ok).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+_DP_EPS = 1.0  # per-release privacy budget; Laplace scale b = 1/eps
+
+
+@register(
+    "pipeline_dp_histogram",
+    section="2.9",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT event_type, day, n,
+             (('0x' || substr(md5('dp:' || event_type || '|'
+                                  || CAST(day AS VARCHAR)), 1, 13))::BIGINT
+              + 1.0) / {_TWO_52} AS u
+      FROM b),
+    z AS (
+      SELECT event_type, day, n,
+             -(1.0 / {_DP_EPS})
+             * CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END
+             * ln(GREATEST(1e-12, 1.0 - 2.0 * abs(u - 0.5))) AS noise
+      FROM u)
+    SELECT event_type, day,
+           ROUND(GREATEST(0.0, n + noise), 4) AS dp_count,
+           CAST(CASE WHEN abs(noise) <= 10.0 / {_DP_EPS}
+                THEN 1 ELSE 0 END AS BIGINT) AS noise_in_tail_bound
+    FROM z
+    """,
+    notes="differentially-private release histogram: per-(type, day) "
+    "distinct-user counts + Laplace(1/eps) noise, eps = 1. The noise "
+    "is DERANDOMIZED for reproducibility: a content-addressed 52-bit "
+    "md5 uniform feeds the inverse-CDF -b*sign(u-.5)*ln(1-2|u-.5|) — "
+    "same release every run, same on both engines (a production "
+    "release would swap in a sealed RNG seed; the pipeline shape is "
+    "identical). ln() is libm-variant, so the released value ROUNDs "
+    "4 dp (the fn_math discipline); GREATEST guards the 2^-52 u=1 "
+    "edge and clamps negatives to 0 post-noise. The tail-bound flag "
+    "(|noise| <= 10b, true at probability 1 - e^-10) doubles as a "
+    "sanity check that the inverse-CDF is scaled right",
+)
+def pipeline_dp_histogram(spark, sf_dir):
+    """The privacy gate of a data-release pipeline: exact sensitive
+    counts never leave the engine, only noised ones. One keyed
+    distinct-count (the only shuffle), then per-row noise arithmetic
+    in codegen — the DP step adds zero distributed cost at any scale.
+    Deterministic content-addressed uniforms keep the release
+    reproducible and diffable across reruns."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.countDistinct("user_id").cast("long").alias("n"))
+    h = F.md5(
+        F.concat(
+            F.lit("dp:"),
+            F.col("event_type"),
+            F.lit("|"),
+            F.col("day").cast("string"),
+        )
+    )
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
+        _TWO_52
+    )
+    sign = F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * sign
+        * F.log(F.greatest(F.lit(1e-12), 1.0 - 2.0 * F.abs(u - 0.5)))
+    )
+    return b.select(
+        "event_type",
+        "day",
+        F.round(F.greatest(F.lit(0.0), F.col("n") + noise), 4).alias(
+            "dp_count"
+        ),
+        (F.abs(noise) <= 10.0 / _DP_EPS).cast("long").alias(
+            "noise_in_tail_bound"
+        ),
+    )

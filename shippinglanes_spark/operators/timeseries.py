@@ -859,3 +859,78 @@ def agg_decay_sum(spark, sf_dir):
         F.sum("s").cast("long").alias("raw_cents"),
         (F.floor(decayed * 1e2) / 1e2).alias("decayed"),
     )
+
+
+@register(
+    "ts_holt",
+    section="2.8",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(CAST(y AS DOUBLE) ORDER BY day) AS ys
+      FROM d GROUP BY event_type),
+    f AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_transform(ys, y -> [y, 0.0]),
+               (acc, x) -> [
+                 (x[1] + acc[1] + acc[2]) / 2,
+                 ((x[1] + acc[1] + acc[2]) / 2 - acc[1] + acc[2]) / 2
+               ]) AS st
+      FROM s)
+    SELECT event_type, n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast_1
+    FROM f
+    """,
+    notes="Holt double-exponential smoothing (alpha = beta = 1/2) over "
+    "each type's daily revenue series: level and trend evolve by the "
+    "textbook recurrence, folded LEFT over the day-ordered series on "
+    "both engines (F.aggregate / list_reduce) so the float sequence "
+    "is bit-identical — alpha = 1/2 makes every smoothing step an "
+    "exact halving, the same trick the temperature-mix query uses "
+    "with sqrt. Daily inputs are exact summed cents. The one-step "
+    "forecast level+trend is what a capacity planner actually reads. "
+    "State rides a 2-element DOUBLE array because list_reduce seeds "
+    "from the first element (l0 = y0, b0 = 0) — no init parameter",
+)
+def ts_holt(spark, sf_dir):
+    """Sequential smoothing as an in-group left fold: the per-type
+    series aggregates to ONE row carrying a day-ordered array (exact
+    integer cents), and the recurrence runs inside a single aggregate
+    expression — no iterative jobs, no window over the whole series,
+    one keyed shuffle total. Groups fold independently, so at 100 TB
+    a million per-key series smooth in one pass; only a single series
+    longer than memory would need the segmented-scan formulation."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, y))),"
+            " x -> CAST(x.y AS DOUBLE))"
+        ).alias("ys"),
+    )
+    st = F.expr(
+        "aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)),"
+        " array(element_at(ys, 1), CAST(0.0 AS DOUBLE)),"
+        " (acc, y) -> array("
+        "   (y + acc[0] + acc[1]) / 2,"
+        "   ((y + acc[0] + acc[1]) / 2 - acc[0] + acc[1]) / 2))"
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(st.getItem(0), 6).alias("level"),
+        F.round(st.getItem(1), 6).alias("trend"),
+        F.round(st.getItem(0) + st.getItem(1), 6).alias("forecast_1"),
+    )

@@ -186,3 +186,65 @@ def test_round5b_plans_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
     plan = _plan(q["sim_rrf_fusion"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_holt_matches_python_recurrence(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    out = {r.event_type: r for r in all_queries()["ts_holt"].fn(spark, sf_dir).collect()}
+    for etype, g in daily.groupby("event_type"):
+        ys = g.sort_values("day")["cents"].to_numpy(dtype=float)
+        l, b = ys[0], 0.0
+        for y in ys[1:]:
+            l_new = (y + l + b) / 2
+            b = (l_new - l + b) / 2
+            l = l_new
+        r = out[etype]
+        assert r.n_days == len(ys)
+        assert abs(r.level - round(l, 6)) < 1e-9
+        assert abs(r.trend - round(b, 6)) < 1e-9
+        assert abs(r.forecast_1 - round(l + b, 6)) < 1e-9
+
+
+def test_dp_histogram_noise_is_laplace_shaped(spark, sf_dir):
+    import hashlib
+    import math
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            "user_id",
+        )
+        .toPandas()
+    )
+    truth = (
+        ev.groupby(["event_type", "day"])["user_id"].nunique().to_dict()
+    )
+    out = all_queries()["pipeline_dp_histogram"].fn(spark, sf_dir).collect()
+    assert len(out) == len(truth)
+    noises = []
+    for r in out:
+        n = truth[(r.event_type, r.day)]
+        h = hashlib.md5(f"dp:{r.event_type}|{r.day}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1.0) / 4503599627370496.0
+        sign = -1.0 if u < 0.5 else 1.0
+        noise = -sign * math.log(max(1e-12, 1.0 - 2.0 * abs(u - 0.5)))
+        assert abs(r.dp_count - round(max(0.0, n + noise), 4)) < 2e-4
+        noises.append(noise)
+        assert r.dp_count >= 0
+    # Laplace(1) mean |noise| is 1; loose CLT band for ~dozens of buckets
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    assert 0.4 < mean_abs < 2.5
