@@ -422,11 +422,45 @@ def round8_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round9_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-5 session-2 additions: hamming retrieval (map-side XOR +
+    two-phase top-k), rolling correlation (one keyed frame, six moment
+    sums), RRF fusion (two TakeOrdered shortlists), Holt smoothing
+    (in-group fold), DP histogram (keyed distinct + per-row noise),
+    link prediction (graph-sized after first groupBy — included to
+    confirm the data-sized stage dominates and scales linearly)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "emb_hamming_topk",
+        "win_rolling_corr",
+        "sim_rrf_fusion",
+        "ts_holt",
+        "pipeline_dp_histogram",
+        "graph_link_prediction",
+        "agg_hll_intersection",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r9" in sys.argv:
+        round9_registered(spark, SF, sfdir10)
+        return
     if "--r8" in sys.argv:
         round8_registered(spark, SF, sfdir10)
         return
