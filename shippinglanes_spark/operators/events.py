@@ -1932,3 +1932,99 @@ def evt_logrank(spark, sf_dir):
             F.floor(F.col("s.oe") * F.col("s.oe") / F.col("s.v") * 1e6) / 1e6
         ).alias("chi2"),
     )
+
+
+_MK_ITERS = 8
+
+_MK_EDGES_SQL = """
+    e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+    bi AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS to_type
+      FROM e),
+    tc AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bi WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+           FROM tc GROUP BY from_type),
+    p AS (SELECT tc.from_type, tc.to_type, tc.n / rt.tot AS frac
+          FROM tc JOIN rt ON tc.from_type = rt.from_type),
+    st AS (SELECT DISTINCT from_type AS state FROM tc),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_states FROM st)
+"""
+
+
+def _markov_oracle() -> str:
+    """Unroll the power iteration pi_{t+1} = pi_t P into chained CTEs
+    (the graph_pagerank oracle pattern)."""
+    ctes = ["r0 AS (SELECT state, 1.0 / n_states AS pr FROM st CROSS JOIN ns)"]
+    for i in range(1, _MK_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT p.to_type AS state, SUM(r.pr * p.frac) AS pr
+      FROM r{i - 1} r JOIN p ON p.from_type = r.state
+      GROUP BY p.to_type)"""
+        )
+    return (
+        "WITH "
+        + _MK_EDGES_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT state, ROUND(pr, 6) AS stationary_prob FROM r{_MK_ITERS}"
+    )
+
+
+@register(
+    "evt_markov_stationary",
+    section="2.10",
+    oracle=_markov_oracle(),
+    notes=f"long-run state distribution of the event-type Markov chain: "
+    f"power iteration pi P^{_MK_ITERS} from uniform over the row-"
+    "normalized bigram transition matrix (evt_transitions' counts). "
+    "The oracle unrolls the recurrence into chained CTEs (the "
+    "graph_pagerank pattern), so the iterative computation is fully "
+    "value-checked; ROUND 6 dp absorbs float-sum order inside each "
+    "5-term matrix-vector product. Every observed state has outgoing "
+    "transitions in this corpus, so no dangling-mass correction is "
+    "needed (pagerank shows the damped variant when it is)",
+)
+def evt_markov_stationary(spark, sf_dir):
+    """Where user behavior settles: the transition matrix aggregates
+    once from the data-sized lag pass (one keyed window shuffle —
+    identical shape to evt_transitions), after which the chain is
+    states^2-sized and every power-iteration step is a broadcast join
+    + 1-row-per-state aggregate. localCheckpoint keeps the iterative
+    plan flat. At 100 TB the matrix is still 5x5: iteration cost is
+    independent of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tc = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    rt = tc.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    p = tc.join(rt, "from_type").select(
+        "from_type", "to_type", (F.col("n") / F.col("tot")).alias("frac")
+    ).localCheckpoint()
+    states = p.select(F.col("from_type").alias("state")).distinct()
+    n_states = states.count()
+    pi = states.select("state", F.lit(1.0 / n_states).alias("pr"))
+    for _ in range(_MK_ITERS):
+        pi = (
+            p.join(F.broadcast(pi), p.from_type == pi.state)
+            .groupBy(F.col("to_type").alias("next_state"))
+            .agg(F.sum(F.col("pr") * F.col("frac")).alias("pr"))
+            .select(F.col("next_state").alias("state"), "pr")
+            .localCheckpoint()
+        )
+    return pi.select("state", F.round("pr", 6).alias("stationary_prob"))

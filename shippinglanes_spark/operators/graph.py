@@ -417,3 +417,144 @@ def graph_link_prediction(spark, sf_dir):
             (F.col("deg_a") * F.col("deg_b")).cast("long").alias("pref_attachment"),
         )
     )
+
+
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 25  # >= |V|: peeling removes >= 1 node per live round
+
+_KCORE_BASE_SQL = """
+    e AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(COUNT(*) AS BIGINT) AS ne FROM e),
+    und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e, tot WHERE w * ne >= tw),
+    s0 AS MATERIALIZED (SELECT a AS v FROM und UNION SELECT b AS v FROM und)
+"""
+
+
+def _kcore_oracle() -> str:
+    """Unroll the peeling fixpoint: after |V| rounds the surviving set
+    is stable by construction (each non-converged round removes a node),
+    so a fixed unroll is exact — no recursion needed."""
+    ctes = []
+    for i in range(1, _KCORE_MAX_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u.a AS v FROM und u
+        JOIN s{i - 1} x ON x.v = u.a JOIN s{i - 1} y ON y.v = u.b
+        UNION ALL
+        SELECT u.b AS v FROM und u
+        JOIN s{i - 1} x ON x.v = u.a JOIN s{i - 1} y ON y.v = u.b)
+      GROUP BY v)"""
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {_KCORE_K})"
+        )
+    last = f"s{_KCORE_MAX_ROUNDS}"
+    return (
+        "WITH "
+        + _KCORE_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v AS nation_id, CAST(d AS BIGINT) AS deg_in_core FROM (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT u.a AS v FROM und u
+        JOIN {last} x ON x.v = u.a JOIN {last} y ON y.v = u.b
+        UNION ALL
+        SELECT u.b AS v FROM und u
+        JOIN {last} x ON x.v = u.a JOIN {last} y ON y.v = u.b)
+      GROUP BY v)"""
+    )
+
+
+@register(
+    "graph_kcore",
+    section="2.9",
+    oracle=_kcore_oracle(),
+    notes=f"{_KCORE_K}-core of the above-average trade graph (the "
+    "densely-interlocked trading bloc): iteratively peel nodes with "
+    f"degree < {_KCORE_K} until fixpoint, emit survivors with their "
+    "in-core degree. The oracle unrolls |V| peel rounds into chained "
+    "CTEs — exact without recursion because a non-converged round "
+    "removes at least one node, so |V| rounds always reach the "
+    "fixpoint. All integer math, no tolerance anywhere",
+)
+def graph_kcore(spark, sf_dir):
+    """Iterative peeling with an early-exit driver loop: each round is
+    two broadcast semi-joins (edges among survivors) + one keyed
+    degree count — all graph-sized relations after the single
+    data-sized edge aggregation. The convergence check compares
+    per-round survivor counts (bounded metadata, same discipline as
+    connected_components); localCheckpoint keeps the loop's plan
+    flat. At 100 TB the peeling operates on the aggregated graph, so
+    rounds cost O(|E_graph|), not O(|fact|)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    tot = e.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.count(F.lit(1)).cast("long").alias("ne"),
+    )
+    und = (
+        e.join(F.broadcast(tot))
+        .where(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _deg_among(surv):
+        alive = (
+            und.join(F.broadcast(surv), und.a == surv.v, "left_semi")
+            .join(F.broadcast(surv), und.b == surv.v, "left_semi")
+        )
+        return (
+            alive.select(F.col("a").alias("v"))
+            .unionByName(alive.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+
+    surv = und.select(F.col("a").alias("v")).unionByName(
+        und.select(F.col("b").alias("v"))
+    ).distinct().localCheckpoint()
+    prev = surv.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        surv = (
+            _deg_among(surv)
+            .where(F.col("d") >= _KCORE_K)
+            .select("v")
+            .localCheckpoint()
+        )
+        cur = surv.count()
+        if cur == prev:
+            break
+        prev = cur
+    return _deg_among(surv).select(
+        F.col("v").alias("nation_id"), F.col("d").alias("deg_in_core")
+    )
