@@ -848,3 +848,78 @@ def join_set_similarity_weighted(spark, sf_dir):
             F.expr("iw * 1000000 div (tsum - iw)").cast("long").alias("jw_ppm"),
         )
     )
+
+
+@register(
+    "text_logodds",
+    section="2.9",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    c AS (SELECT token,
+                 CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS yi,
+                 CAST(COUNT(*) FILTER (lang <> 'en') AS BIGINT) AS yj
+          FROM tok GROUP BY token),
+    t AS (SELECT CAST(SUM(yi) AS BIGINT) AS ni,
+                 CAST(SUM(yj) AS BIGINT) AS nj FROM c),
+    z AS (SELECT token, yi, yj,
+                 ln((yi + yi + yj) * 1.0 / (ni + ni + nj - yi - yi - yj))
+               - ln((yj + yi + yj) * 1.0 / (nj + ni + nj - yj - yi - yj))
+                   AS delta,
+                 1.0 / (yi + yi + yj) + 1.0 / (yj + yi + yj) AS var
+          FROM c, t)
+    SELECT token, yi AS en_count, yj AS other_count,
+           ROUND(delta / sqrt(var), 4) AS z_score
+    FROM z
+    ORDER BY ROUND(delta / sqrt(var), 4) DESC, token
+    LIMIT 40
+    """,
+    notes="the 40 most English-distinctive tokens by weighted log-odds "
+    "ratio with an informative Dirichlet prior (Monroe/Colaresi/Quinn "
+    "'Fightin' Words'): prior alpha_w = the token's corpus count, "
+    "alpha_0 = total corpus tokens, z = delta / sqrt(1/(y_i+a_w) + "
+    "1/(y_j+a_w)). All ratio inputs are exact integers with identical "
+    "association on both engines; ln() is libm-variant, so z ROUNDs "
+    "4 dp (the dp_histogram discipline) and BOTH engines order by the "
+    "ROUNDED z with token tiebreak, making the top-40 cutoff "
+    "deterministic cross-engine",
+)
+def text_logodds(spark, sf_dir):
+    """Distinctive-vocabulary mining for corpus curation (which tokens
+    mark a slice?): token counting is one map-side-combined groupBy —
+    the only data-sized shuffle; the two corpus totals broadcast back,
+    the z formula is per-row codegen, and the top-40 is
+    TakeOrderedAndProject. Scales exactly like word count."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    c = (
+        d.select(
+            (F.col("lang") == "en").alias("is_en"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.when(F.col("is_en"), 1)).cast("long").alias("yi"),
+            F.count(F.when(~F.col("is_en"), 1)).cast("long").alias("yj"),
+        )
+    )
+    t = c.agg(
+        F.sum("yi").cast("long").alias("ni"),
+        F.sum("yj").cast("long").alias("nj"),
+    )
+    yi, yj = F.col("yi"), F.col("yj")
+    ni, nj = F.col("ni"), F.col("nj")
+    delta = F.log(
+        (yi + yi + yj) * F.lit(1.0) / (ni + ni + nj - yi - yi - yj)
+    ) - F.log((yj + yi + yj) * F.lit(1.0) / (nj + ni + nj - yj - yi - yj))
+    var = F.lit(1.0) / (yi + yi + yj) + F.lit(1.0) / (yj + yi + yj)
+    z = c.crossJoin(F.broadcast(t)).select(
+        "token",
+        yi.alias("en_count"),
+        yj.alias("other_count"),
+        F.round(delta / F.sqrt(var), 4).alias("z_score"),
+    )
+    return z.orderBy(F.desc("z_score"), "token").limit(40)

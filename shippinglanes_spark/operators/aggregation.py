@@ -2085,3 +2085,115 @@ def agg_hll_intersection(spark, sf_dir):
         .cast("long")
         .alias("within_5pct_of_union"),
     )
+
+
+_BS_REPS = 40
+_BS_TWO_52 = 4503599627370496.0  # 2^52: 13 hex chars of md5 -> exact double
+# Poisson(1) CDF P(X <= k), k = 0..7, accumulated in IEEE order so both
+# engines compare the SAME literal doubles (repr round-trips exactly).
+_BS_POIS_CDF = []
+_bs_acc = 0.0
+_bs_term = 0.36787944117144233  # e^-1
+for _bs_k in range(8):
+    _bs_acc += _bs_term
+    _BS_POIS_CDF.append(_bs_acc)
+    _bs_term /= _bs_k + 1
+del _bs_acc, _bs_term, _bs_k
+
+_BS_W_SQL = " + ".join(
+    f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in _BS_POIS_CDF
+)
+
+
+@register(
+    "agg_bootstrap_poisson",
+    section="2.4",
+    oracle=f"""
+    WITH x AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    r AS (SELECT x.v, t.b,
+                 (('0x' || substr(md5('bs:' || CAST(x.event_id AS VARCHAR)
+                                   || ':' || CAST(t.b AS VARCHAR)), 1, 13))
+                  ::BIGINT + 1.0) / {_BS_TWO_52!r} AS u
+          FROM x CROSS JOIN range(0, {_BS_REPS}) t(b)),
+    w AS (SELECT b, v, ({_BS_W_SQL}) AS w FROM r),
+    m AS (SELECT b, CAST(SUM(w * v) AS DOUBLE) / SUM(w) AS mean_c
+          FROM w GROUP BY b),
+    o AS (SELECT mean_c, ROW_NUMBER() OVER (ORDER BY mean_c, b) AS rk FROM m),
+    pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_c FROM x)
+    SELECT pt.n, pt.mean_c / 100.0 AS mean_value,
+           (SELECT mean_c FROM o WHERE rk = 1) / 100.0 AS ci_lo,
+           (SELECT mean_c FROM o WHERE rk = {_BS_REPS - 1}) / 100.0 AS ci_hi
+    FROM pt
+    """,
+    notes=f"95% bootstrap CI for the mean event value via the POISSON "
+    f"bootstrap ({_BS_REPS} replicates): each row contributes a "
+    "Poisson(1)-distributed weight per replicate instead of being "
+    "resampled, so the whole procedure is one pass with per-partition "
+    "partial sums — the published formulation for bootstrap on "
+    "clusters, where true n-out-of-n resampling would shuffle the "
+    "corpus B times. Weights are DERANDOMIZED via the content-"
+    "addressed 52-bit md5 uniform (dp_histogram discipline) fed "
+    "through the Poisson inverse CDF with literal thresholds shared "
+    "by both engines, so every weight is bit-identical; values are "
+    "cent-integers, replicate means are single divisions of exact "
+    "BIGINT sums, and the CI bounds are percentile_disc-style rank "
+    "picks (ranks 1 and 39 of 40) — no float tolerance anywhere",
+)
+def agg_bootstrap_poisson(spark, sf_dir):
+    """The scalable bootstrap: B Poisson weights per row replace B
+    resamples, so the shuffle carries only B partial (sum_wv, sum_w)
+    pairs per partition no matter the corpus size. The 40-row
+    replicate table then sorts driver-side-free through one bounded
+    window. At 100 TB this is a single map-side-combined pass."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    r = x.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BS_REPS - 1))).alias("b"),
+        "event_id",
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("bs:"),
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    )
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
+        _BS_TWO_52
+    )
+    w_expr = None
+    for c in _BS_POIS_CDF:
+        term = F.when(u > F.lit(c), 1).otherwise(0)
+        w_expr = term if w_expr is None else w_expr + term
+    m = (
+        r.withColumn("w", w_expr)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("v")).cast("double") / F.sum("w")
+            ).alias("mean_c")
+        )
+    )
+    rk = F.row_number().over(Window.orderBy("mean_c", "b"))
+    ci = m.withColumn("rk", rk).agg(
+        F.min(F.when(F.col("rk") == 1, F.col("mean_c"))).alias("lo_c"),
+        F.min(
+            F.when(F.col("rk") == _BS_REPS - 1, F.col("mean_c"))
+        ).alias("hi_c"),
+    )
+    pt = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_c"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n",
+        (F.col("mean_c") / 100.0).alias("mean_value"),
+        (F.col("lo_c") / 100.0).alias("ci_lo"),
+        (F.col("hi_c") / 100.0).alias("ci_hi"),
+    )

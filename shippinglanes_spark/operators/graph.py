@@ -419,6 +419,41 @@ def graph_link_prediction(spark, sf_dir):
     )
 
 
+def _trade_und(spark, sf_dir):
+    """Above-average-weight undirected nation trade edges (a, b), a < b —
+    the single data-sized pass shared by graph_kcore / graph_closeness
+    (and mirrored by graph_link_prediction's inline copy). Returns a
+    localCheckpointed graph-sized relation."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    tot = e.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.count(F.lit(1)).cast("long").alias("ne"),
+    )
+    return (
+        e.join(F.broadcast(tot))
+        .where(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 _KCORE_K = 3
 _KCORE_MAX_ROUNDS = 25  # >= |V|: peeling removes >= 1 node per live round
 
@@ -499,34 +534,7 @@ def graph_kcore(spark, sf_dir):
     connected_components); localCheckpoint keeps the loop's plan
     flat. At 100 TB the peeling operates on the aggregated graph, so
     rounds cost O(|E_graph|), not O(|fact|)."""
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
-
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .where(c.c_nationkey != s.s_nationkey)
-        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .localCheckpoint()
-    )
-    tot = e.agg(
-        F.sum("w").cast("long").alias("tw"),
-        F.count(F.lit(1)).cast("long").alias("ne"),
-    )
-    und = (
-        e.join(F.broadcast(tot))
-        .where(F.col("w") * F.col("ne") >= F.col("tw"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    und = _trade_und(spark, sf_dir)
 
     def _deg_among(surv):
         alive = (
@@ -557,4 +565,101 @@ def graph_kcore(spark, sf_dir):
         prev = cur
     return _deg_among(surv).select(
         F.col("v").alias("nation_id"), F.col("d").alias("deg_in_core")
+    )
+
+
+_CL_ITERS = 6  # >= graph diameter (dense small graph; test asserts converged)
+
+
+def _closeness_oracle() -> str:
+    """Unroll the multi-source BFS min-plus recurrence into chained
+    CTEs (the pagerank/kcore oracle pattern). Fixed at _CL_ITERS rounds
+    on BOTH engines, so the comparison is exact even before asserting
+    the frontier actually converged (a unit test does)."""
+    ctes = [
+        "bidir AS (SELECT a AS x, b AS y FROM und"
+        " UNION ALL SELECT b AS x, a AS y FROM und)",
+        "r0 AS (SELECT v AS s, v, 0 AS d FROM s0)",
+    ]
+    for i in range(1, _CL_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT s, v, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT s, v, d FROM r{i - 1}
+        UNION ALL
+        SELECT r.s, e.y AS v, r.d + 1 AS d
+        FROM r{i - 1} r JOIN bidir e ON r.v = e.x)
+      GROUP BY s, v)"""
+        )
+    return (
+        "WITH "
+        + _KCORE_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s AS nation_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS reachable,
+           CAST(SUM(d) AS BIGINT) AS dist_sum,
+           (COUNT(*) - 1) * 1.0 / SUM(d) AS closeness,
+           SUM(CASE WHEN d > 0 THEN CAST(60 // d AS BIGINT) ELSE 0 END)
+             / 60.0 AS harmonic
+    FROM r{_CL_ITERS} GROUP BY s"""
+    )
+
+
+@register(
+    "graph_closeness",
+    section="2.9",
+    oracle=_closeness_oracle(),
+    notes="closeness + harmonic centrality of every nation in the "
+    "above-average trade graph via multi-source BFS (min-plus "
+    f"iteration, {_CL_ITERS} rounds >= diameter, fixed on both "
+    "engines). Distances are exact integers; closeness is ONE "
+    "division of two BIGINTs; harmonic sums n_d * (60 div d) — 60 is "
+    "lcm(1..6), so every reciprocal-distance term is an exact integer "
+    "and the final /60.0 is a single exact division. No rounding, no "
+    "tolerance, for an iterative float-free centrality",
+)
+def graph_closeness(spark, sf_dir):
+    """Multi-source BFS as iterated relational min-plus: the frontier
+    table (s, v, d) stays graph-sized (|V|^2 worst case — the nation
+    graph aggregates the fact table down to <= 25 nodes), each round
+    is one broadcast join against the edge list + a keyed MIN, and
+    localCheckpoint keeps the looped plan flat. At 100 TB only the
+    one-time edge aggregation touches the corpus; the BFS cost is
+    independent of data volume."""
+    und = _trade_und(spark, sf_dir)
+    bidir = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(und.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    nodes = und.select(F.col("a").alias("v")).unionByName(
+        und.select(F.col("b").alias("v"))
+    ).distinct()
+    dist = nodes.select(
+        F.col("v").alias("s"), "v", F.lit(0).cast("long").alias("d")
+    ).localCheckpoint()
+    for _ in range(_CL_ITERS):
+        grown = dist.join(F.broadcast(bidir), dist.v == bidir.x).select(
+            "s", F.col("y").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("s", "v")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.groupBy(F.col("s").alias("nation_id")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("reachable"),
+        F.sum("d").cast("long").alias("dist_sum"),
+        ((F.count(F.lit(1)) - 1) * F.lit(1.0) / F.sum("d")).alias(
+            "closeness"
+        ),
+        (
+            F.sum(
+                F.when(
+                    F.col("d") > 0, F.expr("CAST(60 div d AS BIGINT)")
+                ).otherwise(F.lit(0))
+            )
+            / 60.0
+        ).alias("harmonic"),
     )

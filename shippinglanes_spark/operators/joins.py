@@ -807,3 +807,111 @@ def join_entity_resolution(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("dirty_id", F.col("c_custkey").alias("matched_key"), "dist")
     )
+
+
+_BLOOM_WORDS = 256
+_BLOOM_BITS = _BLOOM_WORDS * 63  # 63 usable bits/word keeps 1<<pos sign-safe
+_BLOOM_MULT = 2654435761  # Knuth multiplicative hash; custkey*mult < 2^63
+_BLOOM_PRICE = 490000
+
+
+@register(
+    "join_bloom_prefilter",
+    section="2.3",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_hi
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > {_BLOOM_PRICE}
+    GROUP BY 1, 2
+    """,
+    notes="customers with premium orders, computed through an engine-"
+    "level BLOOM-FILTER SEMI-JOIN built from relational primitives "
+    "(this Spark build lacks bloom_filter_agg/might_contain, so the "
+    f"filter is {_BLOOM_WORDS} BIGINT words x 63 bits populated by "
+    "bit_or over two multiplicative-hash bit positions per build key). "
+    "The bloom only PRUNES the probe side — false positives are "
+    "eliminated by the exact join that follows — so the result is "
+    "identical to the plain join the oracle runs; a plan/selectivity "
+    "unit test asserts the prefilter actually drops most probe rows "
+    "before the shuffle",
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """The join-prefilter pattern for 100 TB probes: aggregate the
+    SELECTIVE build side's keys into a fixed 2 KB bit array (one
+    map-side-combined bit_or), broadcast it, and bit-test the probe
+    rows BEFORE the join shuffle — rows that cannot match never leave
+    their partition. Spark's own runtime row-level filtering does this
+    automatically only when bloom_filter_agg exists; this shows the
+    engine-level construction with exact-integer hashing so the
+    filter itself is deterministic and cross-engine checkable."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    hi = o.where(F.col("o_totalprice") > _BLOOM_PRICE).select(
+        F.col("o_custkey").cast("long").alias("k"), "o_totalprice"
+    )
+
+    def _bits(key):
+        b1 = key % _BLOOM_BITS
+        b2 = (key * F.lit(_BLOOM_MULT)) % _BLOOM_BITS
+        return b1, b2
+
+    kb1, kb2 = _bits(F.col("k"))
+    bloom = (
+        hi.select("k")
+        .distinct()
+        .select(F.explode(F.array(kb1, kb2)).alias("bit"))
+        .groupBy(F.expr("bit div 63").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))")
+            ).alias("bits")
+        )
+        .localCheckpoint()  # the 2 KB filter, built once
+    )
+
+    cust = c.select(
+        "c_custkey", "c_name", F.col("c_custkey").cast("long").alias("k")
+    )
+    probe = cust.select(
+        "c_custkey",
+        "c_name",
+        "k",
+        F.expr(f"CAST(c_custkey AS BIGINT) % {_BLOOM_BITS} div 63").alias(
+            "w1"
+        ),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(CAST(c_custkey AS BIGINT) % {_BLOOM_BITS} % 63 AS INT))"
+        ).alias("m1"),
+        F.expr(
+            f"CAST(c_custkey AS BIGINT) * {_BLOOM_MULT} % {_BLOOM_BITS}"
+            " div 63"
+        ).alias("w2"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(CAST(c_custkey AS BIGINT)"
+            f" * {_BLOOM_MULT} % {_BLOOM_BITS} % 63 AS INT))"
+        ).alias("m2"),
+    )
+    b1 = bloom.select(
+        F.col("word").alias("word1"), F.col("bits").alias("bits1")
+    )
+    b2 = bloom.select(
+        F.col("word").alias("word2"), F.col("bits").alias("bits2")
+    )
+    pruned = (
+        probe.join(F.broadcast(b1), probe.w1 == b1.word1)
+        .where(F.col("bits1").bitwiseAND(F.col("m1")) != 0)
+        .join(F.broadcast(b2), probe.w2 == b2.word2)
+        .where(F.col("bits2").bitwiseAND(F.col("m2")) != 0)
+        .select("c_custkey", "c_name", "k")
+    )
+    return (
+        pruned.join(hi, pruned.k == hi.k)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_hi"),
+        )
+    )
