@@ -20,6 +20,7 @@ Determinism notes (the whole difficulty of distributed float columns):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -592,4 +593,139 @@ def emb_hamming_topk(spark, sf_dir):
             "hamming",
         )
         .where(F.col("rnk") <= _HAM_K)
+    )
+
+
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIMS = 64
+
+
+def _kmeans_oracle() -> str:
+    """Unroll Lloyd's iterations into chained CTEs (the pagerank /
+    kcore pattern): distance -> argmin assign -> centroid update,
+    three times, all in exact integer arithmetic."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT e.vec_id, t.i - 1 AS dim,
+             CAST(FLOOR(e.embedding[CAST(t.i AS INT)] * 1e6) AS BIGINT) AS x
+      FROM embeddings e CROSS JOIN range(1, {_KM_DIMS + 1}) t(i))""",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cid, dim, x AS c FROM q "
+        f"WHERE vec_id < {_KM_K})",
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS dist
+      FROM q JOIN c{i - 1} c USING (dim) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d{i}) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT a.cid, q.dim,
+             CAST(FLOOR(CAST(SUM(q.x) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS c
+      FROM a{i} a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2)"""
+        )
+    last = _KM_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s.cid AS cluster_id, s.n_members, l.centroid_l1, s.inertia
+    FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(dist) AS BIGINT) AS inertia
+          FROM a{last} GROUP BY cid) s
+    JOIN (SELECT cid, CAST(SUM(ABS(c)) AS BIGINT) AS centroid_l1
+          FROM c{last} GROUP BY cid) l ON l.cid = s.cid"""
+    )
+
+
+@register(
+    "emb_kmeans_iters",
+    section="2.9",
+    oracle=_kmeans_oracle(),
+    notes=f"{_KM_ITERS} Lloyd iterations of k-means (k={_KM_K}, init = "
+    "the first k vectors by id) over embeddings QUANTIZED to exact "
+    "1e-6 integers, reporting per-cluster size, centroid L1 mass, and "
+    "inertia. Quantization makes the whole iteration float-free: "
+    "distances are exact BIGINT sums of squared integer gaps (max "
+    "64 * (2e6)^2 ~ 2.6e14, well inside BIGINT), argmin tiebreaks by "
+    "centroid id, and the centroid update FLOOR(sum/count) divides "
+    "exact < 2^53 integers identically on both engines — so an "
+    "ITERATIVE ML algorithm is value-checked exactly, with the "
+    "recurrence unrolled into chained CTEs on the oracle side",
+)
+def emb_kmeans_iters(spark, sf_dir):
+    """Lloyd's algorithm as iterated relational algebra: the exploded
+    (vec, dim, x) relation is the only data-sized table; centroids are
+    k x d = 256 rows, broadcast into the distance join each round, and
+    localCheckpoint keeps the looped plan flat. The per-round shuffle
+    is the (vec_id, cid) distance aggregation — k x corpus partial
+    rows with map-side combine. At real scale you'd fuse the distance
+    argmin into a mapInPandas GEMM like sim_knn_ivf's assign step;
+    this relational form is the exact-arithmetic reference of the
+    same plan shape (sample-fit -> broadcast -> assign -> re-fit)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("xf") * 1e6).cast("long").alias("x"),
+        )
+        .localCheckpoint()
+    )
+    cent = q.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d = (
+            q.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                )
+                .cast("long")
+                .alias("dist")
+            )
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dist", "cid")
+        )
+        assign = (
+            d.withColumn("rk", rk).where(F.col("rk") == 1).drop("rk")
+        ).localCheckpoint()
+        cent = (
+            assign.join(q, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("c")
+            )
+            .localCheckpoint()
+        )
+    stats = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+    l1 = cent.groupBy("cid").agg(
+        F.sum(F.abs(F.col("c"))).cast("long").alias("centroid_l1")
+    )
+    return stats.join(l1, "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        "centroid_l1",
+        "inertia",
     )

@@ -2197,3 +2197,173 @@ def agg_bootstrap_poisson(spark, sf_dir):
         (F.col("lo_c") / 100.0).alias("ci_lo"),
         (F.col("hi_c") / 100.0).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_chisq_independence",
+    section="2.4",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, isodow(ts) - 1 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS r
+           FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY dow),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+            FROM cells),
+    contrib AS (
+      SELECT cells.event_type, cells.dow,
+             (CAST(cells.n AS DOUBLE) * big_n - CAST(rt.r AS DOUBLE) * ct.c)
+           * (CAST(cells.n AS DOUBLE) * big_n - CAST(rt.r AS DOUBLE) * ct.c)
+           / (CAST(rt.r AS DOUBLE) * ct.c) / big_n AS x
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+      CROSS JOIN tot),
+    folded AS (
+      SELECT list_reduce(list(x ORDER BY event_type, dow),
+                         (a, b) -> a + b) AS chi2
+      FROM contrib)
+    SELECT big_n AS n, (nr - 1) * (nc - 1) AS dof, chi2
+    FROM folded CROSS JOIN tot
+    """,
+    notes="chi-square test of independence on the event_type x ISO-"
+    "weekday contingency table. Every cell contribution is "
+    "(n*N - r*c)^2 / (r*c) / N with the products formed as exact "
+    "integer-valued doubles (< 2^53) in identical association, and the "
+    "cross-cell SUM — the one float-order hazard — is a LEFT FOLD over "
+    "the cells in (type, dow) order on both engines (list ORDER BY + "
+    "list_reduce vs array_sort + aggregate; a 0.0 seed is exact), so "
+    "chi2 is bit-identical with no rounding. dow is isodow-1 / "
+    "weekday() — the one cross-engine weekday convention that agrees",
+)
+def agg_chisq_independence(spark, sf_dir):
+    """Independence testing at scale: the contingency table is one
+    map-side-combined groupBy (cells are bounded: types x 7), margins
+    are broadcast back, and the fold runs over the bounded cell array
+    — corpus size only touches the first aggregate. The deterministic
+    fold replaces SUM(double) so replays and engine ports are
+    bit-stable."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.weekday("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rt = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    ct = cells.groupBy("dow").agg(F.sum("n").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    num = F.col("n").cast("double") * F.col("big_n") - F.col("r").cast(
+        "double"
+    ) * F.col("c")
+    contrib = (
+        cells.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "big_n",
+            "nr",
+            "nc",
+            (
+                num * num / (F.col("r").cast("double") * F.col("c"))
+                / F.col("big_n")
+            ).alias("x"),
+        )
+    )
+    folded = contrib.groupBy("big_n", "nr", "nc").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "dow", "x"))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("chi2")
+    )
+    return folded.select(
+        F.col("big_n").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        "chi2",
+    )
+
+
+_DID_CUT = "2024-01-16"
+
+
+@register(
+    "evt_did",
+    section="2.4",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id % 2 = 0 AS treated,
+             ts >= TIMESTAMP '{_DID_CUT}' AS post,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s
+          FROM x GROUP BY 1, 2),
+    m AS (SELECT
+            MAX(CASE WHEN treated AND post THEN CAST(s AS DOUBLE) / n END)
+              AS m11,
+            MAX(CASE WHEN treated AND NOT post THEN CAST(s AS DOUBLE) / n
+                END) AS m10,
+            MAX(CASE WHEN NOT treated AND post THEN CAST(s AS DOUBLE) / n
+                END) AS m01,
+            MAX(CASE WHEN NOT treated AND NOT post
+                THEN CAST(s AS DOUBLE) / n END) AS m00,
+            CAST(SUM(n) AS BIGINT) AS n_total
+          FROM g)
+    SELECT n_total, m11 / 100.0 AS treat_post, m10 / 100.0 AS treat_pre,
+           m01 / 100.0 AS ctrl_post, m00 / 100.0 AS ctrl_pre,
+           ((m11 - m10) - (m01 - m00)) / 100.0 AS did
+    FROM m
+    """,
+    notes="difference-in-differences estimate of the mid-month "
+    "treatment effect on event value, with user parity as the "
+    "(synthetic) treatment assignment. The 2x2 cell means are single "
+    "divisions of exact BIGINT cent sums, and the DiD contrast "
+    "(m11-m10)-(m01-m00) uses identical association on both engines — "
+    "bit-exact with no rounding. The causal-analytics shape: ONE "
+    "map-side-combined pass builds all four cohort cells",
+)
+def evt_did(spark, sf_dir):
+    """The four cohort cells reduce in one pass (partial aggregation
+    carries 4 partial sums per partition); everything after is 4-row
+    arithmetic. At 100 TB this is exactly a word-count."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit(_DID_CUT).cast("timestamp")).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    g = x.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    m = g.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), mean)).alias("m11"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), mean)).alias("m10"),
+        F.max(F.when(~F.col("treated") & F.col("post"), mean)).alias("m01"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), mean)).alias(
+            "m00"
+        ),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        (F.col("m11") / 100.0).alias("treat_post"),
+        (F.col("m10") / 100.0).alias("treat_pre"),
+        (F.col("m01") / 100.0).alias("ctrl_post"),
+        (F.col("m00") / 100.0).alias("ctrl_pre"),
+        (
+            ((F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")))
+            / 100.0
+        ).alias("did"),
+    )

@@ -934,3 +934,91 @@ def ts_holt(spark, sf_dir):
         F.round(st.getItem(1), 6).alias("trend"),
         F.round(st.getItem(0) + st.getItem(1), 6).alias("forecast_1"),
     )
+
+
+@register(
+    "ts_theil_sen",
+    section="2.10",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(datediff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE)) AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             (CAST(b.s AS DOUBLE) / b.cnt - CAST(a.s AS DOUBLE) / a.cnt)
+               / (b.d - a.d) AS slope,
+             a.d AS di, b.d AS dj
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, di, dj) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs)
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           slope / 100.0 AS theil_sen_slope
+    FROM ranked WHERE rk = (np + 1) // 2
+    """,
+    notes="Theil-Sen robust trend per event type: the median of all "
+    "pairwise day-to-day slopes of the DAILY MEAN value series. Daily "
+    "means are single divisions of exact cent sums, each pairwise "
+    "slope is one division of two exact doubles (identical on both "
+    "engines), and the median is the percentile_disc-style lower-"
+    "median rank pick with (slope, di, dj) tiebreak — bit-exact, no "
+    "rounding. The O(days^2) pair join runs on the BOUNDED daily "
+    "grid, not the corpus (the exact/sketch routing rule of "
+    "SCALING.md: rows-per-group is the dangerous axis, and here it "
+    "is calendar-bounded)",
+)
+def ts_theil_sen(spark, sf_dir):
+    """The robust-regression answer to win_rolling_slope's OLS: one
+    corpus-sized keyed aggregate to the daily grid, then a grid-sized
+    self-join (<= 31x30/2 pairs per key) and a keyed median window.
+    At 100 TB the pair stage is unchanged — days don't grow with
+    rows."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    mean_a = F.col("a.s").cast("double") / F.col("a.cnt")
+    mean_b = F.col("b.s").cast("double") / F.col("b.cnt")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((mean_b - mean_a) / (F.col("b.d") - F.col("a.d"))).alias("slope"),
+        F.col("a.d").alias("di"),
+        F.col("b.d").alias("dj"),
+    )
+    w = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number()
+        .over(w.orderBy("slope", "di", "dj"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("np"),
+    )
+    return ranked.where(F.col("rk") == F.expr("(np + 1) div 2")).select(
+        "event_type",
+        F.col("np").cast("long").alias("n_pairs"),
+        (F.col("slope") / 100.0).alias("theil_sen_slope"),
+    )
