@@ -453,11 +453,50 @@ def round9_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round10_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-5 session-3 additions: the iterative trio (Markov power
+    iteration, k-core peeling, closeness BFS — all graph-sized after
+    one data-sized aggregation, probed to confirm that stage
+    dominates), Poisson bootstrap (40x map-side fanout, 40-key
+    shuffle), log-odds (word-count shape), bloom-prefilter join
+    (probe-side bit test before the join shuffle), chi-square +
+    DiD (bounded-cell folds), Theil-Sen (corpus -> calendar grid),
+    and quantized k-means (k x corpus distance aggregation)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "evt_markov_stationary",
+        "graph_kcore",
+        "graph_closeness",
+        "agg_bootstrap_poisson",
+        "text_logodds",
+        "join_bloom_prefilter",
+        "agg_chisq_independence",
+        "evt_did",
+        "ts_theil_sen",
+        "emb_kmeans_iters",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r10" in sys.argv:
+        round10_registered(spark, SF, sfdir10)
+        return
     if "--r9" in sys.argv:
         round9_registered(spark, SF, sfdir10)
         return
