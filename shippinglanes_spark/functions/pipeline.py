@@ -470,3 +470,88 @@ def etl_surrogate_keys(spark, sf_dir):
         F.min("sk").cast("long").alias("min_key"),
         F.max("sk").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "etl_cdc_apply",
+    section="2.7",
+    oracle="""
+    WITH log_ AS (
+      SELECT o_custkey AS key, CAST(o_orderkey AS BIGINT) AS seq,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             ROUND(o_totalprice, 2) AS bal
+      FROM orders),
+    compacted AS (
+      SELECT key, seq, op, bal, version_count
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                         ORDER BY seq DESC) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT)
+                     AS version_count
+            FROM log_) WHERE rn = 1)
+    SELECT b.c_custkey,
+           b.c_name,
+           ROUND(CASE WHEN ch.op = 'U' THEN ch.bal
+                 ELSE b.c_acctbal END, 2) AS acctbal,
+           CASE WHEN ch.op IS NULL THEN 'unchanged' ELSE 'updated' END
+             AS src,
+           CAST(COALESCE(ch.version_count, 0) AS BIGINT) AS version_count,
+           CAST(COALESCE(ch.seq, -1) AS BIGINT) AS last_seq
+    FROM customer b LEFT JOIN compacted ch ON b.c_custkey = ch.key
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    """,
+    notes="CDC log application with LOG COMPACTION (the Debezium-style "
+    "sibling of etl_merge_upsert's single-op MERGE): a multi-version "
+    "change log (one op per order, keyed by customer, sequenced by "
+    "order key) compacts to the LATEST op per key — earlier versions "
+    "are superseded, a trailing D tombstones the row even if earlier "
+    "ops updated it — then merges into the base snapshot. The change "
+    "log is derived deterministically from orders so both engines "
+    "apply the identical stream; version_count audits how many "
+    "superseded versions each key carried",
+)
+def etl_cdc_apply(spark, sf_dir):
+    """The lakehouse CDC pattern at scale: compaction is one keyed
+    window (latest-by-sequence per key — the same single-shuffle shape
+    as dedup_keep_latest), and the apply is one key-partitioned left
+    join. Neither stage depends on log length beyond the one pass, and
+    replaying the same log is idempotent by construction."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D").otherwise("U").alias(
+            "op"
+        ),
+        F.round("o_totalprice", 2).alias("bal"),
+    )
+    w = Window.partitionBy("key")
+    compacted = (
+        log.select(
+            "*",
+            F.row_number().over(w.orderBy(F.desc("seq"))).alias("rn"),
+            F.count(F.lit(1)).over(w).cast("long").alias("version_count"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = c.join(
+        compacted, c.c_custkey == compacted.key, "left"
+    ).where(F.col("op").isNull() | (F.col("op") != "D"))
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round(
+            F.when(F.col("op") == "U", F.col("bal")).otherwise(
+                F.col("c_acctbal")
+            ),
+            2,
+        ).alias("acctbal"),
+        F.when(F.col("op").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("src"),
+        F.coalesce(F.col("version_count"), F.lit(0))
+        .cast("long")
+        .alias("version_count"),
+        F.coalesce(F.col("seq"), F.lit(-1)).cast("long").alias("last_seq"),
+    )

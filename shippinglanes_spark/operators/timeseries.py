@@ -1022,3 +1022,73 @@ def ts_theil_sen(spark, sf_dir):
         F.col("np").cast("long").alias("n_pairs"),
         (F.col("slope") / 100.0).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "ts_peaks",
+    section="2.10",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    nb AS (
+      SELECT event_type, d, v,
+             LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS pv,
+             LEAD(v) OVER (PARTITION BY event_type ORDER BY d) AS nv
+      FROM daily)
+    SELECT event_type, d AS day_idx, v / 100.0 AS revenue,
+           (v - pv) * 1000000 // pv AS over_prev_ppm,
+           (v - nv) * 1000000 // nv AS over_next_ppm
+    FROM nb
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND 10 * v >= 11 * pv AND 10 * v >= 11 * nv
+    """,
+    notes="peak days per event type: days whose revenue exceeds BOTH "
+    "calendar neighbors by >= 10%, detected with the exact integer "
+    "cross-multiply 10*v >= 11*neighbor (no float threshold), with "
+    "the exceedance margins as exact integer-ppm divisions. One "
+    "corpus-sized keyed aggregate to the daily grid, one bounded "
+    "keyed window — the anomaly-flagging sibling of ts_anomaly_mad "
+    "for level shifts rather than dispersion outliers",
+)
+def ts_peaks(spark, sf_dir):
+    """Local-extremum detection on the calendar grid: the corpus
+    reduces to (type, day) cents in one map-side-combined pass; the
+    lag/lead window runs on the bounded grid. Scale-independent after
+    the first aggregate."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    nb = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    return nb.where(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (10 * F.col("v") >= 11 * F.col("pv"))
+        & (10 * F.col("v") >= 11 * F.col("nv"))
+    ).select(
+        "event_type",
+        F.col("d").alias("day_idx"),
+        (F.col("v") / 100.0).alias("revenue"),
+        F.expr("(v - pv) * 1000000 div pv").alias("over_prev_ppm"),
+        F.expr("(v - nv) * 1000000 div nv").alias("over_next_ppm"),
+    )
