@@ -2148,8 +2148,12 @@ def agg_bootstrap_poisson(spark, sf_dir):
     replicate table then sorts driver-side-free through one bounded
     window. At 100 TB this is a single map-side-combined pass."""
     ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    x = ev.select(
-        "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    # fan_out: the B x md5-per-row weight evaluation dominates and the
+    # fixture scans as one split (see core.fan_out)
+    x = fan_out(
+        ev.select(
+            "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+        )
     )
     r = x.select(
         "v",
