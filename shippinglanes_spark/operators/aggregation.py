@@ -2371,3 +2371,92 @@ def evt_did(spark, sf_dir):
             / 100.0
         ).alias("did"),
     )
+
+
+@register(
+    "agg_ratio_delta_ci",
+    section="2.4",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM u),
+    f AS (SELECT n, sx, sy, CAST(sx AS DOUBLE) / sy AS r,
+                 sxx, syy, sxy FROM m),
+    g AS (SELECT n, r,
+                 SQRT((sxx - 2 * r * sxy + r * r * syy) * n / (n - 1)) / sy
+                   AS se
+          FROM f)
+    SELECT n AS n_users,
+           FLOOR(r * 1e6) / 1e6 AS ratio,
+           FLOOR(se * 1e6) / 1e6 AS se,
+           FLOOR((r - 1.96 * se) * 1e6) / 1e6 AS ci_lo,
+           FLOOR((r + 1.96 * se) * 1e6) / 1e6 AS ci_hi
+    FROM g
+    """,
+    notes="delta-method 95% CI for the ratio-of-sums metric clicks/"
+    "views — THE estimator for per-user ratio metrics where the unit "
+    "of randomization (user) differs from the unit of analysis "
+    "(event), so naive binomial CIs are wrong. se^2 = (n/(n-1)) * "
+    "sum((x_i - R*y_i)^2) / (sum y)^2 expands to six exact BIGINT "
+    "moments in ONE map-side-combined pass; floats only in the final "
+    "row-local formula with identical association on both engines; "
+    "floor-disciplined at 1e-6",
+)
+def agg_ratio_delta_ci(spark, sf_dir):
+    """The linearization trick makes the CI a word-count: per-user
+    conditional counts, then one 6-moment global reduce. No
+    resampling, no second pass — the form that costs nothing at
+    100 TB (contrast agg_bootstrap_poisson, the resampling answer
+    when no closed form exists)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy")
+    f = m.select("n", "sx", "sy", r.alias("r"), "sxx", "syy", "sxy")
+    se = (
+        F.sqrt(
+            (
+                F.col("sxx")
+                - 2 * F.col("r") * F.col("sxy")
+                + F.col("r") * F.col("r") * F.col("syy")
+            )
+            * F.col("n")
+            / (F.col("n") - 1)
+        )
+        / F.col("sy")
+    )
+    g = f.select("n", "r", se.alias("se"))
+    return g.select(
+        F.col("n").alias("n_users"),
+        (F.floor(F.col("r") * 1e6) / 1e6).alias("ratio"),
+        (F.floor(F.col("se") * 1e6) / 1e6).alias("se"),
+        (F.floor((F.col("r") - 1.96 * F.col("se")) * 1e6) / 1e6).alias(
+            "ci_lo"
+        ),
+        (F.floor((F.col("r") + 1.96 * F.col("se")) * 1e6) / 1e6).alias(
+            "ci_hi"
+        ),
+    )

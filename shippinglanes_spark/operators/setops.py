@@ -116,3 +116,43 @@ def dedup_keep_latest(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+@register(
+    "set_intersect_all",
+    section="2.7",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    notes="MULTISET intersection: a customer appearing 3x among urgent "
+    "orders and 5x among premium orders appears min(3,5)=3 times — the "
+    "bag semantics DISTINCT-based set_intersect cannot express. Maps "
+    "to Spark intersectAll (a single aggregate-and-replicate under the "
+    "hood, not a join fanout)",
+)
+def set_intersect_all(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    section="2.7",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    notes="MULTISET difference: multiplicities subtract (3 urgent minus "
+    "1 premium leaves the customer twice) instead of vanishing on "
+    "first match. Spark exceptAll / SQL EXCEPT ALL",
+)
+def set_except_all(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.exceptAll(b)

@@ -1092,3 +1092,97 @@ def ts_peaks(spark, sf_dir):
         F.expr("(v - pv) * 1000000 div pv").alias("over_prev_ppm"),
         F.expr("(v - nv) * 1000000 div nv").alias("over_next_ppm"),
     )
+
+
+_BOLL_W = 7  # trailing window (rows) on the daily grid
+
+
+@register(
+    "ts_bollinger",
+    section="2.10",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, d, v,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(v) OVER w AS BIGINT) AS sx,
+             CAST(SUM(v * v) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, d AS day_idx, v / 100.0 AS revenue,
+           CAST(sx AS DOUBLE) / n / 100.0 AS ma,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_scaled_n2,
+           CAST(CASE WHEN (v * n - sx) * (v * n - sx)
+                          > 4 * (n * sxx - sx * sx)
+                     AND v * n > sx THEN 1
+                WHEN (v * n - sx) * (v * n - sx)
+                          > 4 * (n * sxx - sx * sx)
+                     AND v * n < sx THEN -1
+                ELSE 0 END AS BIGINT) AS breach
+    FROM st WHERE n = {_BOLL_W - 1}
+    """,
+    notes=f"Bollinger-style control bands on the daily revenue grid: "
+    f"each day compared against the TRAILING {_BOLL_W - 1} days' mean "
+    "+/- 2 population sigma (frame excludes the current row, so a "
+    "spike can't mask itself). The breach test is the exact integer "
+    "cross-multiply (v*n - sx)^2 > 4*(n*sxx - sx^2) — equivalent to "
+    "|v - mean| > 2 sigma with ZERO float comparison, signed by "
+    "direction; the reported moving average is a single exact "
+    "division. The control-chart sibling of ts_anomaly_mad (mean/"
+    "sigma vs median/MAD) and ts_peaks (dispersion vs level shifts)",
+)
+def ts_bollinger(spark, sf_dir):
+    """Anomaly gating the way ops dashboards do it: corpus reduces to
+    the (type, day) grid in one map-side-combined pass; the trailing
+    frame runs on the bounded grid; the band test never leaves exact
+    integers, so alert replays are deterministic."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_BOLL_W - 1), -1)
+    )
+    st = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("v").over(w).cast("long").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("sxx"),
+    )
+    dev = F.col("v") * F.col("n") - F.col("sx")
+    var4 = 4 * (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return st.where(F.col("n") == _BOLL_W - 1).select(
+        "event_type",
+        F.col("d").alias("day_idx"),
+        (F.col("v") / 100.0).alias("revenue"),
+        (F.col("sx").cast("double") / F.col("n") / 100.0).alias("ma"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("var_scaled_n2"),
+        F.when((dev * dev > var4) & (dev > 0), 1)
+        .when((dev * dev > var4) & (dev < 0), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("breach"),
+    )
