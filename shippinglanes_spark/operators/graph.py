@@ -808,3 +808,79 @@ def graph_modularity(spark, sf_dir):
             / denom
         ).alias("q_total"),
     )
+
+
+@register(
+    "graph_assortativity",
+    section="2.9",
+    oracle="WITH " + _KCORE_BASE_SQL.strip() + """,
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM (
+              SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+            GROUP BY v),
+    pairs AS (
+      SELECT da.k AS j, db.k AS k FROM und
+        JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+      UNION ALL
+      SELECT db.k, da.k FROM und
+        JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS bm,
+                 CAST(SUM(j * k) AS BIGINT) AS sjk,
+                 CAST(SUM(j) AS BIGINT) AS sj,
+                 CAST(SUM(j * j) AS BIGINT) AS sjj
+          FROM pairs)
+    SELECT bm // 2 AS n_edges,
+           CAST(bm * sjk - sj * sj AS BIGINT) AS r_num,
+           CAST(bm * sjj - sj * sj AS BIGINT) AS r_den,
+           CASE WHEN bm * sjj - sj * sj = 0 THEN NULL
+                ELSE CAST(bm * sjk - sj * sj AS DOUBLE)
+                     / (bm * sjj - sj * sj) END AS assortativity
+    FROM m
+    """,
+    notes="Newman degree assortativity of the above-average trade "
+    "graph (the raw graph is COMPLETE at sf>=0.01 — zero degree "
+    "variance, undefined r — the link-prediction gotcha again): "
+    "the Pearson correlation of endpoint degrees over ordered edge "
+    "pairs collapses (by endpoint symmetry) to r = (M*Sjk - Sj^2) / "
+    "(M*Sjj - Sj^2) over both orientations — THREE exact integer "
+    "moments and one final division of < 2^53 integers, so the "
+    "negative-or-positive-mixing verdict carries no float tolerance. "
+    "Complements graph_modularity (community quality) with the "
+    "degree-mixing diagnostic",
+)
+def graph_assortativity(spark, sf_dir):
+    """Do high-degree trade hubs link to other hubs or to the
+    periphery? One data-sized distinct-edge pass; degrees, pair
+    moments, and the statistic are all graph-sized with the degree
+    table broadcast into the edge join. The moment formulation means
+    NO per-edge floats ever materialize."""
+    und = _trade_und(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    da = deg.select(F.col("v").alias("va"), F.col("k").alias("ka"))
+    db = deg.select(F.col("v").alias("vb"), F.col("k").alias("kb"))
+    joined = und.join(F.broadcast(da), und.a == da.va).join(
+        F.broadcast(db), und.b == db.vb
+    )
+    pairs = joined.select(
+        F.col("ka").alias("j"), F.col("kb").alias("k")
+    ).unionByName(joined.select(F.col("kb").alias("j"), F.col("ka").alias("k")))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("bm"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("sjk"),
+        F.sum("j").cast("long").alias("sj"),
+        F.sum(F.col("j") * F.col("j")).cast("long").alias("sjj"),
+    )
+    num = F.col("bm") * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = F.col("bm") * F.col("sjj") - F.col("sj") * F.col("sj")
+    return m.select(
+        F.expr("bm div 2").alias("n_edges"),
+        num.cast("long").alias("r_num"),
+        den.cast("long").alias("r_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den)
+        .alias("assortativity"),
+    )

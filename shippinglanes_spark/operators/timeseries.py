@@ -1186,3 +1186,119 @@ def ts_bollinger(spark, sf_dir):
         .cast("long")
         .alias("breach"),
     )
+
+
+@register(
+    "ts_cusum",
+    section="2.10",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    m AS (SELECT event_type, CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS nd
+          FROM daily GROUP BY event_type),
+    r AS (SELECT daily.event_type, d,
+                 CAST(v * nd - sv AS BIGINT) AS resid, nd
+          FROM daily JOIN m USING (event_type)),
+    p0 AS (SELECT event_type, d, nd,
+                  CAST(SUM(resid) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS pre
+           FROM r),
+    p AS (SELECT event_type, d, nd, pre,
+                 CAST(MIN(pre) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS minpre
+          FROM p0),
+    s AS (SELECT event_type, d, nd,
+                 CAST(pre - LEAST(0, minpre) AS BIGINT) AS cusum
+          FROM p),
+    best AS (SELECT event_type, d, nd, cusum,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY cusum DESC, d) AS rk
+             FROM s)
+    SELECT event_type, nd AS n_days, cusum AS max_cusum_scaled,
+           d AS alarm_day
+    FROM best WHERE rk = 1
+    """,
+    notes="one-sided CUSUM drift detector per event type against the "
+    "series' own mean, reporting the trajectory peak and its day. The "
+    "sequential recurrence S_i = max(0, S_{i-1} + r_i) is rewritten "
+    "via the prefix identity S_i = P_i - min(0, min_{j<=i} P_j), so "
+    "the whole detector is TWO stacked keyed windows (running sum, "
+    "running min of it) instead of a fold — the same "
+    "recurrence-to-window collapse as ts_changepoint. Residuals are "
+    "mean-centered at scale nd (v*nd - sv), keeping everything exact "
+    "BIGINT end to end; ties on the peak break by earliest day",
+)
+def ts_cusum(spark, sf_dir):
+    """Drift detection that parallelizes: the corpus reduces to the
+    daily grid once; the 'sequential' CUSUM is two window passes over
+    the bounded grid because max(0, .)-folding has a running-min
+    closed form. Nothing here grows with event volume."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.sum("v").cast("long").alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    r = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "d",
+        "nd",
+        (F.col("v") * F.col("nd") - F.col("sv")).cast("long").alias("resid"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = r.select(
+        "event_type",
+        "d",
+        "nd",
+        F.sum("resid").over(w).cast("long").alias("pre"),
+    )
+    p = p.select(
+        "event_type",
+        "d",
+        "nd",
+        "pre",
+        F.min("pre").over(w).cast("long").alias("minpre"),
+    )
+    s = p.select(
+        "event_type",
+        "d",
+        "nd",
+        (F.col("pre") - F.least(F.lit(0).cast("long"), F.col("minpre")))
+        .cast("long")
+        .alias("cusum"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("cusum"), "d")
+    )
+    return (
+        s.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("nd").alias("n_days"),
+            F.col("cusum").alias("max_cusum_scaled"),
+            F.col("d").alias("alarm_day"),
+        )
+    )
