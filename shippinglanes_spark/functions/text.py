@@ -923,3 +923,88 @@ def text_logodds(spark, sf_dir):
         F.round(delta / F.sqrt(var), 4).alias("z_score"),
     )
     return z.orderBy(F.desc("z_score"), "token").limit(40)
+
+
+@register(
+    "pipeline_langid_eval",
+    section="2.9",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x = 'the')) AS c0,
+             len(list_filter(string_split(text, ' '), x -> x = 'data')) AS c1,
+             len(list_filter(string_split(text, ' '), x -> x = 'table')) AS c2,
+             len(list_filter(string_split(text, ' '), x -> x = 'join')) AS c3,
+             len(list_filter(string_split(text, ' '), x -> x = 'window')) AS c4
+      FROM documents),
+    conf AS (
+      SELECT lang,
+             CASE WHEN c0 > 0 AND c0 >= GREATEST(c1, c2, c3, c4) THEN 'en'
+                  WHEN c1 > 0 AND c1 >= GREATEST(c2, c3, c4) THEN 'es'
+                  WHEN c2 > 0 AND c2 >= GREATEST(c3, c4) THEN 'fr'
+                  WHEN c3 > 0 AND c3 >= c4 THEN 'de'
+                  WHEN c4 > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang
+      FROM c),
+    per AS (
+      SELECT lang,
+             CAST(COUNT(*) FILTER (pred_lang = lang) AS BIGINT) AS tp,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM conf GROUP BY lang),
+    pr AS (SELECT pred_lang AS lang, CAST(COUNT(*) AS BIGINT) AS predicted
+           FROM conf GROUP BY pred_lang)
+    SELECT per.lang, tp, support,
+           CAST(COALESCE(pr.predicted, 0) - tp AS BIGINT) AS fp,
+           CAST(support - tp AS BIGINT) AS fn,
+           CASE WHEN COALESCE(pr.predicted, 0) > 0
+                THEN CAST(tp AS DOUBLE) / pr.predicted END AS precision_,
+           CAST(tp AS DOUBLE) / support AS recall,
+           CAST(2 * tp AS DOUBLE) / (COALESCE(pr.predicted, 0) + support)
+             AS f1
+    FROM per LEFT JOIN pr ON pr.lang = per.lang
+    """,
+    notes="classifier evaluation harness over the registered "
+    "text_langid heuristic: per-truth-class tp/fp/fn, precision, "
+    "recall, and F1 = 2tp/(predicted+support) — each metric a SINGLE "
+    "division of exact integer counts (no p*r/(p+r) float chain), "
+    "with a NULL guard for never-predicted classes. The pattern every "
+    "model-quality gate in a data pipeline needs: predictions and "
+    "truth reduce to a confusion aggregation in one pass; fixture "
+    "accuracy is chance by design (shared vocab), the harness "
+    "mechanics are what is exercised",
+)
+def pipeline_langid_eval(spark, sf_dir):
+    """Evaluation as aggregation: predictions come from the registered
+    classifier (one map pass), truth is a column — the confusion
+    reduce is two keyed counts and a broadcast join of class-sized
+    relations. At 100 TB the eval costs exactly one scan."""
+    d = table(spark, sf_dir, "documents")
+    conf = text_langid(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    per = conf.groupBy("lang").agg(
+        F.count(F.when(F.col("pred_lang") == F.col("lang"), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.lit(1)).cast("long").alias("support"),
+    )
+    pr = conf.groupBy(F.col("pred_lang").alias("plang")).agg(
+        F.count(F.lit(1)).cast("long").alias("predicted")
+    )
+    j = per.join(F.broadcast(pr), per.lang == pr.plang, "left")
+    predicted = F.coalesce(F.col("predicted"), F.lit(0))
+    return j.select(
+        "lang",
+        "tp",
+        "support",
+        (predicted - F.col("tp")).cast("long").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("long").alias("fn"),
+        F.when(
+            predicted > 0, F.col("tp").cast("double") / F.col("predicted")
+        ).alias("precision_"),
+        (F.col("tp").cast("double") / F.col("support")).alias("recall"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / (predicted + F.col("support"))
+        ).alias("f1"),
+    )

@@ -2028,3 +2028,100 @@ def evt_markov_stationary(spark, sf_dir):
             .localCheckpoint()
         )
     return pi.select("state", F.round("pr", 6).alias("stationary_prob"))
+
+
+@register(
+    "evt_interval_merge",
+    section="2.10",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (1 + CAST(ROUND(value * 100) AS BIGINT) % 3600) * 1000000
+               AS e
+      FROM events WHERE value IS NOT NULL),
+    mk AS (
+      SELECT user_id, event_id, s, e,
+             CAST(MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS prev_max_e
+      FROM iv),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS new_island
+      FROM mk),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(SUM(new_island) OVER (PARTITION BY user_id
+                  ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+      FROM flagged)
+    SELECT user_id, island,
+           CAST(MIN(s) AS BIGINT) AS span_start_us,
+           CAST(MAX(e) AS BIGINT) AS span_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM isl GROUP BY user_id, island
+    """,
+    notes="interval coalescing (merge transitively-overlapping spans "
+    "into maximal islands) over VARIABLE-length per-event intervals "
+    "(duration derived from the value column, 1s..1h) — the classic "
+    "running-max-of-ends gaps-and-islands algorithm, which "
+    "evt_sessionize's fixed-gap rule cannot express: with variable "
+    "lengths an early long interval can swallow several later short "
+    "ones, so the island test needs MAX(e) over ALL predecessors, "
+    "not the previous row's end. Everything is exact epoch "
+    "microseconds; two stacked keyed windows, one keyed aggregate",
+)
+def evt_interval_merge(spark, sf_dir):
+    """The ops/booking primitive (machine reservations, on-call spans,
+    maintenance windows): one sort per user key drives both windows
+    and the final aggregate — a single exchange end to end, same
+    shape at any scale."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("s"),
+        (
+            epoch_us("ts")
+            + (1 + F.round(F.col("value") * 100).cast("long") % 3600)
+            * 1_000_000
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    mk = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long")
+        .alias("prev_max_e"),
+    )
+    flagged = mk.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w2).cast("long").alias("island"),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").cast("long").alias("span_start_us"),
+        F.max("e").cast("long").alias("span_end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
