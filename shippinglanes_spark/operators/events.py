@@ -2125,3 +2125,73 @@ def evt_interval_merge(spark, sf_dir):
         F.max("e").cast("long").alias("span_end_us"),
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
     )
+
+
+@register(
+    "evt_stickiness",
+    section="2.10",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM events),
+    bounds AS (SELECT CAST(MIN(d) AS BIGINT) AS d0,
+                      CAST(MAX(d) AS BIGINT) AS d1 FROM ud),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    contrib AS (
+      SELECT user_id, d + t.o AS target_d
+      FROM ud CROSS JOIN range(0, 7) t(o)),
+    wau AS (
+      SELECT target_d AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY target_d)
+    SELECT dau.d AS day_idx, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d CROSS JOIN bounds
+    WHERE dau.d >= bounds.d0 + 6
+    """,
+    notes="DAU / trailing-7-day-WAU stickiness per day — the growth "
+    "metric that needs a DISTINCT count over a SLIDING window, which "
+    "no window frame computes directly: each (user, day) activity row "
+    "is exploded to the 7 future days it keeps the user 'weekly "
+    "active' for, turning the sliding distinct into a plain keyed "
+    "COUNT(DISTINCT) — the standard contribution-explosion rewrite. "
+    "Days without a full trailing week are excluded; the ratio is one "
+    "exact division",
+)
+def evt_stickiness(spark, sf_dir):
+    """The sliding-distinct rewrite that scales: corpus reduces to
+    (user, day) once; the 7x explosion is grid-sized, and both
+    distinct counts are ordinary keyed aggregates with partial
+    combine. No per-day re-scan, no window-frame distinct (which
+    Spark and most engines lack)."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    bounds = ud.agg(F.min("d").cast("long").alias("d0"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    ).select(
+        "user_id", (F.col("d") + F.col("o")).cast("long").alias("target_d")
+    )
+    wau = contrib.groupBy(F.col("target_d").alias("d")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("d") >= F.col("d0") + 6)
+        .select(
+            F.col("d").alias("day_idx"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

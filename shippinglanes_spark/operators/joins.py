@@ -915,3 +915,85 @@ def join_bloom_prefilter(spark, sf_dir):
             money(F.sum("o_totalprice")).alias("total_hi"),
         )
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour staleness bound
+
+
+@register(
+    "join_asof_tolerance",
+    section="2.3",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('view', 'click')),
+    m AS (
+      SELECT user_id, event_id, ts_us, kind,
+             LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS v_id,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+               OVER w AS v_ts
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id AS click_id, ts_us AS click_us,
+           CASE WHEN ts_us - v_ts <= {_ASOF_TOL_US}
+                THEN v_id END AS view_id,
+           CASE WHEN ts_us - v_ts <= {_ASOF_TOL_US}
+                THEN CAST(ts_us - v_ts AS BIGINT) END AS staleness_us
+    FROM m WHERE kind = 1
+    """,
+    notes="as-of join with a STALENESS TOLERANCE (pandas merge_asof's "
+    "tolerance= axis, absent from join_asof/_forward/_nearest): each "
+    "click matches its most recent view only if it is <= 1h old, else "
+    "the left row survives UNMATCHED — bounded-staleness semantics "
+    "for feature freshness rules. Same single-shuffle union-window "
+    "formulation as join_asof (views sort before clicks at equal "
+    "timestamps so a same-instant view is eligible); matched id and "
+    "timestamp come from the SAME ordered LAST_VALUE IGNORE NULLS "
+    "frame so the pair can never disagree",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """The asof family's freshness-bounded member: one keyed sort
+    drives both IGNORE NULLS carries; the tolerance check is a
+    row-local integer comparison after the window, so bounding
+    staleness costs nothing over the plain as-of."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = t.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "kind",
+        F.last(
+            F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True
+        )
+        .over(w)
+        .alias("v_id"),
+        F.last(
+            F.when(F.col("kind") == 0, F.col("ts_us")), ignorenulls=True
+        )
+        .over(w)
+        .alias("v_ts"),
+    )
+    fresh = F.col("ts_us") - F.col("v_ts") <= _ASOF_TOL_US
+    return m.where(F.col("kind") == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+        F.when(fresh, F.col("v_id")).alias("view_id"),
+        F.when(fresh, (F.col("ts_us") - F.col("v_ts")).cast("long")).alias(
+            "staleness_us"
+        ),
+    )
