@@ -176,17 +176,26 @@ def text_minhash_dedup(spark, sf_dir):
     return minhash_candidates(table(spark, sf_dir, "documents"))
 
 
+_SIMHASH_BITS = 60  # 15 md5 hex chars -> < 2^60, sign-safe in BIGINT
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash bigint): 64-bit SimHash over whitespace tokens."""
+    """(id, simhash bigint): 60-bit SimHash over whitespace tokens.
+
+    The per-token hash is the content-addressed 60-bit md5 prefix (not
+    xxhash64) so the ENTIRE signature is engine-reproducible — DuckDB
+    computes the identical value, which upgrades text_simhash from
+    rows-only to a full value oracle. 60 bits (15 hex chars) keep the
+    parse inside signed-BIGINT range on both engines."""
     tok = fan_out(docs.select(id_col, text_col)).select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).where(F.col("token") != "")
-    h = F.xxhash64("token")
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(_SIMHASH_BITS)
     ]
     voted = tok.groupBy(id_col).agg(*votes)
     sim = reduce(
@@ -195,7 +204,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         ),
-        range(64),
+        range(_SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
     return voted.select(F.col(id_col), sim.alias("simhash"))
@@ -204,8 +213,35 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 @register(
     "text_simhash",
     section="2.9",
-    oracle=None,
-    notes="64-bit SimHash per document; hamming-distance neighbor test in tests/test_dedup.py",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+          FROM tok),
+    votes AS (
+      SELECT doc_id, t.i AS bit,
+             CAST(SUM(CASE WHEN (hv >> CAST(t.i AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM h CROSS JOIN range(0, {_SIMHASH_BITS}) t(i)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0
+                    THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    notes=f"{_SIMHASH_BITS}-bit SimHash per document over the content-"
+    "addressed md5 token hash — every signature bit is an exact "
+    "integer vote, so the full signature value-checks cross-engine "
+    "(formerly rows-only under xxhash64, which only Spark can "
+    "compute). Spark folds the per-bit votes into one wide "
+    "map-side-combined aggregate (one pass, no per-bit shuffle); the "
+    "oracle's bit-explode shape is the same computation transposed. "
+    "Hamming-neighbor separation asserted in tests/test_dedup.py",
 )
 def text_simhash(spark, sf_dir):
     return simhash64(table(spark, sf_dir, "documents"))

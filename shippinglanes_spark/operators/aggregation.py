@@ -410,25 +410,47 @@ def agg_mode(spark, sf_dir):
 @register(
     "agg_sketch_merge",
     section="2.4",
-    oracle=None,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS merged_within_5pct
+    FROM events GROUP BY event_type
+    """,
     notes="the 100 TB pre-aggregation pattern: per-day HLL sketches "
     "(hll_sketch_agg) union-merged to per-type totals (hll_union_agg) — "
     "sketches are mergeable state, so daily rollups re-aggregate without "
-    "touching raw data; merged-vs-single-pass equality and ±5%-vs-exact "
-    "asserted in tests/test_aggregation2.py",
+    "touching raw data. DERIVED-PROPERTY oracle (the hll_intersection "
+    "discipline): the oracle computes the exact per-type distincts and "
+    "asserts the merged estimate lands within 5% (lgK=14 => ~0.8% "
+    "rse, so the flag is deterministically 1); merged-vs-single-pass "
+    "equality asserted in tests/test_aggregation2.py",
 )
 def agg_sketch_merge(spark, sf_dir):
     """Distinct users per event type computed by MERGING daily sketches,
     never re-reading raw events: the shape that lets a lake keep compact
     per-partition sketch columns and answer distinct-count queries over
     arbitrary date ranges by union-merge alone. HLL union (same lgConfigK)
-    is lossless, so the merged estimate equals the single-pass one."""
+    is lossless, so the merged estimate equals the single-pass one. The
+    exact distinct rides along only to audit the estimate in place."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
-    return daily.groupBy("event_type").agg(
+    merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .cast("long")
+        .alias("merged_within_5pct"),
     )
 
 
