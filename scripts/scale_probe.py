@@ -489,11 +489,53 @@ def round10_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round11_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-5 session-3 batches 4-8: CDC log compaction (keyed window
+    + left join), interval coalescing (two stacked keyed windows),
+    tolerance as-of (union-window carry), stickiness (7x grid
+    explosion + two distinct counts), multiset ops, Bollinger/CUSUM/
+    peaks (grid windows after one corpus agg), modularity +
+    assortativity (graph-sized after edge agg), langid eval (map pass
+    + class-sized confusion reduce), simhash (60 wide conditional
+    sums, one pass)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "etl_cdc_apply",
+        "evt_interval_merge",
+        "join_asof_tolerance",
+        "evt_stickiness",
+        "set_intersect_all",
+        "ts_bollinger",
+        "ts_cusum",
+        "ts_peaks",
+        "graph_modularity",
+        "graph_assortativity",
+        "pipeline_langid_eval",
+        "text_simhash",
+        "agg_ratio_delta_ci",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r11" in sys.argv:
+        round11_registered(spark, SF, sfdir10)
+        return
     if "--r10" in sys.argv:
         round10_registered(spark, SF, sfdir10)
         return
