@@ -1302,3 +1302,138 @@ def ts_cusum(spark, sf_dir):
             F.col("d").alias("alarm_day"),
         )
     )
+
+
+@register(
+    "ts_mann_kendall",
+    section="2.10",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1),
+    nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_corr
+      FROM (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2) WHERE t > 1 GROUP BY event_type),
+    f AS (
+      SELECT s.event_type, nn.n, s.s_stat,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                  - COALESCE(ties.tie_corr, 0) AS BIGINT) AS var18
+      FROM s JOIN nn USING (event_type)
+      LEFT JOIN ties ON ties.event_type = s.event_type)
+    SELECT event_type, n AS n_days, s_stat, var18,
+           FLOOR(CASE WHEN s_stat > 0
+                      THEN (s_stat - 1) / SQRT(var18 / 18.0)
+                      WHEN s_stat < 0
+                      THEN (s_stat + 1) / SQRT(var18 / 18.0)
+                      ELSE 0.0 END * 1e6) / 1e6 AS z
+    FROM f
+    """,
+    notes="Mann-Kendall trend test per event type on the daily revenue "
+    "grid — the significance companion to ts_theil_sen's slope (the "
+    "standard nonparametric pair in hydrology/ops trend detection). "
+    "S and the tie-corrected variance (x18 to stay integral: "
+    "n(n-1)(2n+5) - sum t(t-1)(2t+5)) are EXACT BIGINTs; the "
+    "continuity-corrected z pays one division and one sqrt on "
+    "identical doubles, floor-disciplined at 1e-6. The O(days^2) "
+    "pair join runs on the calendar-bounded grid, never the corpus",
+)
+def ts_mann_kendall(spark, sf_dir):
+    """Trend significance without distributional assumptions: corpus
+    reduces to the grid once; sign pairs, tie groups, and the
+    variance are grid-sized integer aggregates. Reuses ts_theil_sen's
+    exact pair-stage shape — run both for slope + significance."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    ).localCheckpoint()
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") > F.col("a.v"), 1)
+                .when(F.col("b.v") < F.col("a.v"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        daily.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_corr")
+        )
+    )
+    f = (
+        s.join(nn, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_corr"), F.lit(0))
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18") / 18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return f.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var18",
+        (F.floor(z * 1e6) / 1e6).alias("z"),
+    )

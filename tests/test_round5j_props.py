@@ -78,3 +78,44 @@ def test_stickiness_matches_pandas(spark, sf_dir):
     got = {r.day_idx: (r.dau, r.wau, r.stickiness) for r in out}
     assert got == expect
     assert all(0 < s <= 1.0 for _, _, s in got.values())
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    import math
+
+    from shippinglanes_spark.registry import all_queries as _aq
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ev = ev[ev["value"].notna()].copy()
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = (
+        ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")
+    ).dt.days.astype("int64")
+    expect = {}
+    for et, grp in ev.groupby("event_type"):
+        daily = grp.groupby("d")["v"].sum().sort_index()
+        vals = [int(x) for x in daily.to_numpy()]
+        n = len(vals)
+        s = sum(
+            (1 if vals[j] > vals[i] else (-1 if vals[j] < vals[i] else 0))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie_corr = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(vals).values()
+            if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie_corr
+        sd = math.sqrt(var18 / 18.0)
+        z = (s - 1) / sd if s > 0 else ((s + 1) / sd if s < 0 else 0.0)
+        expect[et] = (n, s, var18, math.floor(z * 1e6) / 1e6)
+    out = _aq()["ts_mann_kendall"].fn(spark, sf_dir).collect()
+    got = {r.event_type: (r.n_days, r.s_stat, r.var18, r.z) for r in out}
+    assert got == expect
