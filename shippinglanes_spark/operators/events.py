@@ -2195,3 +2195,175 @@ def evt_stickiness(spark, sf_dir):
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "evt_cohort_ltv",
+    section="2.10",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN value IS NOT NULL
+                      THEN CAST(ROUND(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS rev
+      FROM events GROUP BY 1, 2),
+    fu AS (SELECT user_id, CAST(MIN(d) AS BIGINT) AS cohort FROM ud
+           GROUP BY user_id),
+    cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           FROM fu GROUP BY cohort),
+    aged AS (
+      SELECT fu.cohort, ud.d - fu.cohort AS age,
+             CAST(SUM(ud.rev) AS BIGINT) AS rev
+      FROM ud JOIN fu USING (user_id) GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age,
+             CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_rev
+      FROM aged)
+    SELECT cum.cohort AS cohort_day, cum.age, cs.cohort_users,
+           cum.cum_rev / 100.0 AS cum_revenue,
+           CAST(cum.cum_rev AS DOUBLE) / cs.cohort_users / 100.0
+             AS ltv_per_user
+    FROM cum JOIN cs USING (cohort)
+    """,
+    notes="cohort LTV curves: users cohorted by first-activity day, "
+    "revenue accumulated by cohort age — the matrix whose rows growth "
+    "teams read down (how fast does each vintage monetize). Exact "
+    "cent-integer cumsum per cohort (grid-sized window after two "
+    "keyed aggregates); per-user LTV is a single division of exact "
+    "integers. The revenue-weighted companion to evt_cohort_matrix's "
+    "retention counts",
+)
+def evt_cohort_ltv(spark, sf_dir):
+    """Corpus reduces to (user, day, cents) then (cohort, age, cents)
+    — two map-side-combined shuffles; the cumulative window runs on
+    the calendar-bounded cohort x age grid. Standard 100 TB shape:
+    nothing after the second aggregate sees row counts."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rev")
+    )
+    fu = ud.groupBy("user_id").agg(F.min("d").cast("long").alias("cohort"))
+    cs = fu.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    aged = (
+        ud.join(fu, "user_id")
+        .groupBy("cohort", (F.col("d") - F.col("cohort")).alias("age"))
+        .agg(F.sum("rev").cast("long").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = aged.select(
+        "cohort",
+        "age",
+        F.sum("rev").over(w).cast("long").alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(cs), "cohort").select(
+        F.col("cohort").alias("cohort_day"),
+        "age",
+        "cohort_users",
+        (F.col("cum_rev") / 100.0).alias("cum_revenue"),
+        (
+            F.col("cum_rev").cast("double") / F.col("cohort_users") / 100.0
+        ).alias("ltv_per_user"),
+    )
+
+
+@register(
+    "profile_sequence_gaps",
+    section="2.10",
+    oracle="""
+    WITH ids AS (SELECT event_id AS id FROM events
+                 WHERE event_type = 'click'),
+    bounds AS (SELECT CAST(MAX(id) AS BIGINT) AS hi FROM ids),
+    starts AS (
+      SELECT a.id + 1 AS gap_start
+      FROM ids a CROSS JOIN bounds
+      WHERE a.id < bounds.hi
+        AND NOT EXISTS (SELECT 1 FROM ids b WHERE b.id = a.id + 1)),
+    enders AS (
+      SELECT a.id - 1 AS gap_end
+      FROM ids a
+      WHERE NOT EXISTS (SELECT 1 FROM ids b WHERE b.id = a.id - 1)
+        AND a.id > (SELECT MIN(id) FROM ids)),
+    s AS (SELECT gap_start,
+                 ROW_NUMBER() OVER (ORDER BY gap_start) AS rk FROM starts),
+    e AS (SELECT gap_end,
+                 ROW_NUMBER() OVER (ORDER BY gap_end) AS rk FROM enders)
+    SELECT s.gap_start, e.gap_end,
+           CAST(e.gap_end - s.gap_start + 1 AS BIGINT) AS gap_len
+    FROM s JOIN e USING (rk)
+    """,
+    notes="missing-id audit over the click event-id sequence (which "
+    "ranges never arrived in this feed): gap BOUNDARIES are found by "
+    "two keyed anti-joins (an id whose successor is absent starts a "
+    "gap; one whose predecessor is absent ends the preceding gap) — "
+    "NO global sort of the data, because boundaries pair up 1:1 by "
+    "rank and only the gap-count-sized boundary sets are ordered. "
+    "Exact integers throughout; the i-th start matches the i-th end "
+    "by construction (gaps cannot nest in a set of integers)",
+)
+def profile_sequence_gaps(spark, sf_dir):
+    """The data-quality primitive for ingest audits at scale: the
+    corpus-sized work is two hash anti-joins on id+-1 (keyed,
+    map-side prunable); the ROW_NUMBER pairing runs only over the
+    boundary sets, which are as small as the number of gaps. The
+    naive lead()-over-global-order formulation would single-partition
+    the whole feed."""
+    ev = table(spark, sf_dir, "events")
+    ids = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id")
+    ).localCheckpoint()
+    bounds = ids.agg(
+        F.max("id").cast("long").alias("hi"),
+        F.min("id").cast("long").alias("lo"),
+    )
+    probe = ids.select(F.col("id").alias("probe"))
+    starts = (
+        ids.join(probe, F.col("id") + 1 == F.col("probe"), "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("id") < F.col("hi"))
+        .select((F.col("id") + 1).alias("gap_start"))
+    )
+    enders = (
+        ids.join(probe, F.col("id") - 1 == F.col("probe"), "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("id") > F.col("lo"))
+        .select((F.col("id") - 1).alias("gap_end"))
+    )
+    s = starts.select(
+        "gap_start",
+        F.row_number().over(Window.orderBy("gap_start")).alias("rk"),
+    )
+    e = enders.select(
+        "gap_end",
+        F.row_number().over(Window.orderBy("gap_end")).alias("rk"),
+    )
+    return s.join(e, "rk").select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1)
+        .cast("long")
+        .alias("gap_len"),
+    )
