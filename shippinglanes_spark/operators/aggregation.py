@@ -2482,3 +2482,189 @@ def agg_ratio_delta_ci(spark, sf_dir):
             "ci_hi"
         ),
     )
+
+
+@register(
+    "agg_runs_test",
+    section="2.4",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(COUNT(*) AS BIGINT) AS nd
+          FROM daily GROUP BY event_type),
+    sg AS (SELECT daily.event_type, d,
+                  CASE WHEN v * nd > sv THEN 1 ELSE 0 END AS up
+           FROM daily JOIN m USING (event_type)),
+    lagged AS (
+      SELECT event_type, up,
+             LAG(up) OVER (PARTITION BY event_type ORDER BY d) AS pup
+      FROM sg),
+    agg AS (
+      SELECT event_type,
+             CAST(1 + SUM(CASE WHEN pup IS NOT NULL AND up <> pup
+                          THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+             CAST(SUM(up) AS BIGINT) AS n_up,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_dn,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lagged GROUP BY event_type)
+    SELECT event_type, n AS n_days, runs, n_up, n_dn,
+           FLOOR((runs - (1.0 + 2.0 * n_up * n_dn / n))
+                 / SQRT(2.0 * n_up * n_dn
+                        * (2.0 * n_up * n_dn - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))) * 1e6)
+             / 1e6 AS z
+    FROM agg WHERE n_up > 0 AND n_dn > 0
+    """,
+    notes="Wald-Wolfowitz runs test per event type: is the daily "
+    "above/below-mean sequence random, or does it streak? The "
+    "above-mean flag uses the exact integer cross-multiply v*nd > sv "
+    "(no float mean), runs count from one lag pass, and n_up/n_dn "
+    "are exact — only the final z formula touches doubles, with "
+    "identical association on both engines and floor discipline. "
+    "Completes the trend-diagnosis trio with ts_mann_kendall "
+    "(monotone trend) and ts_cusum (drift location)",
+)
+def agg_runs_test(spark, sf_dir):
+    """Randomness testing as two grid-sized passes: corpus to daily
+    grid once, one keyed lag window, one keyed aggregate. Degenerate
+    all-up/all-down series are excluded on exact counts."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.sum("v").cast("long").alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    sg = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "d",
+        F.when(F.col("v") * F.col("nd") > F.col("sv"), 1)
+        .otherwise(0)
+        .alias("up"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = sg.select(
+        "event_type", "up", F.lag("up").over(w).alias("pup")
+    )
+    agg = lagged.groupBy("event_type").agg(
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("pup").isNotNull()
+                    & (F.col("up") != F.col("pup")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_dn"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    nu, nd_, n = F.col("n_up"), F.col("n_dn"), F.col("n")
+    mu = 1.0 + 2.0 * nu * nd_ / n
+    sigma = F.sqrt(
+        2.0
+        * nu
+        * nd_
+        * (2.0 * nu * nd_ - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return agg.where((nu > 0) & (nd_ > 0)).select(
+        "event_type",
+        n.alias("n_days"),
+        "runs",
+        "n_up",
+        "n_dn",
+        (F.floor((F.col("runs") - mu) / sigma * 1e6) / 1e6).alias("z"),
+    )
+
+
+@register(
+    "agg_powerlaw_fit",
+    section="2.4",
+    oracle="""
+    WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id),
+    vc AS (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS n_v FROM uc
+           GROUP BY c),
+    tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+                   CAST(MIN(v) AS BIGINT) AS xmin FROM vc),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(0.0,
+                 list(n_v * ln(v * 2.0 / (2 * xmin - 1)) ORDER BY v)),
+               (a, b) -> a + b) AS lnsum,
+             ANY_VALUE(n) AS n, ANY_VALUE(xmin) AS xmin
+      FROM vc CROSS JOIN tot)
+    SELECT n AS n_users, xmin,
+           ROUND(1.0 + n / lnsum, 4) AS alpha_hat
+    FROM folded
+    """,
+    notes="discrete power-law (Pareto) MLE for the per-user activity "
+    "distribution: alpha = 1 + n / sum ln(x_i/(xmin - 1/2)) (Clauset/"
+    "Shalizi/Newman's discrete approximation). The ln-sum — the float "
+    "hazard — is grouped BY DISTINCT COUNT VALUE first (n_v * ln(v) "
+    "over the bounded value set), then folded in value order with a "
+    "0.0 seed, so the result is order-pinned without ever collecting "
+    "per-user terms; ln is libm-variant, hence ROUND 4 dp (the "
+    "dp_histogram discipline). The heavy-tail sibling of "
+    "text_zipf_fit, applied to behavioral counts",
+)
+def agg_powerlaw_fit(spark, sf_dir):
+    """Tail-exponent estimation that scales: per-user counts reduce to
+    the DISTINCT-VALUE histogram (bounded — activity counts are small
+    integers), so the ln fold runs over at most max-activity terms no
+    matter how many users exist. A per-user ln sum would be exact too
+    but unfoldable at 1e9 users; the value-grouped form is the same
+    number computed over the bounded support."""
+    ev = table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vc = uc.groupBy(F.col("c").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_v")
+    )
+    tot = vc.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.min("v").cast("long").alias("xmin"),
+    )
+    terms = vc.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "xmin",
+        "v",
+        (
+            F.col("n_v")
+            * F.log(F.col("v") * 2.0 / (2 * F.col("xmin") - 1))
+        ).alias("term"),
+    )
+    folded = terms.groupBy("n", "xmin").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("v", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("lnsum")
+    )
+    return folded.select(
+        F.col("n").alias("n_users"),
+        "xmin",
+        F.round(1.0 + F.col("n") / F.col("lnsum"), 4).alias("alpha_hat"),
+    )

@@ -68,3 +68,70 @@ def test_sequence_gaps_match_python(spark, sf_dir):
         assert e >= s and n == e - s + 1
         assert s - 1 in present and e + 1 in present
         assert not any(x in present for x in range(s, min(e + 1, s + 5)))
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ev = ev[ev["value"].notna()].copy()
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = (
+        ev["ts"].dt.normalize() - pd.Timestamp("2024-01-01")
+    ).dt.days.astype("int64")
+    expect = {}
+    for et, grp in ev.groupby("event_type"):
+        daily = grp.groupby("d")["v"].sum().sort_index()
+        vals = [int(x) for x in daily.to_numpy()]
+        n = len(vals)
+        sv = sum(vals)
+        ups = [1 if v * n > sv else 0 for v in vals]
+        n_up, n_dn = sum(ups), n - sum(ups)
+        if n_up == 0 or n_dn == 0:
+            continue
+        runs = 1 + sum(a != b for a, b in zip(ups, ups[1:]))
+        mu = 1.0 + 2.0 * n_up * n_dn / n
+        sigma = math.sqrt(
+            2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n) / (n * n * (n - 1))
+        )
+        expect[et] = (
+            n,
+            runs,
+            n_up,
+            n_dn,
+            math.floor((runs - mu) / sigma * 1e6) / 1e6,
+        )
+    out = all_queries()["agg_runs_test"].fn(spark, sf_dir).collect()
+    got = {
+        r.event_type: (r.n_days, r.runs, r.n_up, r.n_dn, r.z) for r in out
+    }
+    assert got == expect
+
+
+def test_powerlaw_fit_matches_python(spark, sf_dir):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .toPandas()
+    )
+    counts = ev.groupby("user_id").size()
+    n = len(counts)
+    xmin = int(counts.min())
+    # value-grouped ln fold in value order, 0.0 seed (the query's order)
+    from collections import Counter
+
+    acc = 0.0
+    for v, n_v in sorted(Counter(counts.to_list()).items()):
+        acc += n_v * math.log(v * 2.0 / (2 * xmin - 1))
+    alpha = round(1.0 + n / acc, 4)
+    row = all_queries()["agg_powerlaw_fit"].fn(spark, sf_dir).collect()[0]
+    assert row.n_users == n
+    assert row.xmin == xmin
+    assert abs(row.alpha_hat - alpha) <= 1e-4
+    assert row.alpha_hat > 1.0  # a valid Pareto exponent
