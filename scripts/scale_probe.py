@@ -528,11 +528,42 @@ def round11_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round12_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-5 session-4 additions: runs test + power-law MLE (corpus
+    -> grid/histogram, then constant-size math), containment join
+    (prefix-probe vs full inverted index — THE shape to watch: the
+    host side is corpus-linear by design, candidates track shared
+    shingles), dup-span mining (one window explode + map-side-combined
+    span counts)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_runs_test",
+        "agg_powerlaw_fit",
+        "join_set_containment",
+        "text_dup_spans",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r12" in sys.argv:
+        round12_registered(spark, SF, sfdir10)
+        return
     if "--r11" in sys.argv:
         round11_registered(spark, SF, sfdir10)
         return

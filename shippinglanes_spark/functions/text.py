@@ -1008,3 +1008,174 @@ def pipeline_langid_eval(spark, sf_dir):
             / (predicted + F.col("support"))
         ).alias("f1"),
     )
+
+
+@register(
+    "join_set_containment",
+    section="2.9",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id % 3 = 0),
+    d AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS s
+          FROM t WHERE len(toks) >= 3)
+    SELECT a.doc_id AS doc_in, b.doc_id AS doc_host,
+           CAST(len(list_intersect(a.s, b.s)) * 1000000 // len(a.s)
+                AS BIGINT) AS cont_ppm
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 5 >= 4 * len(a.s)
+    """,
+    notes="EXACT asymmetric-containment join (|Sa inter Sb| / |Sa| >= "
+    "0.8 over 3-gram shingles) — catches a small doc quoted inside a "
+    "big one, which symmetric-Jaccard MinHash banding can miss "
+    "because the union dilutes the score. Lossless probe-side prefix "
+    "filter: shingles globally ordered rarest-first; if the overlap "
+    "reaches ceil(0.8*na) then a's first na-ceil(0.8*na)+1 shingles "
+    "cannot ALL be absent from b, so candidates = equi-join of a's "
+    "prefix against b's FULL inverted index (containment bounds "
+    "overlap by |Sa| only, so the host side cannot be prefixed — "
+    "the intrinsic asymmetry of this join). A host-size prune "
+    "(5*nb >= 4*na, since overlap <= nb) cuts candidates before "
+    "verification. Threshold math is exact integers throughout; the "
+    "oracle brute-forces ALL directed pairs, so a hash match "
+    "certifies the prefix filter dropped nothing",
+)
+def join_set_containment(spark, sf_dir):
+    """Containment self-join that scales: index side is the corpus
+    inverted shingle index (corpus-linear), probe side explodes only
+    rarest-first prefixes, and every candidate is verified with one
+    exact in-array intersection. Cost tracks shingle collisions
+    (true shared content), never n^2 — the oracle pays the quadratic
+    cost instead to certify losslessness."""
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("w", i),
+            F.element_at("w", i + 1),
+            F.element_at("w", i + 2),
+        ),
+    )
+    d = (
+        base.where(F.size("w") >= 3)
+        .select("doc_id", F.array_distinct(sh).alias("toks"))
+    )
+    freq = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda x: x["tok"],
+            ).alias("s")
+        )
+        .select("doc_id", "s", F.size("s").alias("n"))
+    )
+    # probe prefix length na - ceil(0.8*na) + 1; ceil(4n/5) = (4n+4) div 5
+    plen = (
+        F.col("n") - ((F.lit(4) * F.col("n") + 4) / 5).cast("long") + 1
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("doc_in"),
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+        F.explode(F.slice("s", 1, plen)).alias("tok"),
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("doc_host"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+        F.explode("s").alias("tok"),
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("doc_in") != F.col("doc_host"))
+            & (F.col("nb") * 5 >= 4 * F.col("na"))
+        )
+        .select("doc_in", "doc_host", "sa", "sb", "na")
+        .dropDuplicates(["doc_in", "doc_host"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.select("doc_in", "doc_host", inter.alias("i"), "na")
+        .where(F.col("i") * 5 >= 4 * F.col("na"))
+        .select(
+            "doc_in",
+            "doc_host",
+            ((F.col("i") * 1000000) / F.col("na"))
+            .cast("long")
+            .alias("cont_ppm"),
+        )
+    )
+
+
+@register(
+    "text_dup_spans",
+    section="2.8",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    w AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 8),
+                   i -> array_to_string(toks[i:i+9], ' '))) AS span
+          FROM t WHERE len(toks) >= 10)
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    notes="EXACT duplicated-substring mining (the rolling-window form "
+    "of 'Deduplicating Training Data Makes Language Models Better'-"
+    "style exact substring dedup): every 10-token window of every "
+    "doc, grouped, keeping spans that appear in >= 2 distinct docs. "
+    "Contiguous-window semantics (order matters, positions overlap) "
+    "are exactly what shingle-SET queries like text_boilerplate "
+    "cannot express. One explode + one group-by; windows are built "
+    "from the MATERIALIZED token array (the r4 HOF-under-Generate "
+    "lesson), not re-split per element",
+)
+def text_dup_spans(spark, sf_dir):
+    """Cross-doc repeated-span detection in one corpus-linear pass:
+    ~one window per token, map-side-combined count per span, shuffle
+    keyed on the span itself. At 100 TB the same plan holds — the
+    shuffle carries each distinct span once per partition thanks to
+    partial aggregation; a 64-bit span fingerprint would halve
+    shuffle bytes at a (documented) sliver of collision risk, kept
+    as plain text here so the oracle certifies exact strings."""
+    base = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 10)
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 9),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 10)),
+    )
+    spans = base.select(
+        "doc_id", F.explode(wins).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
