@@ -466,3 +466,29 @@ def test_groups_frame_single_shuffle(spark, sf_dir):
     # two Sorts are expected (rank orders by day, the frame by the rank
     # ordinal — same partitioning, different sort key), but no join and
     # no re-shuffle between the stacked windows
+
+
+def test_containment_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The containment candidate join must be a hash/merge equi-join on
+    the prefix shingle — never an all-pairs nested loop (the oracle
+    pays the quadratic cost; the engine must not)."""
+    p = plan(spark, sf_dir, "join_set_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_dup_spans_partial_agg_single_scan(spark, sf_dir):
+    """Span mining claims one corpus-linear pass: a single scan and a
+    map-side-combined aggregate (partial_count before the exchange),
+    so the shuffle carries distinct spans per partition, not every
+    window occurrence."""
+    import re
+
+    p = plan(spark, sf_dir, "text_dup_spans")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+    assert "partial_count" in p  # map-side combine of the span counts
