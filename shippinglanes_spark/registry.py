@@ -143,6 +143,7 @@ def _load_all() -> None:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         ranking,
         scalar,
         similarity,

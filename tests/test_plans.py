@@ -492,3 +492,36 @@ def test_dup_spans_partial_agg_single_scan(spark, sf_dir):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in p
     assert "partial_count" in p  # map-side combine of the span counts
+
+
+def test_url_canonicalize_single_scan_one_shuffle(spark, sf_dir):
+    """URL dedup must stay the dedup_exact shape: one scan, per-row
+    canonicalization, one hash-groupBy with map-side combine — and the
+    shuffle must not carry document text (pruned read schema)."""
+    import re
+
+    p = plan(spark, sf_dir, "pipeline_url_canonicalize")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "partial_count" in p  # map-side combine before the exchange
+    assert "text" not in p.split("ReadSchema")[1].split("\n")[0]
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert j not in p
+
+
+def test_funnel_steps_broadcasts_user_tables(spark, sf_dir):
+    """Each funnel step joins the event log against a user-cardinality
+    table — those must broadcast; no step may sort-merge or cartesian."""
+    p = plan(spark, sf_dir, "evt_funnel_steps")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_stl_decompose_grid_windows_no_cartesian(spark, sf_dir):
+    """The decomposition reduces the corpus to the daily grid in one
+    keyed aggregate; the seasonal/MAD joins are broadcast; nothing
+    cartesians."""
+    p = plan(spark, sf_dir, "ts_stl_decompose")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
