@@ -884,3 +884,134 @@ def graph_assortativity(spark, sf_dir):
         .otherwise(num.cast("double") / den)
         .alias("assortativity"),
     )
+
+
+_WALK_STEPS = 4
+
+
+def _walks_oracle() -> str:
+    """Unrolled walk steps: each step is one deterministic neighbor
+    pick (md5-derandomized index into the sorted adjacency list)."""
+    ctes = [
+        """bidir AS (SELECT a AS u, b AS v FROM und
+                 UNION ALL SELECT b AS u, a AS v FROM und),
+    nbr AS (SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v)
+                 AS rn FROM bidir),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM bidir
+            GROUP BY u),
+    w0 AS (SELECT v AS walk_id, v AS cur FROM s0)"""
+    ]
+    for t in range(1, _WALK_STEPS + 1):
+        ctes.append(
+            f"""w{t} AS (
+      SELECT w.walk_id, n.v AS cur
+      FROM w{t - 1} w
+      JOIN deg ON deg.u = w.cur
+      JOIN nbr n ON n.u = w.cur
+       AND n.rn = 1 + (('0x' || substr(md5('walk:' ||
+             CAST(w.walk_id AS VARCHAR) || ':{t}'), 1, 13))::BIGINT
+             % deg.d))"""
+        )
+    selects = [
+        f"SELECT CAST(walk_id AS BIGINT) AS walk_id, "
+        f"CAST({t} AS BIGINT) AS step, CAST(cur AS BIGINT) AS node "
+        f"FROM w{t}"
+        for t in range(_WALK_STEPS + 1)
+    ]
+    return (
+        "WITH "
+        + _KCORE_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "graph_random_walks",
+    section="2.9",
+    oracle=_walks_oracle(),
+    notes="node2vec-style walk generation for graph-embedding training "
+    "data: one fixed-length walk per node over the above-average trade "
+    "graph, each step picking a neighbor by a CONTENT-ADDRESSED md5 "
+    "index into the sorted adjacency list (md5('walk:'||id||':'||step) "
+    "% degree) — never rand(), so walks are reproducible across "
+    "engines, runs, and corpus growth. Each step is one equi-join of "
+    "the frontier against the graph-sized adjacency relation; at "
+    "100 TB node count the picture is unchanged (frontier and "
+    "adjacency shuffle on the node key; the walk-length loop is fixed, "
+    "not data-dependent)",
+)
+def graph_random_walks(spark, sf_dir):
+    """The corpus reduces to the edge list once (shared _trade_und
+    pass); each of the 4 unrolled steps is a frontier->adjacency
+    equi-join with a derandomized pick — the skip-gram pair generator
+    for graph embeddings, minus any RNG state."""
+    und = _trade_und(spark, sf_dir)
+    bidir = und.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nbr = bidir.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("u").orderBy("v"))
+    ).localCheckpoint()
+    deg = nbr.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    frontier = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .distinct()
+        .select(F.col("v").alias("walk_id"), F.col("v").alias("cur"))
+    )
+    parts = [
+        frontier.select(
+            F.col("walk_id").cast("long"),
+            F.lit(0).cast("long").alias("step"),
+            F.col("cur").cast("long").alias("node"),
+        )
+    ]
+    for t in range(1, _WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("walk:"),
+                            F.col("walk_id").cast("string"),
+                            F.lit(f":{t}"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("d")
+        )
+        frontier = (
+            frontier.join(F.broadcast(deg), frontier.cur == deg.u)
+            .withColumn("pick", pick)
+            .join(
+                F.broadcast(
+                    nbr.select(
+                        F.col("u").alias("nu"),
+                        F.col("v").alias("nxt"),
+                        "rn",
+                    )
+                ),
+                (F.col("cur") == F.col("nu"))
+                & (F.col("rn") == F.col("pick") + 1),
+            )
+            .select("walk_id", F.col("nxt").alias("cur"))
+        )
+        parts.append(
+            frontier.select(
+                F.col("walk_id").cast("long"),
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").cast("long").alias("node"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

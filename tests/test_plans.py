@@ -525,3 +525,15 @@ def test_stl_decompose_grid_windows_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_geohash_single_scan_one_shuffle(spark, sf_dir):
+    """Geohash encode must be map-side (codegen integer math), leaving
+    one scan and one combined hash aggregate — no join, no extra
+    exchange."""
+    import re
+
+    p = plan(spark, sf_dir, "geo_geohash")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p

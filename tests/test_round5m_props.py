@@ -203,3 +203,101 @@ def test_freshness_matches_pandas(spark, sf_dir):
         stale = (corpus_max - ts[-1]) // 60_000_000
         assert row.staleness_min == stale
         assert row.is_stale == (stale > 30)
+
+
+def _py_geohash(lat: float, lon: float, length: int = 8) -> str:
+    """Classic bisection geohash encoder — independent of the engine's
+    integer-interleave formulation."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, even, ch, out = 0, True, 0, []
+    while len(out) < length:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alpha[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_bisection_reference(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "(value % 180) - 90 AS lat",
+            "((value * 2) % 360) - 180 AS lon",
+        )
+        .toPandas()
+    )
+    ev["gh8"] = [
+        _py_geohash(la, lo) for la, lo in zip(ev["lat"], ev["lon"])
+    ]
+    ev["cell5"] = ev["gh8"].str[:5]
+    ref = (
+        ev.groupby("cell5")
+        .agg(
+            n_fixes=("gh8", "size"),
+            n_vessels=("user_id", "nunique"),
+            sample_gh8=("gh8", "min"),
+        )
+        .reset_index()
+        .sort_values("cell5")
+        .reset_index(drop=True)
+    )
+    got = (
+        all_queries()["geo_geohash"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("cell5")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_fixes": "int64", "n_vessels": "int64"}),
+        ref.astype({"n_fixes": "int64", "n_vessels": "int64"}),
+    )
+
+
+def test_random_walks_follow_edges_and_hash_picks(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    rows = all_queries()["graph_random_walks"].fn(spark, sf_dir).collect()
+    walks = defaultdict(dict)
+    for r in rows:
+        walks[r.walk_id][r.step] = r.node
+    # rebuild the above-average trade graph independently
+    from shippinglanes_spark.operators.graph import _trade_und
+
+    und = {(r.a, r.b) for r in _trade_und(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert set(walks) == set(adj)
+    for wid, seq in walks.items():
+        assert sorted(seq) == [0, 1, 2, 3, 4]
+        assert seq[0] == wid
+        for t in range(1, 5):
+            cur = seq[t - 1]
+            nbrs = sorted(adj[cur])
+            h = hashlib.md5(f"walk:{wid}:{t}".encode()).hexdigest()
+            pick = int(h[:13], 16) % len(nbrs)
+            assert seq[t] == nbrs[pick]  # the exact derandomized pick
+            assert seq[t] in adj[cur]  # and a real edge
