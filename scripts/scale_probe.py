@@ -556,11 +556,44 @@ def round12_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round13_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-5 session-5 additions: geohash (map-side integer encode +
+    one cell-keyed agg), random walks / node2vec pairs (one corpus
+    edge pass, then graph-sized iterations — expect FLAT), Kendall tau
+    (corpus -> daily grid -> calendar-bounded pairs), Kruskal-Wallis
+    (corpus -> distinct-value table, checkpointed single pass),
+    McNemar (two stacked keyed aggregates)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "geo_geohash",
+        "graph_random_walks",
+        "graph_node2vec_pairs",
+        "agg_kendall_tau",
+        "agg_kruskal_wallis",
+        "agg_mcnemar",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r13" in sys.argv:
+        round13_registered(spark, SF, sfdir10)
+        return
     if "--r12" in sys.argv:
         round12_registered(spark, SF, sfdir10)
         return

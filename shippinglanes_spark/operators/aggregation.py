@@ -2668,3 +2668,309 @@ def agg_powerlaw_fit(spark, sf_dir):
         "xmin",
         F.round(1.0 + F.col("n") / F.col("lnsum"), 4).alias("alpha_hat"),
     )
+
+
+@register(
+    "agg_kendall_tau",
+    section="2.4",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(datediff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    pr AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1
+                           WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN -1
+                           ELSE 0 END) AS BIGINT) AS s,
+             CAST(COUNT(*) FILTER (b.x = a.x) AS BIGINT) AS nx0,
+             CAST(COUNT(*) FILTER (b.y = a.y) AS BIGINT) AS ny0,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1)
+    SELECT event_type, n0 AS n_pairs, s AS s_stat,
+           FLOOR(s / sqrt(CAST((n0 - nx0) * (n0 - ny0) AS DOUBLE)) * 1e6)
+             / 1e6 AS tau_b
+    FROM pr
+    """,
+    notes="Kendall tau-b rank correlation between two metrics of the "
+    "same series — daily event volume vs daily revenue per event type "
+    "— with exact tie handling: S = sum of sign(dx)*sign(dy) over day "
+    "pairs and the tie-pair counts nx0/ny0 are all exact BIGINTs from "
+    "ONE pair join; tau_b = S / sqrt((n0-nx0)(n0-ny0)) is a single "
+    "correctly-rounded sqrt + divide on exact integers, so both "
+    "engines produce the identical double (floored 6 dp for belt-and-"
+    "braces). Completes the rank-association family next to "
+    "agg_spearman (value-pair ranks) and ts_mann_kendall (trend vs "
+    "time). The O(days^2) stage runs on the calendar-bounded daily "
+    "grid, never the corpus",
+)
+def agg_kendall_tau(spark, sf_dir):
+    """Corpus reduces to the daily grid in one keyed aggregate; the
+    pair stage is grid-sized (days choose 2 per key, calendar-bounded)
+    so at 100 TB only the first aggregate grows — the SCALING.md
+    exact-vs-sketch routing rule with rows-per-group bounded by the
+    calendar."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    prod = dx * dy
+    pr = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(prod > 0, 1).when(prod < 0, -1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+            F.sum((dx == 0).cast("long")).cast("long").alias("nx0"),
+            F.sum((dy == 0).cast("long")).cast("long").alias("ny0"),
+            F.count(F.lit(1)).cast("long").alias("n0"),
+        )
+    )
+    den = F.sqrt(
+        ((F.col("n0") - F.col("nx0")) * (F.col("n0") - F.col("ny0"))).cast(
+            "double"
+        )
+    )
+    return pr.select(
+        "event_type",
+        F.col("n0").alias("n_pairs"),
+        F.col("s").alias("s_stat"),
+        (F.floor(F.col("s") / den * 1e6) / 1e6).alias("tau_b"),
+    )
+
+
+@register(
+    "agg_kruskal_wallis",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT event_type AS g,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c_gv
+           FROM x GROUP BY g, v),
+    dv AS (SELECT v, CAST(SUM(c_gv) AS BIGINT) AS c_all
+           FROM gv GROUP BY v),
+    p AS (SELECT v, c_all,
+                 CAST(2 * COALESCE(SUM(c_all) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + c_all + 1 AS BIGINT) AS dr2
+          FROM dv),
+    r AS (SELECT gv.g, CAST(SUM(gv.c_gv) AS BIGINT) AS n_g,
+                 CAST(SUM(gv.c_gv * p.dr2) AS BIGINT) AS r2_g
+          FROM gv JOIN p ON gv.v = p.v GROUP BY gv.g),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n_g) AS BIGINT) AS n,
+                 list_reduce(
+                   list_prepend(0.0,
+                     list((r2_g / (4 * n_g)) * r2_g ORDER BY g)),
+                   (a, b) -> a + b) AS rsum
+          FROM r),
+    ties AS (SELECT list_reduce(
+                      list_prepend(0.0,
+                        list((CAST(c_all AS DOUBLE) * c_all * c_all)
+                             - c_all ORDER BY v)),
+                      (a, b) -> a + b) AS tsum
+             FROM dv),
+    h AS (SELECT k, n,
+                 12.0 * rsum / (n * (n + 1)) - 3 * (n + 1) AS h_stat,
+                 1.0 - tsum / ((CAST(n AS DOUBLE) * n * n) - n) AS tc
+          FROM t CROSS JOIN ties)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_rows,
+           FLOOR(h_stat * 1e6) / 1e6 AS h_stat,
+           FLOOR(h_stat / tc * 1e6) / 1e6 AS h_corrected
+    FROM h
+    """,
+    notes="Kruskal-Wallis H (k-group rank ANOVA) with exact tie "
+    "handling and no data-sized sort: doubled average ranks come from "
+    "the distinct-value prefix sums (the agg_mannwhitney_auc "
+    "machinery, generalized from 2 groups to k), per-group doubled "
+    "rank sums are exact BIGINTs, and the two float reductions — "
+    "sum of R_g^2/n_g over groups and the tie term sum(c^3-c) over "
+    "values — are ordered left-folds with 0.0 seeds (cubes go through "
+    "DOUBLE before multiplying: c^3 overflows BIGINT by sf1, the "
+    "agg_ttest_welch lesson). The nonparametric sibling of agg_anova "
+    "on the identical grouping",
+)
+def agg_kruskal_wallis(spark, sf_dir):
+    """One corpus-sized (group, value) aggregate, then everything runs
+    on the distinct-value table (bounded by cent cardinality) and the
+    k-row group table. The one ordered window is value-cardinality-
+    sized; bucketed_global_rank is the documented path if values ever
+    go data-sized."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    # gv is the ONE corpus-sized pass; it is bounded by (k x cent
+    # cardinality) rows, so checkpoint it — dv, the rank prefix table
+    # and the per-group rank sums all derive from it, and without the
+    # pin each derivation would re-scan the corpus (3 scans observed)
+    gv = (
+        x.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gv"))
+        .localCheckpoint()
+    )
+    dv = gv.groupBy("v").agg(F.sum("c_gv").cast("long").alias("c_all"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    p = dv.select(
+        "v",
+        "c_all",
+        (
+            2 * F.coalesce(F.sum("c_all").over(w), F.lit(0))
+            + F.col("c_all")
+            + 1
+        )
+        .cast("long")
+        .alias("dr2"),
+    )
+    r = (
+        gv.join(F.broadcast(p.select("v", "dr2")), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c_gv").cast("long").alias("n_g"),
+            F.sum(F.col("c_gv") * F.col("dr2")).cast("long").alias("r2_g"),
+        )
+    )
+    # ordered fold over the k group terms (float-sum order pinning)
+    term = (F.col("r2_g") / (4 * F.col("n_g"))) * F.col("r2_g")
+    t = r.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("g"), term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("rsum"),
+    )
+    # tie-term fold over distinct values; cubes in DOUBLE (BIGINT c^3
+    # overflows by sf1)
+    tie_term = (
+        F.col("c_all").cast("double") * F.col("c_all") * F.col("c_all")
+    ) - F.col("c_all")
+    ties = dv.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("v"), tie_term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("tsum")
+    )
+    h = t.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n",
+        (
+            12.0 * F.col("rsum") / (F.col("n") * (F.col("n") + 1))
+            - 3 * (F.col("n") + 1)
+        ).alias("h_stat"),
+        (
+            1.0
+            - F.col("tsum")
+            / ((F.col("n").cast("double") * F.col("n") * F.col("n")) - F.col("n"))
+        ).alias("tc"),
+    )
+    return h.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_rows"),
+        (F.floor(F.col("h_stat") * 1e6) / 1e6).alias("h_stat"),
+        (F.floor(F.col("h_stat") / F.col("tc") * 1e6) / 1e6).alias(
+            "h_corrected"
+        ),
+    )
+
+
+@register(
+    "agg_mcnemar",
+    section="2.4",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(x * (1 - y)) AS BIGINT) AS b,
+                 CAST(SUM((1 - x) * y) AS BIGINT) AS c,
+                 CAST(SUM(x * y) AS BIGINT) AS n11
+          FROM u)
+    SELECT n_users, b, c, n11,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE FLOOR(((b - c) * (b - c)) / (b + c) * 1e6) / 1e6
+           END AS chi2
+    FROM t
+    """,
+    notes="McNemar's test for paired binary outcomes — did each user "
+    "purchase in the first vs the second half of the observation "
+    "window — the within-subject sibling of agg_ab_test (which "
+    "compares independent groups). The discordant-pair counts b "
+    "(converted then lapsed) and c (newly converted) are exact "
+    "BIGINTs from one per-user conditional aggregate; the statistic "
+    "(b-c)^2/(b+c) is a single division of exact integers, so both "
+    "engines produce the identical double (floored 6 dp). Two "
+    "map-side-combined aggregates, no window, no join — the plan is "
+    "one keyed shuffle at any scale",
+)
+def agg_mcnemar(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("date")
+    is_p = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(is_p & (F.col("ts").cast("date") < split), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.max(
+            F.when(is_p & (F.col("ts").cast("date") >= split), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    t = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("x") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("x")) * F.col("y")).cast("long").alias("c"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("n11"),
+    )
+    diff = F.col("b") - F.col("c")
+    return t.select(
+        "n_users",
+        "b",
+        "c",
+        "n11",
+        F.when(F.col("b") + F.col("c") == 0, F.lit(None)).otherwise(
+            F.floor((diff * diff) / (F.col("b") + F.col("c")) * 1e6) / 1e6
+        ).alias("chi2"),
+    )

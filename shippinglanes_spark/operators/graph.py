@@ -889,9 +889,10 @@ def graph_assortativity(spark, sf_dir):
 _WALK_STEPS = 4
 
 
-def _walks_oracle() -> str:
-    """Unrolled walk steps: each step is one deterministic neighbor
-    pick (md5-derandomized index into the sorted adjacency list)."""
+def _walks_cte_and_union() -> tuple[str, str]:
+    """The unrolled walk CTE chain and the step-union select — shared
+    by the graph_random_walks oracle and the node2vec-pairs oracle
+    built on top of it."""
     ctes = [
         """bidir AS (SELECT a AS u, b AS v FROM und
                  UNION ALL SELECT b AS u, a AS v FROM und),
@@ -922,9 +923,32 @@ def _walks_oracle() -> str:
         "WITH "
         + _KCORE_BASE_SQL.strip()
         + ",\n    "
-        + ",\n    ".join(ctes)
-        + "\n    "
-        + "\n    UNION ALL ".join(selects)
+        + ",\n    ".join(ctes),
+        "\n    UNION ALL ".join(selects),
+    )
+
+
+def _walks_oracle() -> str:
+    """Unrolled walk steps: each step is one deterministic neighbor
+    pick (md5-derandomized index into the sorted adjacency list)."""
+    ctes, union = _walks_cte_and_union()
+    return ctes + "\n    " + union
+
+
+def _node2vec_pairs_oracle() -> str:
+    ctes, union = _walks_cte_and_union()
+    return (
+        ctes
+        + ",\n    walks AS (\n    "
+        + union
+        + """)
+    SELECT wa.node AS center, wb.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM walks wa JOIN walks wb
+      ON wa.walk_id = wb.walk_id
+     AND abs(wa.step - wb.step) BETWEEN 1 AND 2
+    GROUP BY 1, 2
+    """
     )
 
 
@@ -1015,3 +1039,38 @@ def graph_random_walks(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "graph_node2vec_pairs",
+    section="2.9",
+    oracle=_node2vec_pairs_oracle(),
+    notes="skip-gram (center, context) pair extraction from the "
+    "derandomized random walks — the actual training-example "
+    "generator for node2vec/DeepWalk graph embeddings (window "
+    "size 2). The walk table is node-count-sized (walks are fixed "
+    "length), so the within-walk self-join is tiny and keyed on "
+    "walk_id; pair counts aggregate with map-side combine. At 100 TB "
+    "the corpus cost is the single edge-derivation pass inherited "
+    "from graph_random_walks; everything after is graph-sized",
+)
+def graph_node2vec_pairs(spark, sf_dir):
+    """walks x walks within a walk_id, |step gap| in [1, 2]: the
+    localCheckpoint pins the 4-step iterative lineage so the self-join
+    doesn't re-run it twice."""
+    walks = graph_random_walks(spark, sf_dir).localCheckpoint()
+    wa = walks.alias("wa")
+    wb = walks.alias("wb")
+    gap = F.abs(F.col("wa.step") - F.col("wb.step"))
+    return (
+        wa.join(
+            wb,
+            (F.col("wa.walk_id") == F.col("wb.walk_id"))
+            & gap.between(1, 2),
+        )
+        .groupBy(
+            F.col("wa.node").alias("center"),
+            F.col("wb.node").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -537,3 +537,21 @@ def test_geohash_single_scan_one_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in p
+
+
+def test_rank_stats_no_cartesian_single_scan(spark, sf_dir):
+    """Kendall tau's pair stage must be an equi-join on the key (never
+    a cartesian); Kruskal-Wallis and McNemar reduce to keyed aggregates
+    over ONE scan each."""
+    import re
+
+    p = plan(spark, sf_dir, "agg_kendall_tau")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    for name in ("agg_kruskal_wallis", "agg_mcnemar"):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p
+        # kruskal's one corpus pass is behind a localCheckpoint, so its
+        # post-checkpoint plan shows ZERO parquet scans; mcnemar shows
+        # exactly one. Either way: never more than one.
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, name

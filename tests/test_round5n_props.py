@@ -1,0 +1,124 @@
+"""Independent semantic cross-checks for the round-5 session-5 stats
+batch (Kendall tau-b, Kruskal-Wallis H): the DuckDB oracles prove
+cross-engine equality; these prove the SEMANTICS against brute-force
+pure-python/pandas references that share no formulation with either
+engine (literal pair loops, average-rank method)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from shippinglanes_spark.registry import all_queries
+
+
+def _events_values(spark, sf_dir) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+        .where("value IS NOT NULL")
+        .toPandas()
+    )
+
+
+def test_kendall_tau_matches_pair_loop(spark, sf_dir):
+    ev = _events_values(spark, sf_dir)
+    daily = (
+        ev.groupby(["event_type", "day"])
+        .agg(x=("cents", "size"), y=("cents", "sum"))
+        .reset_index()
+    )
+    got = {
+        r.event_type: r
+        for r in all_queries()["agg_kendall_tau"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily["event_type"].unique())
+    for et, grp in daily.groupby("event_type"):
+        xs = list(grp.sort_values("day")["x"])
+        ys = list(grp.sort_values("day")["y"])
+        n = len(xs)
+        s = nx0 = ny0 = n0 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+                n0 += 1
+                if dx == 0:
+                    nx0 += 1
+                if dy == 0:
+                    ny0 += 1
+                if dx * dy > 0:
+                    s += 1
+                elif dx * dy < 0:
+                    s -= 1
+        r = got[et]
+        assert (r.n_pairs, r.s_stat) == (n0, s)
+        tau = s / math.sqrt((n0 - nx0) * (n0 - ny0))
+        assert abs(r.tau_b - tau) < 2e-6  # engine floors at 6 dp
+
+
+def test_kruskal_wallis_matches_rank_reference(spark, sf_dir):
+    ev = _events_values(spark, sf_dir)
+    ranks = ev["cents"].rank(method="average")
+    n = len(ev)
+    rsum = 0.0
+    for _, idx in ev.groupby("event_type").groups.items():
+        rg = ranks.loc[idx]
+        rsum += rg.sum() ** 2 / len(rg)
+    h = 12.0 * rsum / (n * (n + 1)) - 3 * (n + 1)
+    counts = ev["cents"].value_counts()
+    tc = 1.0 - sum(c**3 - c for c in counts) / (n**3 - n)
+    row = all_queries()["agg_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    assert row.n_rows == n
+    assert row.k_groups == ev["event_type"].nunique()
+    assert abs(row.h_stat - h) < 1e-5
+    assert abs(row.h_corrected - h / tc) < 1e-5
+
+
+def test_node2vec_pairs_match_walk_recount(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    walks = all_queries()["graph_random_walks"].fn(spark, sf_dir).collect()
+    seq = defaultdict(dict)
+    for r in walks:
+        seq[r.walk_id][r.step] = r.node
+    ref = Counter()
+    for s in seq.values():
+        steps = sorted(s)
+        for i in steps:
+            for j in steps:
+                if i != j and 1 <= abs(i - j) <= 2:
+                    ref[(s[i], s[j])] += 1
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in all_queries()["graph_node2vec_pairs"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == dict(ref)
+
+
+def test_mcnemar_matches_pandas(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_type = 'purchase' AND CAST(ts AS DATE) < DATE '2024-01-16' AS p1",
+            "event_type = 'purchase' AND CAST(ts AS DATE) >= DATE '2024-01-16' AS p2",
+        )
+        .toPandas()
+    )
+    u = ev.groupby("user_id").agg(x=("p1", "max"), y=("p2", "max"))
+    b = int((u["x"] & ~u["y"]).sum())
+    c = int((~u["x"] & u["y"]).sum())
+    row = all_queries()["agg_mcnemar"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_users, row.b, row.c) == (len(u), b, c)
+    assert row.n11 == int((u["x"] & u["y"]).sum())
+    if b + c:
+        assert abs(row.chi2 - (b - c) ** 2 / (b + c)) < 2e-6
+    else:
+        assert row.chi2 is None
