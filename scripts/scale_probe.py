@@ -561,8 +561,9 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
     one cell-keyed agg), random walks / node2vec pairs (one corpus
     edge pass, then graph-sized iterations — expect FLAT), Kendall tau
     (corpus -> daily grid -> calendar-bounded pairs), Kruskal-Wallis
-    (corpus -> distinct-value table, checkpointed single pass),
-    McNemar (two stacked keyed aggregates)."""
+    / Levene (corpus -> distinct-value table, checkpointed single
+    pass), McNemar (two stacked keyed aggregates), PACF (corpus ->
+    daily grid -> one 18-sum aggregate)."""
     from shippinglanes_spark.registry import all_queries
 
     Q = all_queries()
@@ -573,6 +574,8 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "agg_kendall_tau",
         "agg_kruskal_wallis",
         "agg_mcnemar",
+        "agg_levene",
+        "ts_pacf",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

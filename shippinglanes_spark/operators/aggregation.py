@@ -2974,3 +2974,112 @@ def agg_mcnemar(spark, sf_dir):
             F.floor((diff * diff) / (F.col("b") + F.col("c")) * 1e6) / 1e6
         ).alias("chi2"),
     )
+
+
+@register(
+    "agg_levene",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT event_type AS g,
+                      CAST(ROUND(value * 100) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM x GROUP BY g, v),
+    ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM gv GROUP BY g),
+    cum AS (SELECT g, v, c,
+                   CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cm
+            FROM gv),
+    med AS (SELECT cum.g, CAST(MIN(cum.v) AS BIGINT) AS med
+            FROM cum JOIN ng ON ng.g = cum.g
+            WHERE cum.cm >= (ng.n + 1) // 2 GROUP BY cum.g),
+    z AS (SELECT gv.g, ABS(gv.v - med.med) AS z, gv.c
+          FROM gv JOIN med ON gv.g = med.g),
+    grp AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * z) AS BIGINT) AS s,
+                   CAST(SUM(c * z * z) AS BIGINT) AS ss
+            FROM z GROUP BY g),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS tn,
+                 CAST(SUM(s) AS BIGINT) AS ts,
+                 CAST(SUM(ss) AS BIGINT) AS tss,
+                 list_reduce(list((s / n) * s ORDER BY g),
+                             (a, b) -> a + b) AS gm
+          FROM grp)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(tn AS BIGINT) AS n_rows,
+           FLOOR(((tn - k) / (k - 1))
+                 * ((gm - (ts / tn) * ts) / (tss - gm)) * 1e6) / 1e6
+             AS w_stat
+    FROM t
+    """,
+    notes="Levene's test (Brown-Forsythe variant: deviations from the "
+    "group MEDIAN) for homogeneity of variance across event types — "
+    "the assumption check behind agg_anova/agg_ttest_welch routing. "
+    "Everything happens on the distinct-value table: the group median "
+    "comes from cumulative counts (smallest v with cum >= (n+1) div 2 "
+    "— never a data-sized sort), and the ANOVA-on-|v - med| moments "
+    "are EXACT BIGINT sums weighted by the value counts, so the "
+    "corpus is scanned exactly once. The k group-mean terms fold in "
+    "group order (the agg_anova discipline); the final W is two "
+    "divisions of exact sums, floored 6 dp",
+)
+def agg_levene(spark, sf_dir):
+    """One corpus pass to (group, cent) counts; median, deviations and
+    all moments derive from that bounded table, so the 100 TB cost is
+    one map-side-combined aggregate + value-cardinality-sized work."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    gv = (
+        x.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    ng = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    w = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = gv.select("g", "v", "c", F.sum("c").over(w).cast("long").alias("cm"))
+    med = (
+        cum.join(F.broadcast(ng), "g")
+        .where(F.col("cm") >= F.expr("(n + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("v").cast("long").alias("med"))
+    )
+    z = gv.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z"), "c"
+    )
+    grp = z.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("z")).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).cast("long").alias("ss"),
+    )
+    term = (F.col("s") / F.col("n")) * F.col("s")
+    t = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("long").alias("ts"),
+        F.sum("ss").cast("long").alias("tss"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("g"), term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("gm"),
+    )
+    sb = F.col("gm") - (F.col("ts") / F.col("tn")) * F.col("ts")
+    sw = F.col("tss") - F.col("gm")
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("tn").alias("n_rows"),
+        (
+            F.floor(
+                ((F.col("tn") - F.col("k")) / (F.col("k") - 1))
+                * (sb / sw)
+                * 1e6
+            )
+            / 1e6
+        ).alias("w_stat"),
+    )

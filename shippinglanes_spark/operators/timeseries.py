@@ -1437,3 +1437,131 @@ def ts_mann_kendall(spark, sf_dir):
         "var18",
         (F.floor(z * 1e6) / 1e6).alias("z"),
     )
+
+
+@register(
+    "ts_pacf",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    l AS (SELECT n,
+                 LAG(n, 1) OVER (ORDER BY day) AS n1,
+                 LAG(n, 2) OVER (ORDER BY day) AS n2,
+                 LAG(n, 3) OVER (ORDER BY day) AS n3
+          FROM d),
+    m AS (SELECT
+            CAST(COUNT(*) FILTER (n1 IS NOT NULL) AS BIGINT) AS m1,
+            CAST(SUM(n) FILTER (n1 IS NOT NULL) AS BIGINT) AS x1,
+            CAST(SUM(n1) FILTER (n1 IS NOT NULL) AS BIGINT) AS y1,
+            CAST(SUM(n * n1) AS BIGINT) AS xy1,
+            CAST(SUM(n * n) FILTER (n1 IS NOT NULL) AS BIGINT) AS xx1,
+            CAST(SUM(n1 * n1) AS BIGINT) AS yy1,
+            CAST(COUNT(*) FILTER (n2 IS NOT NULL) AS BIGINT) AS m2,
+            CAST(SUM(n) FILTER (n2 IS NOT NULL) AS BIGINT) AS x2,
+            CAST(SUM(n2) FILTER (n2 IS NOT NULL) AS BIGINT) AS y2,
+            CAST(SUM(n * n2) AS BIGINT) AS xy2,
+            CAST(SUM(n * n) FILTER (n2 IS NOT NULL) AS BIGINT) AS xx2,
+            CAST(SUM(n2 * n2) AS BIGINT) AS yy2,
+            CAST(COUNT(*) FILTER (n3 IS NOT NULL) AS BIGINT) AS m3,
+            CAST(SUM(n) FILTER (n3 IS NOT NULL) AS BIGINT) AS x3,
+            CAST(SUM(n3) FILTER (n3 IS NOT NULL) AS BIGINT) AS y3,
+            CAST(SUM(n * n3) AS BIGINT) AS xy3,
+            CAST(SUM(n * n) FILTER (n3 IS NOT NULL) AS BIGINT) AS xx3,
+            CAST(SUM(n3 * n3) AS BIGINT) AS yy3
+          FROM l),
+    r AS (SELECT
+            (m1 * xy1 - x1 * y1)
+              / sqrt(CAST(m1 * xx1 - x1 * x1 AS DOUBLE)
+                     * (m1 * yy1 - y1 * y1)) AS r1,
+            (m2 * xy2 - x2 * y2)
+              / sqrt(CAST(m2 * xx2 - x2 * x2 AS DOUBLE)
+                     * (m2 * yy2 - y2 * y2)) AS r2,
+            (m3 * xy3 - x3 * y3)
+              / sqrt(CAST(m3 * xx3 - x3 * x3 AS DOUBLE)
+                     * (m3 * yy3 - y3 * y3)) AS r3
+          FROM m),
+    dl AS (SELECT r1, r2, r3,
+                  (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+           FROM r),
+    dl2 AS (SELECT r1, r2, r3, phi22,
+                   r1 - phi22 * r1 AS phi21
+            FROM dl)
+    SELECT FLOOR(r1 * 1e6) / 1e6 AS pacf1,
+           FLOOR(phi22 * 1e6) / 1e6 AS pacf2,
+           FLOOR((r3 - phi21 * r2 - phi22 * r1)
+                 / (1 - phi21 * r1 - phi22 * r2) * 1e6) / 1e6 AS pacf3
+    FROM dl2
+    """,
+    notes="partial autocorrelation (Durbin-Levinson, lags 1-3) of the "
+    "daily event-count series — the AR-order diagnostic next to "
+    "ts_autocorr's plain ACF. Each lag's Pearson r comes from EXACT "
+    "BIGINT moment sums over the lag-pairs (one conditional aggregate "
+    "over the calendar-bounded lagged grid, never engine CORR whose "
+    "internal float-sum order is unspecified), so r1/r2/r3 are "
+    "bit-identical doubles; the Durbin-Levinson recursion is unrolled "
+    "into the identical closed-form expression tree on both engines "
+    "and floored 6 dp. One corpus-sized keyed aggregate, one "
+    "calendar-sized window — flat at any scale",
+)
+def ts_pacf(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day")
+    lag = daily.select(
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 2).over(w).alias("n2"),
+        F.lag("n", 3).over(w).alias("n3"),
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        nk = F.col(f"n{k}")
+        ok = nk.isNotNull()
+        aggs += [
+            F.sum(ok.cast("long")).cast("long").alias(f"m{k}"),
+            F.sum(F.when(ok, F.col("n"))).cast("long").alias(f"x{k}"),
+            F.sum(nk).cast("long").alias(f"y{k}"),
+            F.sum(F.col("n") * nk).cast("long").alias(f"xy{k}"),
+            F.sum(F.when(ok, F.col("n") * F.col("n")))
+            .cast("long")
+            .alias(f"xx{k}"),
+            F.sum(nk * nk).cast("long").alias(f"yy{k}"),
+        ]
+    m = lag.agg(*aggs)
+
+    def pearson(k: int):
+        mm, x, y = F.col(f"m{k}"), F.col(f"x{k}"), F.col(f"y{k}")
+        xy, xx, yy = F.col(f"xy{k}"), F.col(f"xx{k}"), F.col(f"yy{k}")
+        return (mm * xy - x * y) / F.sqrt(
+            (mm * xx - x * x).cast("double") * (mm * yy - y * y)
+        )
+
+    r = m.select(
+        pearson(1).alias("r1"), pearson(2).alias("r2"), pearson(3).alias("r3")
+    )
+    dl = r.select(
+        "r1",
+        "r2",
+        "r3",
+        ((F.col("r2") - F.col("r1") * F.col("r1"))
+         / (1 - F.col("r1") * F.col("r1"))).alias("phi22"),
+    )
+    dl2 = dl.select(
+        "r1",
+        "r2",
+        "r3",
+        "phi22",
+        (F.col("r1") - F.col("phi22") * F.col("r1")).alias("phi21"),
+    )
+    pacf3 = (
+        F.col("r3") - F.col("phi21") * F.col("r2") - F.col("phi22") * F.col("r1")
+    ) / (1 - F.col("phi21") * F.col("r1") - F.col("phi22") * F.col("r2"))
+    return dl2.select(
+        (F.floor(F.col("r1") * 1e6) / 1e6).alias("pacf1"),
+        (F.floor(F.col("phi22") * 1e6) / 1e6).alias("pacf2"),
+        (F.floor(pacf3 * 1e6) / 1e6).alias("pacf3"),
+    )

@@ -122,3 +122,49 @@ def test_mcnemar_matches_pandas(spark, sf_dir):
         assert abs(row.chi2 - (b - c) ** 2 / (b + c)) < 2e-6
     else:
         assert row.chi2 is None
+
+
+def test_levene_matches_brute_force(spark, sf_dir):
+    ev = _events_values(spark, sf_dir)
+    groups = {}
+    for g, grp in ev.groupby("event_type"):
+        vs = sorted(grp["cents"])
+        med = vs[(len(vs) + 1) // 2 - 1]  # lower median (rank pick)
+        groups[g] = [abs(v - med) for v in vs]
+    k = len(groups)
+    tn = sum(len(z) for z in groups.values())
+    gmean = sum(sum(z) for z in groups.values()) / tn
+    sb = sum(len(z) * (sum(z) / len(z) - gmean) ** 2 for z in groups.values())
+    sw = sum(
+        sum((x - sum(z) / len(z)) ** 2 for x in z) for z in groups.values()
+    )
+    w_ref = ((tn - k) / (k - 1)) * (sb / sw)
+    row = all_queries()["agg_levene"].fn(spark, sf_dir).collect()[0]
+    assert (row.k_groups, row.n_rows) == (k, tn)
+    assert abs(row.w_stat - w_ref) < 1e-5
+
+
+def test_pacf_matches_durbin_levinson_reference(spark, sf_dir):
+    import numpy as np
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("date_trunc('day', ts) AS day")
+        .groupBy("day")
+        .count()
+        .orderBy("day")
+        .toPandas()["count"]
+        .to_numpy(dtype=float)
+    )
+
+    def r(k):
+        return np.corrcoef(daily[k:], daily[:-k])[0, 1]
+
+    r1, r2, r3 = r(1), r(2), r(3)
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    row = all_queries()["ts_pacf"].fn(spark, sf_dir).collect()[0]
+    assert abs(row.pacf1 - r1) < 2e-6
+    assert abs(row.pacf2 - phi22) < 2e-6
+    assert abs(row.pacf3 - pacf3) < 2e-6
