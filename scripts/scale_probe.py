@@ -576,6 +576,8 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "agg_mcnemar",
         "agg_levene",
         "ts_pacf",
+        "evt_propensity_matching",
+        "graph_betweenness",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

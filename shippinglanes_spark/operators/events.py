@@ -2367,3 +2367,146 @@ def profile_sequence_gaps(spark, sf_dir):
         .cast("long")
         .alias("gap_len"),
     )
+
+
+@register(
+    "evt_propensity_matching",
+    section="2.10",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purch,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_click,
+             CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cov
+      FROM events GROUP BY user_id),
+    sc AS (
+      SELECT user_id,
+             CAST(n_purch > 0 AS BIGINT) AS treated,
+             CAST(n_click * 1000000 // n_cov AS BIGINT) AS score
+      FROM u WHERE n_cov > 0),
+    carried AS (
+      SELECT user_id, treated, score, score // 100000 AS band,
+             LAST_VALUE(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+               OVER wb AS prev_score,
+             LAST_VALUE(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
+               OVER wb AS prev_uid,
+             FIRST_VALUE(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+               OVER wf AS next_score,
+             FIRST_VALUE(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
+               OVER wf AS next_uid
+      FROM sc
+      WINDOW
+        wb AS (PARTITION BY score // 100000
+               ORDER BY score, treated, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY score // 100000
+               ORDER BY score, treated, user_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id AS treated_uid, score AS treated_score, band,
+           CASE
+             WHEN prev_score IS NULL AND next_score IS NULL THEN NULL
+             WHEN prev_score IS NULL THEN next_uid
+             WHEN next_score IS NULL THEN prev_uid
+             WHEN score - prev_score <= next_score - score THEN prev_uid
+             ELSE next_uid
+           END AS control_uid,
+           CASE
+             WHEN prev_score IS NULL AND next_score IS NULL THEN NULL
+             WHEN prev_score IS NULL THEN next_score - score
+             WHEN next_score IS NULL THEN score - prev_score
+             ELSE LEAST(score - prev_score, next_score - score)
+           END AS score_gap
+    FROM carried WHERE treated = 1
+    """,
+    notes="1:1 nearest-neighbor propensity matching with a band "
+    "caliper — the missing piece of the causal family next to evt_did "
+    "/ agg_cuped / evt_logrank. Propensity is an EXACT integer score "
+    "(click share of non-purchase events, ppm); treated users (>= 1 "
+    "purchase) match the nearest control WITHIN their score band "
+    "(caliper = 100k ppm), distance ties to the lower side; equal-score "
+    "controls resolve by the carry order (last/first in (score, uid)). "
+    "The match itself is the union-sort-carry pattern: one keyed "
+    "window per direction over (band)-partitioned score order, with "
+    "score and uid carried by the SAME LAST_VALUE IGNORE NULLS frame "
+    "so the pair cannot disagree (the join_asof_tolerance lesson). "
+    "Banding is what makes it 100 TB-safe: no global sort — the sort "
+    "is per-band, and bands are balanced by construction (score is a "
+    "bounded ratio). Matching with replacement: controls may repeat",
+)
+def evt_propensity_matching(spark, sf_dir):
+    """Corpus -> per-user covariates (one keyed agg), then user-sized
+    banded windows; nothing after the first aggregate is data-sized.
+    An unmatched treated user (empty band) surfaces with NULL control
+    rather than silently dropping."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_purch"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("n_click"),
+        F.sum((F.col("event_type") != "purchase").cast("long"))
+        .cast("long")
+        .alias("n_cov"),
+    )
+    sc = u.where(F.col("n_cov") > 0).select(
+        "user_id",
+        (F.col("n_purch") > 0).cast("long").alias("treated"),
+        F.expr("n_click * 1000000 div n_cov").cast("long").alias("score"),
+    )
+    band = F.expr("score div 100000")
+    order = ["score", "treated", "user_id"]
+    wb = (
+        Window.partitionBy(band)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(band)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctl_score = F.when(F.col("treated") == 0, F.col("score"))
+    ctl_uid = F.when(F.col("treated") == 0, F.col("user_id"))
+    carried = sc.select(
+        "user_id",
+        "treated",
+        "score",
+        band.cast("long").alias("band"),
+        F.last(ctl_score, ignorenulls=True).over(wb).alias("prev_score"),
+        F.last(ctl_uid, ignorenulls=True).over(wb).alias("prev_uid"),
+        F.first(ctl_score, ignorenulls=True).over(wf).alias("next_score"),
+        F.first(ctl_uid, ignorenulls=True).over(wf).alias("next_uid"),
+    ).where(F.col("treated") == 1)
+    back = F.col("score") - F.col("prev_score")
+    fwd = F.col("next_score") - F.col("score")
+    control = (
+        F.when(
+            F.col("prev_score").isNull() & F.col("next_score").isNull(),
+            F.lit(None),
+        )
+        .when(F.col("prev_score").isNull(), F.col("next_uid"))
+        .when(F.col("next_score").isNull(), F.col("prev_uid"))
+        .when(back <= fwd, F.col("prev_uid"))
+        .otherwise(F.col("next_uid"))
+    )
+    gap = (
+        F.when(
+            F.col("prev_score").isNull() & F.col("next_score").isNull(),
+            F.lit(None),
+        )
+        .when(F.col("prev_score").isNull(), fwd)
+        .when(F.col("next_score").isNull(), back)
+        .otherwise(F.least(back, fwd))
+    )
+    return carried.select(
+        F.col("user_id").alias("treated_uid"),
+        F.col("score").alias("treated_score"),
+        "band",
+        control.cast("long").alias("control_uid"),
+        gap.cast("long").alias("score_gap"),
+    )

@@ -1074,3 +1074,192 @@ def graph_node2vec_pairs(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def _betweenness_oracle() -> str:
+    """Distances via the closeness BFS chain, then shortest-path
+    counts sigma(s, v) level by level (exact integers), then the
+    all-triples Brandes identity folded in (s, t) order per vertex."""
+    ctes = [
+        "bidir AS (SELECT a AS x, b AS y FROM und"
+        " UNION ALL SELECT b AS x, a AS y FROM und)",
+        "r0 AS (SELECT v AS s, v, 0 AS d FROM s0)",
+    ]
+    for i in range(1, _CL_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT s, v, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT s, v, d FROM r{i - 1}
+        UNION ALL
+        SELECT r.s, e.y AS v, r.d + 1 AS d
+        FROM r{i - 1} r JOIN bidir e ON r.v = e.x)
+      GROUP BY s, v)"""
+        )
+    ctes.append(
+        f"dd AS MATERIALIZED (SELECT s, v, d FROM r{_CL_ITERS})"
+    )
+    ctes.append(
+        "sg0 AS (SELECT v AS s, v, CAST(1 AS BIGINT) AS sig,"
+        " CAST(0 AS BIGINT) AS d FROM s0)"
+    )
+    for l in range(1, _CL_ITERS + 1):
+        ctes.append(
+            f"""sg{l} AS MATERIALIZED (
+      SELECT s, v, sig, d FROM sg{l - 1}
+      UNION ALL
+      SELECT p.s, e.y AS v, CAST(SUM(p.sig) AS BIGINT) AS sig,
+             CAST({l} AS BIGINT) AS d
+      FROM sg{l - 1} p
+      JOIN bidir e ON p.v = e.x
+      JOIN dd ON dd.s = p.s AND dd.v = e.y AND dd.d = {l}
+      WHERE p.d = {l - 1}
+      GROUP BY p.s, e.y)"""
+        )
+    return (
+        "WITH "
+        + _KCORE_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    sig AS (SELECT s, v, sig FROM sg{_CL_ITERS}),
+    terms AS (
+      SELECT m.v AS vid, dsv.s AS s, dvt.s AS t,
+             (ssv.sig / sst.sig) * svt.sig AS term
+      FROM s0 m
+      JOIN dd dsv ON dsv.v = m.v
+      JOIN dd dvt ON dvt.v = m.v AND dsv.s < dvt.s
+      JOIN dd dst ON dst.s = dsv.s AND dst.v = dvt.s
+      JOIN sig ssv ON ssv.s = dsv.s AND ssv.v = m.v
+      JOIN sig svt ON svt.s = dvt.s AND svt.v = m.v
+      JOIN sig sst ON sst.s = dsv.s AND sst.v = dvt.s
+      WHERE dsv.s <> m.v AND dvt.s <> m.v
+        AND dsv.d + dvt.d = dst.d)
+    SELECT s0.v AS nation_id,
+           CAST(COALESCE(f.np, 0) AS BIGINT) AS n_pair_terms,
+           COALESCE(f.bt, 0.0) AS betweenness
+    FROM s0 LEFT JOIN (
+      SELECT vid, CAST(COUNT(*) AS BIGINT) AS np,
+             FLOOR(list_reduce(
+               list_prepend(0.0, list(term ORDER BY s, t)),
+               (a, b) -> a + b) * 1e6) / 1e6 AS bt
+      FROM terms GROUP BY vid) f ON f.vid = s0.v"""
+    )
+
+
+@register(
+    "graph_betweenness",
+    section="2.9",
+    oracle=_betweenness_oracle(),
+    notes="exact betweenness centrality on the above-average trade "
+    "graph via the all-triples Brandes identity: bt(v) = sum over "
+    "unordered pairs s<t (v not an endpoint, pair connected) of "
+    "sigma(s,v) * sigma(v,t) / sigma(s,t) where d(s,v) + d(v,t) = "
+    "d(s,t). Distances come from the closeness multi-source BFS "
+    "(exact integer min-plus), path counts sigma build level by "
+    "level as EXACT BIGINTs (sigma(s,v) = sum of sigma over "
+    "predecessors on shortest paths), and the only floats are the "
+    "per-triple ratios, folded per vertex in (s, t) order with a 0.0 "
+    "seed so the sum is order-pinned (floored 6 dp). Everything "
+    "after the one corpus-sized edge aggregation is graph-sized: "
+    "the all-triples stage is |V|^3 on the AGGREGATED nation graph "
+    "— the right trade for exactness here; at billion-node scale "
+    "you'd swap in Brandes' backward accumulation over the same "
+    "sigma table or sampled pivots (documented, not needed at "
+    "nation granularity)",
+)
+def graph_betweenness(spark, sf_dir):
+    """BFS distances + level-synchronous sigma counting + triple
+    join, all on broadcast-sized relations; localCheckpoint pins each
+    iteration (the pagerank/closeness discipline)."""
+    und = _trade_und(spark, sf_dir)
+    bidir = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(und.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    nodes = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = nodes.select(
+        F.col("v").alias("s"), "v", F.lit(0).cast("long").alias("d")
+    ).localCheckpoint()
+    for _ in range(_CL_ITERS):
+        grown = dist.join(F.broadcast(bidir), dist.v == bidir.x).select(
+            "s", F.col("y").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("s", "v")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint()
+        )
+    sig = nodes.select(
+        F.col("v").alias("s"),
+        "v",
+        F.lit(1).cast("long").alias("sig"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint()
+    for lvl in range(1, _CL_ITERS + 1):
+        frontier = (
+            sig.where(F.col("d") == lvl - 1)
+            .join(F.broadcast(bidir), sig.v == bidir.x)
+            .join(
+                F.broadcast(
+                    dist.where(F.col("d") == lvl).select(
+                        F.col("s").alias("ds"), F.col("v").alias("dv")
+                    )
+                ),
+                (F.col("s") == F.col("ds")) & (F.col("y") == F.col("dv")),
+            )
+            .groupBy("s", F.col("y").alias("v"))
+            .agg(F.sum("sig").cast("long").alias("sig"))
+            .select("s", "v", "sig", F.lit(lvl).cast("long").alias("d"))
+        )
+        sig = sig.unionByName(frontier).localCheckpoint()
+    dsv = dist.select(F.col("s"), F.col("v").alias("vid"), F.col("d").alias("dsv"))
+    dvt = dist.select(
+        F.col("s").alias("t"), F.col("v").alias("vid2"), F.col("d").alias("dvt")
+    )
+    dst = dist.select(
+        F.col("s").alias("s2"), F.col("v").alias("t2"), F.col("d").alias("dst")
+    )
+    ssv = sig.select(F.col("s").alias("a1"), F.col("v").alias("b1"), F.col("sig").alias("sigsv"))
+    svt = sig.select(F.col("s").alias("a2"), F.col("v").alias("b2"), F.col("sig").alias("sigvt"))
+    sst = sig.select(F.col("s").alias("a3"), F.col("v").alias("b3"), F.col("sig").alias("sigst"))
+    terms = (
+        dsv.join(dvt, (F.col("vid") == F.col("vid2")) & (F.col("s") < F.col("t")))
+        .where((F.col("s") != F.col("vid")) & (F.col("t") != F.col("vid")))
+        .join(dst, (F.col("s2") == F.col("s")) & (F.col("t2") == F.col("t")))
+        .where(F.col("dsv") + F.col("dvt") == F.col("dst"))
+        .join(ssv, (F.col("a1") == F.col("s")) & (F.col("b1") == F.col("vid")))
+        .join(svt, (F.col("a2") == F.col("t")) & (F.col("b2") == F.col("vid")))
+        .join(sst, (F.col("a3") == F.col("s")) & (F.col("b3") == F.col("t")))
+        .select(
+            "vid",
+            "s",
+            "t",
+            ((F.col("sigsv") / F.col("sigst")) * F.col("sigvt")).alias("term"),
+        )
+    )
+    folded = terms.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        (
+            F.floor(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("s", "t", F.col("term")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, r: acc + r["term"],
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("bt"),
+    )
+    return nodes.join(folded, nodes.v == folded.vid, "left").select(
+        F.col("v").alias("nation_id"),
+        F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_pair_terms"),
+        F.coalesce(F.col("bt"), F.lit(0.0)).alias("betweenness"),
+    )

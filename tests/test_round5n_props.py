@@ -168,3 +168,95 @@ def test_pacf_matches_durbin_levinson_reference(spark, sf_dir):
     assert abs(row.pacf1 - r1) < 2e-6
     assert abs(row.pacf2 - phi22) < 2e-6
     assert abs(row.pacf3 - pacf3) < 2e-6
+
+
+def test_propensity_matching_matches_brute_force(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "event_type")
+        .toPandas()
+    )
+    u = ev.groupby("user_id").agg(
+        n_purch=("event_type", lambda s: (s == "purchase").sum()),
+        n_click=("event_type", lambda s: (s == "click").sum()),
+        n_cov=("event_type", lambda s: (s != "purchase").sum()),
+    )
+    u = u[u["n_cov"] > 0]
+    u["score"] = u["n_click"] * 1_000_000 // u["n_cov"]
+    u["band"] = u["score"] // 100_000
+    got = {
+        r.treated_uid: r
+        for r in all_queries()["evt_propensity_matching"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    treated = u[u["n_purch"] > 0]
+    assert set(got) == set(treated.index)
+    controls = u[u["n_purch"] == 0]
+    for uid, row in treated.iterrows():
+        cb = controls[controls["band"] == row["band"]]
+        r = got[uid]
+        assert r.treated_score == row["score"] and r.band == row["band"]
+        if cb.empty:
+            assert r.control_uid is None and r.score_gap is None
+            continue
+        # prev = last control in (score, uid) order with score <= t;
+        # next = first with score > t; nearer wins, ties to prev
+        ordered = sorted(zip(cb["score"], cb.index))
+        prev = [c for c in ordered if c[0] <= row["score"]]
+        nxt = [c for c in ordered if c[0] > row["score"]]
+        if not prev:
+            exp_uid, exp_gap = nxt[0][1], nxt[0][0] - row["score"]
+        elif not nxt:
+            exp_uid, exp_gap = prev[-1][1], row["score"] - prev[-1][0]
+        else:
+            back = row["score"] - prev[-1][0]
+            fwd = nxt[0][0] - row["score"]
+            if back <= fwd:
+                exp_uid, exp_gap = prev[-1][1], back
+            else:
+                exp_uid, exp_gap = nxt[0][1], fwd
+        assert (r.control_uid, r.score_gap) == (exp_uid, exp_gap), uid
+
+
+def test_betweenness_matches_brandes_reference(spark, sf_dir):
+    """Pure-python Brandes (backward dependency accumulation) vs the
+    engine's all-triples formulation — genuinely different algorithms
+    for the same quantity."""
+    from collections import defaultdict, deque
+
+    from shippinglanes_spark.operators.graph import _trade_und
+
+    adj = defaultdict(set)
+    for r in _trade_und(spark, sf_dir).collect():
+        adj[r.a].add(r.b)
+        adj[r.b].add(r.a)
+    bt = defaultdict(float)
+    for s in adj:
+        # single-source shortest paths + sigma
+        dist, sigma, preds = {s: 0}, {s: 1.0}, defaultdict(list)
+        order, q = [], deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[u]
+                    preds[w].append(u)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bt[w] += delta[w]
+    got = {
+        r.nation_id: r.betweenness
+        for r in all_queries()["graph_betweenness"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for v in adj:
+        # Brandes counts each unordered pair twice (once per endpoint)
+        assert abs(got[v] - bt[v] / 2.0) < 1e-4, v
