@@ -2428,18 +2428,25 @@ def profile_sequence_gaps(spark, sf_dir):
     "purchase) match the nearest control WITHIN their score band "
     "(caliper = 100k ppm), distance ties to the lower side; equal-score "
     "controls resolve by the carry order (last/first in (score, uid)). "
-    "The match itself is the union-sort-carry pattern: one keyed "
-    "window per direction over (band)-partitioned score order, with "
-    "score and uid carried by the SAME LAST_VALUE IGNORE NULLS frame "
-    "so the pair cannot disagree (the join_asof_tolerance lesson). "
-    "Banding is what makes it 100 TB-safe: no global sort — the sort "
-    "is per-band, and bands are balanced by construction (score is a "
-    "bounded ratio). Matching with replacement: controls may repeat",
+    "The carry windows run on the DISTINCT-SCORE grid (bounded by "
+    "the ppm range — at most 1e6+1 rows no matter how many users), "
+    "with score and carrier uid taken from the SAME per-score summary "
+    "row so the pair cannot disagree; treated users then equi-join "
+    "their score row. That grid reduction is what makes it "
+    "100 TB-safe: the naive formulation windows over the USER-sized "
+    "table with only ~10 band partitions (measured exactly linear at "
+    "10x — a billion-row single-task sort at scale); the grid version "
+    "is one keyed user aggregate + bounded-grid windows + one "
+    "broadcast-able equi-join. Matching with replacement: controls "
+    "may repeat",
 )
 def evt_propensity_matching(spark, sf_dir):
-    """Corpus -> per-user covariates (one keyed agg), then user-sized
-    banded windows; nothing after the first aggregate is data-sized.
-    An unmatched treated user (empty band) surfaces with NULL control
+    """Corpus -> per-user covariates (one keyed agg, checkpointed so
+    the grid and the treated probe share the single corpus pass) ->
+    per-score summary (bounded grid) -> banded carry windows on the
+    grid -> treated equi-join back by score. Nothing after the first
+    aggregate is user-sized except the final keyed join. An unmatched
+    treated user (no control in band) surfaces with NULL control
     rather than silently dropping."""
     ev = table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -2453,35 +2460,55 @@ def evt_propensity_matching(spark, sf_dir):
         .cast("long")
         .alias("n_cov"),
     )
-    sc = u.where(F.col("n_cov") > 0).select(
-        "user_id",
-        (F.col("n_purch") > 0).cast("long").alias("treated"),
-        F.expr("n_click * 1000000 div n_cov").cast("long").alias("score"),
+    sc = (
+        u.where(F.col("n_cov") > 0)
+        .select(
+            "user_id",
+            (F.col("n_purch") > 0).cast("long").alias("treated"),
+            F.expr("n_click * 1000000 div n_cov").cast("long").alias("score"),
+        )
+        .localCheckpoint()
+    )
+    # per-score summary: the grid is bounded by the ppm score range,
+    # NOT by user count. Carrier uids reproduce the union-sort-carry
+    # tie rule exactly: backward picks the LAST control in (score,
+    # uid) order (max uid of its score), forward the FIRST (min uid)
+    g = sc.groupBy("score").agg(
+        F.max(F.when(F.col("treated") == 0, F.col("user_id")))
+        .cast("long")
+        .alias("ctl_max_uid"),
+        F.min(F.when(F.col("treated") == 0, F.col("user_id")))
+        .cast("long")
+        .alias("ctl_min_uid"),
     )
     band = F.expr("score div 100000")
-    order = ["score", "treated", "user_id"]
     wb = (
         Window.partitionBy(band)
-        .orderBy(*order)
+        .orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy(band)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy("score")
+        .rowsBetween(1, Window.unboundedFollowing)
     )
-    ctl_score = F.when(F.col("treated") == 0, F.col("score"))
-    ctl_uid = F.when(F.col("treated") == 0, F.col("user_id"))
-    carried = sc.select(
-        "user_id",
-        "treated",
+    has_ctl = F.col("ctl_max_uid").isNotNull()
+    ctl_score = F.when(has_ctl, F.col("score"))
+    grid = g.select(
         "score",
         band.cast("long").alias("band"),
         F.last(ctl_score, ignorenulls=True).over(wb).alias("prev_score"),
-        F.last(ctl_uid, ignorenulls=True).over(wb).alias("prev_uid"),
+        F.last(F.when(has_ctl, F.col("ctl_max_uid")), ignorenulls=True)
+        .over(wb)
+        .alias("prev_uid"),
         F.first(ctl_score, ignorenulls=True).over(wf).alias("next_score"),
-        F.first(ctl_uid, ignorenulls=True).over(wf).alias("next_uid"),
-    ).where(F.col("treated") == 1)
+        F.first(F.when(has_ctl, F.col("ctl_min_uid")), ignorenulls=True)
+        .over(wf)
+        .alias("next_uid"),
+    )
+    carried = sc.where(F.col("treated") == 1).join(
+        F.broadcast(grid), "score"
+    )
     back = F.col("score") - F.col("prev_score")
     fwd = F.col("next_score") - F.col("score")
     control = (
