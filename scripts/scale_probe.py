@@ -578,6 +578,9 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "ts_pacf",
         "evt_propensity_matching",
         "graph_betweenness",
+        "pipeline_cohen_kappa",
+        "graph_eccentricity",
+        "ts_permutation_entropy",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

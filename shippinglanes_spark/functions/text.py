@@ -1179,3 +1179,90 @@ def text_dup_spans(spark, sf_dir):
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "pipeline_cohen_kappa",
+    section="2.9",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x = 'the')) AS c0,
+             len(list_filter(string_split(text, ' '), x -> x = 'data')) AS c1,
+             len(list_filter(string_split(text, ' '), x -> x = 'table')) AS c2,
+             len(list_filter(string_split(text, ' '), x -> x = 'join')) AS c3,
+             len(list_filter(string_split(text, ' '), x -> x = 'window')) AS c4
+      FROM documents),
+    conf AS (
+      SELECT lang,
+             CASE WHEN c0 > 0 AND c0 >= GREATEST(c1, c2, c3, c4) THEN 'en'
+                  WHEN c1 > 0 AND c1 >= GREATEST(c2, c3, c4) THEN 'es'
+                  WHEN c2 > 0 AND c2 >= GREATEST(c3, c4) THEN 'fr'
+                  WHEN c3 > 0 AND c3 >= c4 THEN 'de'
+                  WHEN c4 > 0 THEN 'zh'
+                  ELSE 'und' END AS pred_lang
+      FROM c),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) FILTER (pred_lang = lang) AS BIGINT) AS agree
+          FROM conf),
+    sup AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS support
+            FROM conf GROUP BY lang),
+    prd AS (SELECT pred_lang AS cls, CAST(COUNT(*) AS BIGINT) AS predicted
+            FROM conf GROUP BY pred_lang),
+    marg AS (SELECT CAST(SUM(COALESCE(support, 0) * COALESCE(predicted, 0))
+                      AS BIGINT) AS src
+             FROM sup FULL JOIN prd USING (cls))
+    SELECT n AS n_docs, agree,
+           CAST(agree AS DOUBLE) / n AS po,
+           CAST(src AS DOUBLE) / (n * n) AS pe,
+           FLOOR((n * agree - src) * 1e6 / (n * n - src)) / 1e6 AS kappa
+    FROM t CROSS JOIN marg
+    """,
+    notes="Cohen's kappa between the text_langid heuristic and the "
+    "labeled lang column — chance-corrected agreement, the statistic "
+    "that separates a real classifier from one that parrots the "
+    "majority class (accuracy alone can't). Entirely exact integers: "
+    "kappa = (N*agree - sum(support_c * predicted_c)) / (N^2 - sum(...)) "
+    "— the marginal product sum is an exact BIGINT (no float fold "
+    "needed at all), and the statistic is ONE division, floored 6 dp. "
+    "One corpus scan for the confusion, class-sized work after; the "
+    "agreement-audit companion of pipeline_langid_eval's per-class "
+    "precision/recall",
+)
+def pipeline_cohen_kappa(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    conf = text_langid(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).localCheckpoint()
+    t = conf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("pred_lang") == F.col("lang"), 1))
+        .cast("long")
+        .alias("agree"),
+    )
+    sup = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    prd = conf.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("predicted")
+    )
+    marg = (
+        sup.join(prd, "cls", "full")
+        .select(
+            (
+                F.coalesce(F.col("support"), F.lit(0))
+                * F.coalesce(F.col("predicted"), F.lit(0))
+            ).alias("rc")
+        )
+        .agg(F.sum("rc").cast("long").alias("src"))
+    )
+    n, agree, src = F.col("n"), F.col("agree"), F.col("src")
+    return t.crossJoin(F.broadcast(marg)).select(
+        n.alias("n_docs"),
+        "agree",
+        (agree.cast("double") / n).alias("po"),
+        (src.cast("double") / (n * n)).alias("pe"),
+        (F.floor((n * agree - src) * 1e6 / (n * n - src)) / 1e6).alias(
+            "kappa"
+        ),
+    )

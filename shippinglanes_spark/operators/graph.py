@@ -1263,3 +1263,90 @@ def graph_betweenness(spark, sf_dir):
         F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_pair_terms"),
         F.coalesce(F.col("bt"), F.lit(0.0)).alias("betweenness"),
     )
+
+
+def _eccentricity_oracle() -> str:
+    ctes = [
+        "bidir AS (SELECT a AS x, b AS y FROM und"
+        " UNION ALL SELECT b AS x, a AS y FROM und)",
+        "r0 AS (SELECT v AS s, v, 0 AS d FROM s0)",
+    ]
+    for i in range(1, _CL_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT s, v, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT s, v, d FROM r{i - 1}
+        UNION ALL
+        SELECT r.s, e.y AS v, r.d + 1 AS d
+        FROM r{i - 1} r JOIN bidir e ON r.v = e.x)
+      GROUP BY s, v)"""
+        )
+    return (
+        "WITH "
+        + _KCORE_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    ecc AS (SELECT s AS nation_id, CAST(MAX(d) AS BIGINT) AS ecc
+            FROM r{_CL_ITERS} GROUP BY s),
+    gl AS (SELECT CAST(MAX(ecc) AS BIGINT) AS diameter,
+                  CAST(MIN(ecc) AS BIGINT) AS radius FROM ecc)
+    SELECT nation_id, ecc, diameter, radius,
+           CAST(ecc = diameter AS BIGINT) AS is_peripheral,
+           CAST(ecc = radius AS BIGINT) AS is_central
+    FROM ecc CROSS JOIN gl
+    """
+    )
+
+
+@register(
+    "graph_eccentricity",
+    section="2.9",
+    oracle=_eccentricity_oracle(),
+    notes="per-node eccentricity (max BFS distance), graph diameter "
+    "and radius, and the periphery/center flags — the structural "
+    "companion to graph_closeness, computed from the SAME multi-"
+    "source min-plus BFS (exact integer distances, fixed rounds >= "
+    "diameter on both engines). Every number is an exact BIGINT; the "
+    "diameter/radius roll-up is a 1-row broadcast back over the "
+    "node-sized eccentricity table. Corpus cost is the one-time edge "
+    "aggregation inherited from _trade_und",
+)
+def graph_eccentricity(spark, sf_dir):
+    und = _trade_und(spark, sf_dir)
+    bidir = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(und.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    nodes = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    dist = nodes.select(
+        F.col("v").alias("s"), "v", F.lit(0).cast("long").alias("d")
+    ).localCheckpoint()
+    for _ in range(_CL_ITERS):
+        grown = dist.join(F.broadcast(bidir), dist.v == bidir.x).select(
+            "s", F.col("y").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("s", "v")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint()
+        )
+    ecc = dist.groupBy(F.col("s").alias("nation_id")).agg(
+        F.max("d").cast("long").alias("ecc")
+    )
+    glob = ecc.agg(
+        F.max("ecc").cast("long").alias("diameter"),
+        F.min("ecc").cast("long").alias("radius"),
+    )
+    return ecc.crossJoin(F.broadcast(glob)).select(
+        "nation_id",
+        "ecc",
+        "diameter",
+        "radius",
+        (F.col("ecc") == F.col("diameter")).cast("long").alias("is_peripheral"),
+        (F.col("ecc") == F.col("radius")).cast("long").alias("is_central"),
+    )

@@ -1565,3 +1565,97 @@ def ts_pacf(spark, sf_dir):
         (F.floor(F.col("phi22") * 1e6) / 1e6).alias("pacf2"),
         (F.floor(pacf3 * 1e6) / 1e6).alias("pacf3"),
     )
+
+
+@register(
+    "ts_permutation_entropy",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, n,
+                 LEAD(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+                   AS v1,
+                 LEAD(n, 2) OVER (PARTITION BY event_type ORDER BY day)
+                   AS v2
+          FROM d),
+    tri AS (SELECT event_type,
+                   CAST(CAST(n > v1 AS INTEGER) * 4
+                        + CAST(n > v2 AS INTEGER) * 2
+                        + CAST(v1 > v2 AS INTEGER) AS BIGINT) AS code
+            FROM l WHERE v2 IS NOT NULL),
+    pc AS (SELECT event_type, code, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tri GROUP BY 1, 2),
+    pn AS (SELECT event_type, code, c,
+                  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS nt
+           FROM pc),
+    tot AS (SELECT event_type, ANY_VALUE(nt) AS nt,
+                   CAST(COUNT(*) AS BIGINT) AS n_patterns,
+                   list_reduce(
+                     list_prepend(0.0,
+                       list(-(c / nt) * ln(c / nt) ORDER BY code)),
+                     (a, b) -> a + b) AS h
+            FROM pn GROUP BY event_type)
+    SELECT event_type, nt AS n_triples, n_patterns,
+           ROUND(h, 4) AS entropy,
+           ROUND(h / ln(6), 4) AS entropy_norm
+    FROM tot
+    """,
+    notes="permutation entropy (Bandt-Pompe, order 3) of the daily "
+    "event-count series per type — the model-free complexity/"
+    "randomness score used for regime detection, robust to monotone "
+    "transforms because only ORDINAL patterns count. Each triple's "
+    "pattern is 3 strict integer comparisons packed into a code "
+    "(ties resolve to earlier-position order identically in both "
+    "engines); pattern counts are exact BIGINTs and the -p*ln(p) "
+    "fold is ordered by code with a 0.0 seed, ROUND 4 dp (ln is "
+    "libm-variant — the dp_histogram discipline). Corpus -> calendar "
+    "grid in one keyed pass; everything after is pattern-sized",
+)
+def ts_permutation_entropy(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "n",
+        F.lead("n", 1).over(w).alias("v1"),
+        F.lead("n", 2).over(w).alias("v2"),
+    ).where(F.col("v2").isNotNull())
+    code = (
+        (F.col("n") > F.col("v1")).cast("int") * 4
+        + (F.col("n") > F.col("v2")).cast("int") * 2
+        + (F.col("v1") > F.col("v2")).cast("int")
+    ).cast("long")
+    pc = l.groupBy("event_type", code.alias("code")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nt = F.sum("c").over(Window.partitionBy("event_type"))
+    terms = pc.select(
+        "event_type",
+        "code",
+        "c",
+        (-(F.col("c") / nt) * F.log(F.col("c") / nt)).alias("term"),
+    )
+    tot = terms.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("code", F.col("term")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("h"),
+    )
+    import math
+
+    return tot.select(
+        "event_type",
+        "n_triples",
+        "n_patterns",
+        F.round("h", 4).alias("entropy"),
+        F.round(F.col("h") / math.log(6.0), 4).alias("entropy_norm"),
+    )

@@ -260,3 +260,92 @@ def test_betweenness_matches_brandes_reference(spark, sf_dir):
     for v in adj:
         # Brandes counts each unordered pair twice (once per endpoint)
         assert abs(got[v] - bt[v] / 2.0) < 1e-4, v
+
+
+def test_cohen_kappa_matches_confusion_reference(spark, sf_dir):
+    from shippinglanes_spark.registry import all_queries as Q
+
+    pred = {
+        r.doc_id: r.pred_lang
+        for r in Q()["text_langid"].fn(spark, sf_dir).collect()
+    }
+    truth = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "lang")
+        .collect()
+    )
+    n = len(pred)
+    agree = sum(1 for k, v in pred.items() if truth[k] == v)
+    from collections import Counter
+
+    sup = Counter(truth[k] for k in pred)
+    prd = Counter(pred.values())
+    src = sum(sup[c] * prd.get(c, 0) for c in set(sup) | set(prd))
+    row = all_queries()["pipeline_cohen_kappa"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_docs, row.agree) == (n, agree)
+    kappa = (n * agree - src) / (n * n - src)
+    assert abs(row.kappa - kappa) < 2e-6
+
+
+def test_eccentricity_matches_bfs_reference(spark, sf_dir):
+    from collections import defaultdict, deque
+
+    from shippinglanes_spark.operators.graph import _trade_und
+
+    adj = defaultdict(set)
+    for r in _trade_und(spark, sf_dir).collect():
+        adj[r.a].add(r.b)
+        adj[r.b].add(r.a)
+    ecc = {}
+    for s in adj:
+        dist, q = {s: 0}, deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        ecc[s] = max(dist.values())
+    dia, rad = max(ecc.values()), min(ecc.values())
+    got = all_queries()["graph_eccentricity"].fn(spark, sf_dir).collect()
+    assert {r.nation_id: r.ecc for r in got} == ecc
+    for r in got:
+        assert (r.diameter, r.radius) == (dia, rad)
+        assert r.is_peripheral == int(ecc[r.nation_id] == dia)
+        assert r.is_central == int(ecc[r.nation_id] == rad)
+
+
+def test_permutation_entropy_matches_reference(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "date_trunc('day', ts) AS day")
+        .groupBy("event_type", "day")
+        .count()
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r["count"])
+    got = {
+        r.event_type: r
+        for r in all_queries()["ts_permutation_entropy"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for et, xs in series.items():
+        codes = Counter(
+            4 * (xs[i] > xs[i + 1])
+            + 2 * (xs[i] > xs[i + 2])
+            + (xs[i + 1] > xs[i + 2])
+            for i in range(len(xs) - 2)
+        )
+        nt = sum(codes.values())
+        h = -sum(c / nt * math.log(c / nt) for c in codes.values())
+        r = got[et]
+        assert (r.n_triples, r.n_patterns) == (nt, len(codes))
+        assert abs(r.entropy - h) < 1e-3  # engine rounds 4 dp
+        assert abs(r.entropy_norm - h / math.log(6)) < 1e-3
