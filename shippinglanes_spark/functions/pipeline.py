@@ -555,3 +555,213 @@ def etl_cdc_apply(spark, sf_dir):
         .alias("version_count"),
         F.coalesce(F.col("seq"), F.lit(-1)).cast("long").alias("last_seq"),
     )
+
+
+_SD_K = 4
+_SD_ITERS = 2
+_SD_DIMS = 64
+_SD_THR = 0.3
+
+
+def _semdedup_oracle() -> str:
+    """Quantized Lloyd unroll (emb_kmeans_iters pattern) -> within-
+    cluster exact-integer cosine pairs -> recursive-CTE components ->
+    keep the member FARTHEST from its centroid per group."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT e.vec_id, t.i - 1 AS dim,
+             CAST(FLOOR(e.embedding[CAST(t.i AS INT)] * 1e6) AS BIGINT) AS x
+      FROM embeddings e CROSS JOIN range(1, {_SD_DIMS + 1}) t(i))""",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cid, dim, x AS c FROM q "
+        f"WHERE vec_id < {_SD_K})",
+    ]
+    for i in range(1, _SD_ITERS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS dist
+      FROM q JOIN c{i - 1} c USING (dim) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d{i}) WHERE rk = 1)"""
+        )
+        if i < _SD_ITERS:
+            ctes.append(
+                f"""c{i} AS MATERIALIZED (
+      SELECT a.cid, q.dim,
+             CAST(FLOOR(CAST(SUM(q.x) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS c
+      FROM a{i} a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2)"""
+            )
+    last = _SD_ITERS
+    return (
+        "WITH RECURSIVE\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    qe AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS DOUBLE))
+                    AS v
+           FROM embeddings),
+    nr AS (SELECT vec_id, list_inner_product(v, v) AS nn FROM qe),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a{last} x JOIN a{last} y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN qe ea ON ea.vec_id = x.vec_id
+      JOIN qe eb ON eb.vec_id = y.vec_id
+      JOIN nr na ON na.vec_id = x.vec_id
+      JOIN nr nb ON nb.vec_id = y.vec_id
+      WHERE ROUND(list_inner_product(ea.v, eb.v)
+                  / SQRT(na.nn * nb.nn), 4) >= {_SD_THR}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    cc(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON c.id = e.src),
+    labels AS (SELECT id, MIN(label) AS label FROM cc GROUP BY id),
+    mem AS (SELECT a.vec_id, a.cid, a.dist,
+                   CAST(COALESCE(l.label, a.vec_id) AS BIGINT) AS grp
+            FROM a{last} a LEFT JOIN labels l ON l.id = a.vec_id),
+    rk AS (SELECT vec_id, cid, grp, dist,
+                  ROW_NUMBER() OVER (PARTITION BY grp
+                                     ORDER BY dist DESC, vec_id) AS rn
+           FROM mem)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, grp AS group_id,
+           CAST(rn = 1 AS BIGINT) AS keep
+    FROM rk"""
+    )
+
+
+@register(
+    "pipeline_semdedup",
+    section="2.9",
+    oracle=_semdedup_oracle(),
+    notes=f"SemDeDup (Abbas et al. 2023): semantic dedup that CLUSTERS "
+    f"first (k={_SD_K}, {_SD_ITERS} quantized Lloyd iterations — the "
+    "emb_kmeans_iters exact-integer machinery) and only compares "
+    "WITHIN clusters — the trick that makes embedding dedup tractable "
+    "at corpus scale, because the pairwise stage is bounded by "
+    "cluster size, never corpus^2. Within-cluster cosine uses "
+    "1e-6-quantized integer dot products (every partial sum < 2^53, "
+    "so list order can't change the value), groups form by connected "
+    "components over the >= "
+    f"{_SD_THR}-cosine pair graph, and each group keeps the member "
+    "FARTHEST from its centroid (the paper's keep-low-similarity "
+    "choice, favoring diversity; exact BIGINT distance, vec_id "
+    "tiebreak). Fully value-oracled end to end — kmeans unrolled "
+    "CTEs + recursive-CTE transitive closure",
+)
+def pipeline_semdedup(spark, sf_dir):
+    """Cluster -> within-cluster pair graph -> components -> keep
+    rule. The per-dim relation drives the Lloyd iterations (broadcast
+    centroids, keyed distance aggregate per round); the pair stage
+    joins cluster-partitioned quantized ARRAYS (zip_with dot, no
+    explode); components reuse the pointer-jumped min-label CC. At
+    100 TB you raise k so clusters stay bounded — the plan shape is
+    unchanged (SemDeDup's own scaling argument)."""
+    from .text import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("xf") * 1e6).cast("long").alias("x"),
+        )
+        .localCheckpoint()
+    )
+    cent = q.where(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c")
+    )
+    assign = None
+    for i in range(_SD_ITERS):
+        d = (
+            q.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                )
+                .cast("long")
+                .alias("dist")
+            )
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dist", "cid")
+        )
+        assign = (
+            d.withColumn("rk", rk).where(F.col("rk") == 1).drop("rk")
+        ).localCheckpoint()
+        if i < _SD_ITERS - 1:
+            cent = (
+                assign.join(q, "vec_id")
+                .groupBy("cid", "dim")
+                .agg(
+                    F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                    .cast("long")
+                    .alias("c")
+                )
+                .localCheckpoint()
+            )
+    qe = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6).cast("double"),
+        ).alias("v"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    nr = qe.select("vec_id", dot(F.col("v"), F.col("v")).alias("nn"))
+    ax = assign.select(F.col("vec_id").alias("id_a"), F.col("cid").alias("ca"))
+    ay = assign.select(F.col("vec_id").alias("id_b"), F.col("cid").alias("cb"))
+    side_a = ax.join(
+        F.broadcast(qe.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))), "id_a"
+    ).join(F.broadcast(nr.select(F.col("vec_id").alias("id_a"), F.col("nn").alias("na"))), "id_a")
+    side_b = ay.join(
+        F.broadcast(qe.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))), "id_b"
+    ).join(F.broadcast(nr.select(F.col("vec_id").alias("id_b"), F.col("nn").alias("nb"))), "id_b")
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 4
+    )
+    pairs = (
+        side_a.join(
+            side_b,
+            (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(cos >= _SD_THR)
+        .select("id_a", "id_b")
+        # pin the pair set: CC's distributed branch re-checkpoints its
+        # frontier, and checkpointing a plan that self-joins the SAME
+        # checkpointed assign relation trips Spark's constraint rewrite
+        # (key not found: id#...) — a clean LogicalRDD start avoids it
+        .localCheckpoint()
+    )
+    labels = connected_components(pairs)
+    mem = assign.join(labels, assign.vec_id == labels.id, "left").select(
+        "vec_id",
+        "cid",
+        "dist",
+        F.coalesce(F.col("label"), F.col("vec_id")).cast("long").alias("grp"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("dist"), "vec_id")
+    )
+    return mem.withColumn("rn", rn).select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.col("grp").alias("group_id"),
+        (F.col("rn") == 1).cast("long").alias("keep"),
+    )

@@ -503,6 +503,26 @@ def connected_components(pairs, max_iters: int = 20, local_max: int | None = Non
     pairs = pairs.localCheckpoint()
     if local_max > 0 and pairs.limit(local_max + 1).count() <= local_max:
         return _local_union_find(pairs)
+    # Constraint propagation must be OFF for the checkpoint loop: a
+    # checkpointed LogicalRDD keeps optimizer constraints whose
+    # attribute refs can point at PRE-checkpoint columns (alias
+    # chains), and the NEXT localCheckpoint's stats/constraint rewrite
+    # then throws `key not found: id#N` (reproduced with any >100k-
+    # edge input built through aliases; invisible at fixture scale
+    # because the local union-find branch short-circuits). Pinned off
+    # for the loop and restored after — the fixed-point join is on
+    # checkpointed relations, so no inferred-filter value is lost.
+    sess = pairs.sparkSession
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    _cp_prev = sess.conf.get(_cp_key, "true")
+    sess.conf.set(_cp_key, "false")
+    try:
+        return _distributed_cc(pairs, max_iters)
+    finally:
+        sess.conf.set(_cp_key, _cp_prev)
+
+
+def _distributed_cc(pairs, max_iters: int):
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

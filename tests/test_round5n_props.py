@@ -349,3 +349,73 @@ def test_permutation_entropy_matches_reference(spark, sf_dir):
         assert (r.n_triples, r.n_patterns) == (nt, len(codes))
         assert abs(r.entropy - h) < 1e-3  # engine rounds 4 dp
         assert abs(r.entropy_norm - h / math.log(6)) < 1e-3
+
+
+def test_semdedup_matches_numpy_reference(spark, sf_dir):
+    """Full numpy re-implementation: quantized Lloyd (2 iters, k=4,
+    first-k init), within-cluster cosine >= 0.3 pair graph, union-find
+    components, keep the member farthest from its centroid."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    ids = emb["vec_id"].to_numpy()
+    X = np.floor(np.stack(emb["embedding"].to_numpy()) * 1e6).astype(
+        np.int64
+    )
+    cent = X[np.argsort(ids)[:4]]
+    for it in range(2):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cid = d2.argmin(axis=1)  # ties to lower cid via argmin
+        dist = d2[np.arange(len(X)), cid]
+        if it < 1:
+            cent = np.stack(
+                [
+                    np.floor(X[cid == c].sum(axis=0) / (cid == c).sum())
+                    for c in range(4)
+                ]
+            ).astype(np.int64)
+    Xf = X.astype(float)
+    nn = (Xf * Xf).sum(axis=1)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cid[i] != cid[j]:
+                continue
+            cos = round(
+                float(Xf[i] @ Xf[j]) / math.sqrt(nn[i] * nn[j]), 4
+            )
+            if cos >= 0.3:
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    grp = {int(i): find(int(i)) for i in ids}
+    by_grp = {}
+    order = {int(i): (int(-dist[k]), int(i)) for k, i in enumerate(ids)}
+    for i in ids:
+        g = grp[int(i)]
+        by_grp.setdefault(g, []).append(int(i))
+    keep = {
+        g: min(members, key=lambda m: order[m])
+        for g, members in by_grp.items()
+    }
+    got = {
+        r.vec_id: r
+        for r in all_queries()["pipeline_semdedup"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {int(i) for i in ids}
+    for k, i in enumerate(ids):
+        r = got[int(i)]
+        assert r.cluster_id == cid[k], i
+        assert r.group_id == grp[int(i)], i
+        assert r.keep == int(keep[grp[int(i)]] == int(i)), i
