@@ -581,6 +581,8 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "pipeline_cohen_kappa",
         "graph_eccentricity",
         "ts_permutation_entropy",
+        "emb_isotropy",
+        "agg_hurst",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

@@ -729,3 +729,111 @@ def emb_kmeans_iters(spark, sf_dir):
         "centroid_l1",
         "inertia",
     )
+
+
+@register(
+    "emb_isotropy",
+    section="2.9",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(
+               list_prepend(0.0,
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) AS nrm,
+             embedding AS e
+      FROM embeddings),
+    u AS (SELECT vec_id, t.i - 1 AS dim,
+                 CAST(FLOOR(CAST(e[CAST(t.i AS INT)] AS DOUBLE) / nrm
+                            * 1e6) AS BIGINT) AS uq
+          FROM n CROSS JOIN range(1, 65) t(i)),
+    rn AS (SELECT vec_id, CAST(SUM(uq * uq) AS BIGINT) AS sq
+           FROM u GROUP BY vec_id),
+    sums AS (SELECT dim, CAST(SUM(uq) AS BIGINT) AS s FROM u GROUP BY dim),
+    t AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM rn) AS n_vecs,
+            (SELECT list_reduce(
+                      list_prepend(0.0,
+                        list(CAST(s AS DOUBLE) * s ORDER BY dim)),
+                      (a, b) -> a + b) FROM sums) AS snorm2,
+            (SELECT CAST(SUM(sq) AS BIGINT) FROM rn) AS selfsq)
+    SELECT n_vecs,
+           FLOOR((snorm2 - selfsq) / (CAST(n_vecs AS DOUBLE)
+                  * (n_vecs - 1)) / 1e12 * 1e6) / 1e6 AS mean_cosine
+    FROM t
+    """,
+    notes="embedding-space isotropy: the MEAN PAIRWISE COSINE of the "
+    "whole corpus in ONE pass, via the identity sum_{i != j} <u_i, u_j> "
+    "= ||sum u||^2 - sum ||u||^2 — no pair join exists at any scale. "
+    "Unit vectors are quantized to exact 1e-6 integers AFTER the "
+    "per-row normalize (norm from an ordered left-fold of squares, so "
+    "both engines produce the identical double), making the per-dim "
+    "corpus sums exact BIGINTs (order-free); the squares of those "
+    "sums go through DOUBLE (they overflow BIGINT by ~1M rows) folded "
+    "in dim order. High mean cosine = anisotropic cone collapse (the "
+    "common pathology whitening fixes — emb_whiten is the remedy "
+    "registered next door). One corpus scan, one 64-row shuffle",
+)
+def emb_isotropy(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    u = (
+        emb.select(
+            "vec_id",
+            nrm.alias("nrm"),
+            F.posexplode("embedding").alias("dim", "xf"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("xf").cast("double") / F.col("nrm") * 1e6)
+            .cast("long")
+            .alias("uq"),
+        )
+        .localCheckpoint()
+    )
+    rn = u.groupBy("vec_id").agg(
+        F.sum(F.col("uq") * F.col("uq")).cast("long").alias("sq")
+    )
+    sums = u.groupBy("dim").agg(F.sum("uq").cast("long").alias("s"))
+    t = rn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("sq").cast("long").alias("selfsq"),
+    ).crossJoin(
+        F.broadcast(
+            sums.agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "dim",
+                                (F.col("s").cast("double") * F.col("s")).alias(
+                                    "t"
+                                ),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, r: acc + r["t"],
+                ).alias("snorm2")
+            )
+        )
+    )
+    mean_cos = (
+        (F.col("snorm2") - F.col("selfsq"))
+        / (F.col("n_vecs").cast("double") * (F.col("n_vecs") - 1))
+        / 1e12
+    )
+    return t.select(
+        "n_vecs", (F.floor(mean_cos * 1e6) / 1e6).alias("mean_cosine")
+    )

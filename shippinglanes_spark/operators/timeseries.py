@@ -1659,3 +1659,146 @@ def ts_permutation_entropy(spark, sf_dir):
         F.round("h", 4).alias("entropy"),
         F.round(F.col("h") / math.log(6.0), 4).alias("entropy_norm"),
     )
+
+
+@register(
+    "agg_hurst",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(datediff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS dd,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS s
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    sc AS (SELECT m.m, d.dd // m.m AS blk,
+                  CAST(SUM(d.s) AS BIGINT) AS bs,
+                  CAST(COUNT(*) AS BIGINT) AS bc
+           FROM d CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS m) m
+           GROUP BY 1, 2),
+    v AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(SUM(bs) AS BIGINT) AS s1,
+                 list_reduce(
+                   list_prepend(0.0,
+                     list(CAST(bs AS DOUBLE) * bs ORDER BY blk)),
+                   (a, b) -> a + b) AS s2
+          FROM sc WHERE bc = m GROUP BY m),
+    pts AS (SELECT CAST(CASE m WHEN 1 THEN 0 WHEN 2 THEN 1
+                              WHEN 4 THEN 2 ELSE 3 END AS BIGINT) AS k,
+                   ln((nb * s2 - CAST(s1 AS DOUBLE) * s1)
+                      / (CAST(m AS DOUBLE) * m * nb * nb)) AS y
+            FROM v WHERE nb >= 2
+              AND nb * s2 - CAST(s1 AS DOUBLE) * s1 > 0),
+    fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(k) AS BIGINT) AS sx,
+                   CAST(SUM(k * k) AS BIGINT) AS sxx,
+                   list_reduce(list_prepend(0.0, list(y ORDER BY k)),
+                               (a, b) -> a + b) AS sy,
+                   list_reduce(list_prepend(0.0, list(k * y ORDER BY k)),
+                               (a, b) -> a + b) AS sxy
+            FROM pts)
+    SELECT np AS n_scales,
+           ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx) / (2 * ln(2))
+                 + 1, 4) AS hurst
+    FROM fit
+    """,
+    notes="Hurst exponent of the daily revenue series by the "
+    "aggregated-variance method: block the series at scales m = 1, 2, "
+    "4, 8 days, variance of block MEANS scales ~ m^(2H-2), so H = 1 + "
+    "slope/2 of the log-log fit. Block sums are exact cent BIGINTs; "
+    "each scale's variance is ONE expression of exact integer moments "
+    "(nb*s2 - s1^2, rescaled by m^2 nb^2); ln(variance) is the only "
+    "libm call, the 4 y-values fold in scale order, the OLS slope is "
+    "closed-form on x = log2(m) = 0..3 EXACT integers, and the result "
+    "ROUNDs 4 dp. Long-memory vs mean-reverting diagnostic next to "
+    "ts_autocorr/ts_pacf; one corpus pass, 4x-grid work after",
+)
+def agg_hurst(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("dd")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s")
+    )
+    scales = F.explode(F.array(*[F.lit(m) for m in (1, 2, 4, 8)])).alias("m")
+    sc = (
+        d.select("dd", "s", scales)
+        .groupBy("m", F.expr("dd div m").alias("blk"))
+        .agg(
+            F.sum("s").cast("long").alias("bs"),
+            F.count(F.lit(1)).cast("long").alias("bc"),
+        )
+    )
+    # bs^2 overflows BIGINT once daily sums reach ~3e9 cents (the
+    # agg_ttest_welch lesson); blocks are calendar-bounded, so the
+    # squared terms fold as DOUBLES in block order — exact cross-engine
+    v = (
+        sc.where(F.col("bc") == F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("bs").cast("long").alias("s1"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "blk",
+                            (F.col("bs").cast("double") * F.col("bs")).alias(
+                                "t"
+                            ),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r["t"],
+            ).alias("s2"),
+        )
+    )
+    ss1 = F.col("s1").cast("double") * F.col("s1")
+    varm = (F.col("nb") * F.col("s2") - ss1) / (
+        F.col("m").cast("double") * F.col("m") * F.col("nb") * F.col("nb")
+    )
+    pts = v.where(
+        (F.col("nb") >= 2) & (F.col("nb") * F.col("s2") - ss1 > 0)
+    ).select(
+        F.when(F.col("m") == 1, 0)
+        .when(F.col("m") == 2, 1)
+        .when(F.col("m") == 4, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("k"),
+        F.log(varm).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sxx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", F.col("y").alias("t")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("k", (F.col("k") * F.col("y")).alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("sxy"),
+    )
+    import math
+
+    slope = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("np").alias("n_scales"),
+        F.round(slope / (2 * math.log(2.0)) + 1, 4).alias("hurst"),
+    )

@@ -419,3 +419,59 @@ def test_semdedup_matches_numpy_reference(spark, sf_dir):
         assert r.cluster_id == cid[k], i
         assert r.group_id == grp[int(i)], i
         assert r.keep == int(keep[grp[int(i)]] == int(i)), i
+
+
+def test_isotropy_matches_numpy_pairwise(spark, sf_dir):
+    """The one-pass ||sum u||^2 identity vs the literal O(n^2) pairwise
+    mean over the SAME quantized unit vectors."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.stack(emb["embedding"].to_numpy()).astype(float)
+    U = np.floor(X / np.sqrt((X * X).sum(axis=1, keepdims=True)) * 1e6)
+    G = U @ U.T
+    n = len(U)
+    mean_cos = (G.sum() - np.trace(G)) / (n * (n - 1)) / 1e12
+    row = all_queries()["emb_isotropy"].fn(spark, sf_dir).collect()[0]
+    assert row.n_vecs == n
+    assert abs(row.mean_cosine - mean_cos) < 5e-6
+
+
+def test_hurst_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01') AS dd",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+        .where("value IS NOT NULL")
+        .groupBy("dd")
+        .sum("cents")
+        .orderBy("dd")
+        .toPandas()
+    )
+    s = dict(zip(daily["dd"], daily["sum(cents)"]))
+    ks, ys = [], []
+    for k, m in enumerate((1, 2, 4, 8)):
+        blocks = {}
+        for dd, val in s.items():
+            blocks.setdefault(dd // m, []).append(val)
+        sums = [sum(v) for v in blocks.values() if len(v) == m]
+        if len(sums) < 2:
+            continue
+        means = np.array(sums, dtype=float) / m
+        var = means.var()  # population variance, matches (nb*s2-s1^2)/nb^2
+        if var > 0:
+            ks.append(k)
+            ys.append(np.log(var))
+    slope = np.polyfit(ks, ys, 1)[0]
+    h = 1 + slope / (2 * np.log(2))
+    row = all_queries()["agg_hurst"].fn(spark, sf_dir).collect()[0]
+    assert row.n_scales == len(ks)
+    assert abs(row.hurst - h) < 1e-3  # engine rounds 4 dp
