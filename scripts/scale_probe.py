@@ -583,6 +583,8 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "ts_permutation_entropy",
         "emb_isotropy",
         "agg_hurst",
+        "agg_power_analysis",
+        "text_burstiness",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

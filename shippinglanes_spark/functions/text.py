@@ -1286,3 +1286,68 @@ def pipeline_cohen_kappa(spark, sf_dir):
             "kappa"
         ),
     )
+
+
+@register(
+    "text_burstiness",
+    section="2.9",
+    oracle="""
+    WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+    dtc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tc WHERE token <> '' GROUP BY doc_id, token),
+    term AS (SELECT token,
+                    CAST(COUNT(*) AS BIGINT) AS df,
+                    CAST(SUM(c) AS BIGINT) AS s,
+                    CAST(SUM(c * c) AS BIGINT) AS ss
+             FROM dtc GROUP BY token),
+    vmr AS (SELECT token, df, s,
+                   (CAST(ss AS DOUBLE) / n_docs
+                    - (CAST(s AS DOUBLE) / n_docs)
+                      * (CAST(s AS DOUBLE) / n_docs))
+                   / (CAST(s AS DOUBLE) / n_docs) AS b
+            FROM term CROSS JOIN nd)
+    SELECT token, df, s AS total_tf,
+           FLOOR(b * 1e6) / 1e6 AS burstiness
+    FROM vmr
+    ORDER BY df DESC, token LIMIT 30
+    """,
+    notes="per-term burstiness (variance-to-mean ratio of the per-"
+    "document count, over ALL documents including zeros — computed "
+    "WITHOUT materializing the zeros: var = E[c^2] - E[c]^2 with the "
+    "expectations over n_docs, so only the nonzero (doc, term) counts "
+    "are ever touched). VMR ~ 1 = Poisson scatter (function words); "
+    "VMR >> 1 = bursty topical terms that concentrate in few docs — "
+    "the corpus-statistics complement of text_zipf_fit (frequency "
+    "law) and text_tfidf (per-doc weighting). Exact BIGINT moments, "
+    "identical division tree, floored 6 dp, TakeOrdered top-30 by "
+    "document frequency with token tiebreak",
+)
+def text_burstiness(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dtc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    term = dtc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_docs")
+    b = (F.col("ss").cast("double") / F.col("n_docs") - mean * mean) / mean
+    return (
+        term.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "df",
+            F.col("s").alias("total_tf"),
+            (F.floor(b * 1e6) / 1e6).alias("burstiness"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(30)
+    )

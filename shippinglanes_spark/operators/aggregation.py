@@ -3083,3 +3083,102 @@ def agg_levene(spark, sf_dir):
             / 1e6
         ).alias("w_stat"),
     )
+
+
+# alpha=0.05 two-sided and power=0.80 normal quantiles, embedded as
+# the same repr() literals in BOTH engines (the bootstrap-CI pattern:
+# neither engine has invnorm, and these are spec constants, not data)
+_PW_ZA = 1.959963984540054
+_PW_ZB = 0.8416212335729143
+
+
+@register(
+    "agg_power_analysis",
+    section="2.4",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND CAST(ROUND(value * 100) AS BIGINT) >= 5000
+                            AND CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in2,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND CAST(ROUND(value * 100) AS BIGINT) >= 5000
+                            AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+                 CAST(SUM(c1) AS BIGINT) AS x1,
+                 CAST(SUM(in2) AS BIGINT) AS n2,
+                 CAST(SUM(c2) AS BIGINT) AS x2
+          FROM u),
+    p AS (SELECT n1, x1, n2, x2,
+                 CAST(x1 AS DOUBLE) / n1 AS p1,
+                 CAST(x2 AS DOUBLE) / n2 AS p2
+          FROM t)
+    SELECT n1, x1, n2, x2,
+           FLOOR(p1 * 1e6) / 1e6 AS p1,
+           FLOOR(p2 * 1e6) / 1e6 AS p2,
+           CAST(CEIL(({_PW_ZA!r} + {_PW_ZB!r})
+                     * ({_PW_ZA!r} + {_PW_ZB!r})
+                     * (p1 * (1 - p1) + p2 * (1 - p2))
+                     / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+             AS n_required_per_arm
+    FROM p WHERE p1 <> p2
+    """,
+    notes="two-proportion power analysis: given the observed first-half "
+    "vs second-half HIGH-VALUE-purchase conversion rates (>= 50 units — every user purchases SOMETHING in both halves in these fixtures, so plain conversion is degenerately 1.0), the per-arm sample size "
+    "needed to detect that difference at alpha=0.05 (two-sided) with "
+    "80% power — n = (z_a + z_b)^2 (p1 q1 + p2 q2) / (p1 - p2)^2. The "
+    "normal quantiles are spec CONSTANTS embedded as identical repr "
+    "literals in both engines (the agg_bootstrap_poisson discipline — "
+    "neither engine has invnorm); p1/p2 are single divisions of exact "
+    "user counts, the whole formula is one identical expression tree, "
+    "and CEIL of the same double is the same BIGINT. The planning "
+    "companion to agg_ab_test/agg_ttest_welch: one keyed aggregate + "
+    "one 1-row reduce at any scale",
+)
+def agg_power_analysis(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("date")
+    early = F.col("ts").cast("date") < split
+    is_p = (F.col("event_type") == "purchase") & (
+        F.round(F.col("value") * 100).cast("long") >= 5000
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(early.cast("long")).cast("long").alias("in1"),
+        F.max((is_p & early).cast("long")).cast("long").alias("c1"),
+        F.max((~early).cast("long")).cast("long").alias("in2"),
+        F.max((is_p & ~early).cast("long")).cast("long").alias("c2"),
+    )
+    t = u.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("c1").cast("long").alias("x1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum("c2").cast("long").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    z2 = (_PW_ZA + _PW_ZB) * (_PW_ZA + _PW_ZB)
+    n_req = F.ceil(
+        z2 * (p1 * (1 - p1) + p2 * (1 - p2)) / ((p1 - p2) * (p1 - p2))
+    ).cast("long")
+    return (
+        t.select(
+            "n1",
+            "x1",
+            "n2",
+            "x2",
+            (F.floor(p1 * 1e6) / 1e6).alias("p1"),
+            (F.floor(p2 * 1e6) / 1e6).alias("p2"),
+            n_req.alias("n_required_per_arm"),
+            p1.alias("_p1raw"),
+            p2.alias("_p2raw"),
+        )
+        .where(F.col("_p1raw") != F.col("_p2raw"))
+        .drop("_p1raw", "_p2raw")
+    )

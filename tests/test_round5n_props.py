@@ -475,3 +475,60 @@ def test_hurst_matches_numpy_reference(spark, sf_dir):
     row = all_queries()["agg_hurst"].fn(spark, sf_dir).collect()[0]
     assert row.n_scales == len(ks)
     assert abs(row.hurst - h) < 1e-3  # engine rounds 4 dp
+
+
+def test_power_analysis_matches_closed_form(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "CAST(ts AS DATE) < DATE '2024-01-16' AS early",
+            "event_type = 'purchase' AND CAST(ROUND(value*100) AS BIGINT) >= 5000 AS p",
+        )
+        .toPandas()
+    )
+    ev["pe"] = ev["early"] & ev["p"]
+    ev["late"] = ~ev["early"]
+    ev["pl"] = ev["late"] & ev["p"]
+    g = ev.groupby("user_id")[["early", "pe", "late", "pl"]].max()
+    n1, x1 = int(g["early"].sum()), int(g["pe"].sum())
+    n2, x2 = int(g["late"].sum()), int(g["pl"].sum())
+    p1, p2 = x1 / n1, x2 / n2
+    rows = all_queries()["agg_power_analysis"].fn(spark, sf_dir).collect()
+    if p1 == p2:
+        assert rows == []
+        return
+    za, zb = 1.959963984540054, 0.8416212335729143
+    n_req = math.ceil(
+        (za + zb) ** 2 * (p1 * (1 - p1) + p2 * (1 - p2)) / (p1 - p2) ** 2
+    )
+    row = rows[0]
+    assert (row.n1, row.x1, row.n2, row.x2) == (n1, x1, n2, x2)
+    assert row.n_required_per_arm == n_req
+
+
+def test_burstiness_matches_pandas(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "text")
+        .toPandas()
+    )
+    from collections import Counter, defaultdict
+
+    n_docs = len(docs)
+    per_term = defaultdict(list)
+    for _, r in docs.iterrows():
+        for tok, c in Counter(t for t in r["text"].split(" ") if t).items():
+            per_term[tok].append(c)
+    rows = all_queries()["text_burstiness"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    dfs = sorted(((len(v), t) for t, v in per_term.items()), reverse=False)
+    top = sorted(per_term.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:30]
+    assert [r.token for r in rows] == [t for t, _ in top]
+    for r in rows:
+        cs = per_term[r.token]
+        s, ss = sum(cs), sum(c * c for c in cs)
+        mean = s / n_docs
+        vmr = (ss / n_docs - mean * mean) / mean
+        assert (r.df, r.total_tf) == (len(cs), s)
+        assert abs(r.burstiness - vmr) < 2e-6
