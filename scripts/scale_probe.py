@@ -585,6 +585,8 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "agg_hurst",
         "agg_power_analysis",
         "text_burstiness",
+        "graph_rich_club",
+        "text_js_divergence",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

@@ -1351,3 +1351,106 @@ def text_burstiness(spark, sf_dir):
         .orderBy(F.desc("df"), "token")
         .limit(30)
     )
+
+
+@register(
+    "text_js_divergence",
+    section="2.9",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE source IN ('src0', 'src1')),
+    tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok WHERE token <> '' GROUP BY source, token),
+    w AS (SELECT token,
+                 CAST(SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN source = 'src1' THEN c ELSE 0 END)
+                   AS BIGINT) AS cb
+          FROM tc GROUP BY token),
+    t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM w),
+    terms AS (SELECT token,
+                     CAST(ca AS DOUBLE) / na AS pa,
+                     CAST(cb AS DOUBLE) / nb AS pb
+              FROM w CROSS JOIN t),
+    f AS (SELECT
+            list_reduce(list_prepend(0.0,
+              list(CASE WHEN pa > 0
+                        THEN pa * ln(2 * pa / (pa + pb)) ELSE 0.0 END
+                   ORDER BY token)), (a, b) -> a + b) AS kla,
+            list_reduce(list_prepend(0.0,
+              list(CASE WHEN pb > 0
+                        THEN pb * ln(2 * pb / (pa + pb)) ELSE 0.0 END
+                   ORDER BY token)), (a, b) -> a + b) AS klb,
+            CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM terms)
+    SELECT n_terms, ROUND((kla + klb) / (2 * ln(2)), 4) AS jsd_bits
+    FROM f
+    """,
+    notes="Jensen-Shannon divergence between the src0 and src1 "
+    "sources' unigram distributions, in bits — the SYMMETRIC, "
+    "always-finite corpus-drift measure (KL explodes on any token one "
+    "side lacks; JS's mixture denominator never does). Probabilities "
+    "are single divisions of exact BIGINT counts; the two KL halves "
+    "fold over the VOCABULARY (bounded, not corpus-sized) in token "
+    "order with 0.0 seeds; ln is libm-variant so the result ROUNDs 4 "
+    "dp (the dp_histogram discipline). Next to agg_psi (binned, "
+    "penalizes one-sided mass) and text_logodds (per-term z-scores) "
+    "this completes the distribution-comparison toolkit",
+)
+def text_js_divergence(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = tc.groupBy("token").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    t = w.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    terms = w.crossJoin(F.broadcast(t)).select(
+        "token",
+        (F.col("ca").cast("double") / F.col("na")).alias("pa"),
+        (F.col("cb").cast("double") / F.col("nb")).alias("pb"),
+    )
+    kla_t = F.when(
+        F.col("pa") > 0,
+        F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0))
+    klb_t = F.when(
+        F.col("pb") > 0,
+        F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0))
+    f = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", kla_t.alias("t")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("kla"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", klb_t.alias("t")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("klb"),
+    )
+    import math
+
+    return f.select(
+        "n_terms",
+        F.round(
+            (F.col("kla") + F.col("klb")) / (2 * math.log(2.0)), 4
+        ).alias("jsd_bits"),
+    )

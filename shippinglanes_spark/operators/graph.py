@@ -1350,3 +1350,74 @@ def graph_eccentricity(spark, sf_dir):
         (F.col("ecc") == F.col("diameter")).cast("long").alias("is_peripheral"),
         (F.col("ecc") == F.col("radius")).cast("long").alias("is_central"),
     )
+
+
+@register(
+    "graph_rich_club",
+    section="2.9",
+    oracle="WITH "
+    + _KCORE_BASE_SQL.strip()
+    + """,
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+            GROUP BY v),
+    ks AS (SELECT DISTINCT d AS k FROM deg),
+    rich AS (SELECT ks.k, deg.v
+             FROM ks JOIN deg ON deg.d > ks.k),
+    nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich
+           GROUP BY k),
+    ek AS (SELECT r1.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+           FROM und
+           JOIN rich r1 ON r1.v = und.a
+           JOIN rich r2 ON r2.v = und.b AND r2.k = r1.k
+           GROUP BY r1.k)
+    SELECT nk.k, nk.n_rich,
+           CAST(COALESCE(ek.e_rich, 0) AS BIGINT) AS e_rich,
+           CAST(COALESCE(ek.e_rich, 0) * 2000000
+                // (nk.n_rich * (nk.n_rich - 1)) AS BIGINT) AS phi_ppm
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_rich >= 2
+    """,
+    notes="rich-club coefficient phi(k) = 2 E_k / (N_k (N_k - 1)) for "
+    "every observed degree threshold k: do the best-connected nations "
+    "trade preferentially with each other? Every quantity is an exact "
+    "BIGINT (edge counts among the >k-degree subgraph, reported as "
+    "integer ppm via a single floor-division), so the whole curve is "
+    "float-free. The threshold sweep is a degree-table self-join — "
+    "graph-sized, never corpus-sized; the corpus appears only in the "
+    "one edge-aggregation pass shared with the rest of §2.9",
+)
+def graph_rich_club(spark, sf_dir):
+    und = _trade_und(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    rich = ks.join(deg, deg.d > ks.k).select("k", "v")
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    r1 = rich.select(F.col("k").alias("k1"), F.col("v").alias("va"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("v").alias("vb"))
+    ek = (
+        und.join(F.broadcast(r1), und.a == r1.va)
+        .join(
+            F.broadcast(r2),
+            (und.b == r2.vb) & (F.col("k2") == F.col("k1")),
+        )
+        .groupBy(F.col("k1").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    j = nk.join(ek, "k", "left").where(F.col("n_rich") >= 2)
+    e = F.coalesce(F.col("e_rich"), F.lit(0)).cast("long")
+    return j.select(
+        "k",
+        "n_rich",
+        e.alias("e_rich"),
+        F.expr(
+            "CAST(coalesce(e_rich, 0) * 2000000"
+            " div (n_rich * (n_rich - 1)) AS BIGINT)"
+        ).alias("phi_ppm"),
+    )

@@ -532,3 +532,58 @@ def test_burstiness_matches_pandas(spark, sf_dir):
         vmr = (ss / n_docs - mean * mean) / mean
         assert (r.df, r.total_tf) == (len(cs), s)
         assert abs(r.burstiness - vmr) < 2e-6
+
+
+def test_rich_club_matches_python_reference(spark, sf_dir):
+    from collections import defaultdict
+
+    from shippinglanes_spark.operators.graph import _trade_und
+
+    edges = {(r.a, r.b) for r in _trade_und(spark, sf_dir).collect()}
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    got = {
+        r.k: r
+        for r in all_queries()["graph_rich_club"].fn(spark, sf_dir).collect()
+    }
+    for k in set(deg.values()):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            assert k not in got
+            continue
+        e = sum(1 for a, b in edges if a in rich and b in rich)
+        r = got[k]
+        assert (r.n_rich, r.e_rich) == (len(rich), e)
+        assert r.phi_ppm == e * 2_000_000 // (len(rich) * (len(rich) - 1))
+
+
+def test_js_divergence_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("source", "text")
+        .where("source IN ('src0', 'src1')")
+        .toPandas()
+    )
+    ca, cb = Counter(), Counter()
+    for _, r in docs.iterrows():
+        (ca if r["source"] == "src0" else cb).update(
+            t for t in r["text"].split(" ") if t
+        )
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    kla = klb = 0.0
+    for t in vocab:
+        pa, pb = ca.get(t, 0) / na, cb.get(t, 0) / nb
+        if pa > 0:
+            kla += pa * math.log(2 * pa / (pa + pb))
+        if pb > 0:
+            klb += pb * math.log(2 * pb / (pa + pb))
+    jsd = (kla + klb) / (2 * math.log(2))
+    row = all_queries()["text_js_divergence"].fn(spark, sf_dir).collect()[0]
+    assert row.n_terms == len(vocab)
+    assert abs(row.jsd_bits - jsd) < 1e-3
+    assert 0.0 <= row.jsd_bits <= 1.0  # JS in bits is bounded by 1
