@@ -587,6 +587,9 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "text_burstiness",
         "graph_rich_club",
         "text_js_divergence",
+        "evt_ab_srm",
+        "graph_bridges",
+        "ts_seasonal_strength",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

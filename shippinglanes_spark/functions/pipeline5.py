@@ -426,3 +426,141 @@ def profile_freshness(spark, sf_dir):
         stale_min.alias("staleness_min"),
         (stale_min > _STALE_MIN).alias("is_stale"),
     )
+
+
+@register(
+    "ts_seasonal_strength",
+    section="2.10",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS series,
+             CAST(datediff('day', DATE '1995-01-01', o_orderdate)
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2),
+    tr AS (
+      SELECT series, d, v,
+             CAST(SUM(v) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (PARTITION BY series ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t AS (
+      SELECT series, d, v,
+             CAST(v - CAST(FLOOR(CAST(s7 AS DOUBLE) / 7.0) AS BIGINT)
+                  AS BIGINT) AS detr
+      FROM tr WHERE c7 = 7),
+    se AS (
+      SELECT series, d % 7 AS dow,
+             CAST(SUM(detr) AS BIGINT) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS cd
+      FROM t GROUP BY 1, 2),
+    r AS (
+      SELECT t.series, t.d,
+             CAST(t.detr AS DOUBLE) AS detr,
+             CAST(t.detr AS DOUBLE)
+               - CAST(sd AS DOUBLE) / CAST(cd AS DOUBLE) AS resid
+      FROM t JOIN se ON se.series = t.series AND se.dow = t.d % 7),
+    f AS (
+      SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list_reduce(list_prepend(0.0, list(resid ORDER BY d)),
+                         (a, b) -> a + b) AS sr,
+             list_reduce(list_prepend(0.0, list(resid * resid ORDER BY d)),
+                         (a, b) -> a + b) AS srr,
+             list_reduce(list_prepend(0.0, list(detr ORDER BY d)),
+                         (a, b) -> a + b) AS sdt,
+             list_reduce(list_prepend(0.0, list(detr * detr ORDER BY d)),
+                         (a, b) -> a + b) AS sdd
+      FROM r GROUP BY series)
+    SELECT series, n_days,
+           FLOOR(GREATEST(0.0,
+             1.0 - (srr - sr * sr / n_days) / (sdd - sdt * sdt / n_days))
+             * 1e4) / 1e4 AS seasonal_strength
+    FROM f WHERE sdd - sdt * sdt / n_days > 0
+    """,
+    notes="seasonal-strength diagnostic (Hyndman's F_s = max(0, 1 - "
+    "var(remainder)/var(detrended)) ) on the ts_stl_decompose "
+    "components: how much of the non-trend variation the day-of-week "
+    "pattern explains — the decide-whether-to-model-seasonality "
+    "number behind forecast routing. Every fold (residual and "
+    "detrended first/second moments) runs over the calendar-bounded "
+    "grid in day order with 0.0 seeds, so both engines produce the "
+    "identical doubles; the ratio is floored 4 dp. Shares the STL "
+    "corpus pass shape: one keyed aggregate, grid-sized after",
+)
+def ts_seasonal_strength(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    w = Window.partitionBy("series").orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "series",
+        "d",
+        "v",
+        F.sum("v").over(w).cast("long").alias("s7"),
+        F.count("*").over(w).cast("long").alias("c7"),
+    )
+    t = tr.where(F.col("c7") == 7).select(
+        "series",
+        "d",
+        (
+            F.col("v")
+            - F.floor(F.col("s7").cast("double") / 7.0).cast("long")
+        )
+        .cast("long")
+        .alias("detr"),
+    )
+    se = t.groupBy(
+        F.col("series").alias("se_series"), (F.col("d") % 7).alias("dow")
+    ).agg(
+        F.sum("detr").cast("long").alias("sd"),
+        F.count("*").cast("long").alias("cd"),
+    )
+    r = t.join(
+        F.broadcast(se),
+        (F.col("series") == F.col("se_series"))
+        & ((F.col("d") % 7) == F.col("dow")),
+    ).select(
+        "series",
+        "d",
+        F.col("detr").cast("double").alias("detrd"),
+        (
+            F.col("detr").cast("double")
+            - F.col("sd").cast("double") / F.col("cd").cast("double")
+        ).alias("resid"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", col.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        )
+
+    f = r.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        fold(F.col("resid")).alias("sr"),
+        fold(F.col("resid") * F.col("resid")).alias("srr"),
+        fold(F.col("detrd")).alias("sdt"),
+        fold(F.col("detrd") * F.col("detrd")).alias("sdd"),
+    )
+    var_r = F.col("srr") - F.col("sr") * F.col("sr") / F.col("n_days")
+    var_d = F.col("sdd") - F.col("sdt") * F.col("sdt") / F.col("n_days")
+    return f.where(var_d > 0).select(
+        "series",
+        "n_days",
+        (
+            F.floor(F.greatest(F.lit(0.0), 1.0 - var_r / var_d) * 1e4) / 1e4
+        ).alias("seasonal_strength"),
+    )

@@ -2537,3 +2537,65 @@ def evt_propensity_matching(spark, sf_dir):
         control.cast("long").alias("control_uid"),
         gap.cast("long").alias("score_gap"),
     )
+
+
+_SRM_CHI_CRIT = 3.841458820694124  # chi-square(df=1) 95% critical value
+
+
+@register(
+    "evt_ab_srm",
+    section="2.10",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    b AS (SELECT user_id,
+                 ('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)),
+                                 1, 13))::BIGINT % 2 AS arm
+          FROM u),
+    t AS (SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n0,
+                 CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n1
+          FROM b)
+    SELECT n0, n1,
+           FLOOR(((n0 - n1) * (n0 - n1)) / (n0 + n1) * 1e6) / 1e6
+             AS chi2,
+           CAST(((n0 - n1) * (n0 - n1)) / (n0 + n1)
+                > {_SRM_CHI_CRIT!r} AS BIGINT) AS srm_detected
+    FROM t
+    """,
+    notes="sample-ratio-mismatch guard for a 50/50 experiment split: "
+    "users are assigned by the CONTENT-ADDRESSED md5 arm (the "
+    "pipeline_split discipline — reproducible anywhere, no RNG "
+    "state), and the goodness-of-fit chi-square for two equal cells "
+    "reduces to (n0-n1)^2/(n0+n1) — one division of exact BIGINTs, "
+    "compared against the df=1 critical value embedded as the same "
+    "repr literal in both engines. The pre-analysis hygiene check "
+    "every experiment readout should run before agg_ab_test/"
+    "agg_ttest_welch are allowed to mean anything. One distinct + "
+    "one map-side aggregate at any scale",
+)
+def evt_ab_srm(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    t = u.select(arm.alias("arm")).agg(
+        F.sum((F.col("arm") == 0).cast("long")).cast("long").alias("n0"),
+        F.sum((F.col("arm") == 1).cast("long")).cast("long").alias("n1"),
+    )
+    d2 = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    chi = d2 / (F.col("n0") + F.col("n1"))
+    return t.select(
+        "n0",
+        "n1",
+        (F.floor(chi * 1e6) / 1e6).alias("chi2"),
+        (chi > _SRM_CHI_CRIT).cast("long").alias("srm_detected"),
+    )

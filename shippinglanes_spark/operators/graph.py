@@ -1421,3 +1421,90 @@ def graph_rich_club(spark, sf_dir):
             " div (n_rich * (n_rich - 1)) AS BIGINT)"
         ).alias("phi_ppm"),
     )
+
+
+def _bridges_oracle() -> str:
+    """Per-edge-removal multi-source BFS, keyed by the removed edge:
+    the frontier relation is (ea, eb, v) and each round joins the
+    bidirectional adjacency EXCLUDING that row's own removed edge."""
+    ctes = [
+        "bidir AS (SELECT a AS x, b AS y FROM und"
+        " UNION ALL SELECT b AS x, a AS y FROM und)",
+        "f0 AS (SELECT a AS ea, b AS eb, a AS v FROM und)",
+    ]
+    for i in range(1, _CL_ITERS + 1):
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+      SELECT ea, eb, v FROM (
+        SELECT ea, eb, v FROM f{i - 1}
+        UNION ALL
+        SELECT f.ea, f.eb, e.y AS v
+        FROM f{i - 1} f JOIN bidir e ON f.v = e.x
+        WHERE NOT ((e.x = f.ea AND e.y = f.eb)
+                   OR (e.x = f.eb AND e.y = f.ea)))
+      GROUP BY ea, eb, v)"""
+        )
+    return (
+        "WITH "
+        + _KCORE_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT und.a, und.b,
+           CAST(r.v IS NULL AS BIGINT) AS is_bridge
+    FROM und LEFT JOIN f{_CL_ITERS} r
+      ON r.ea = und.a AND r.eb = und.b AND r.v = und.b"""
+    )
+
+
+@register(
+    "graph_bridges",
+    section="2.9",
+    oracle=_bridges_oracle(),
+    notes="bridge (cut-edge) detection on the trade graph: an edge is "
+    "a bridge iff removing it disconnects its endpoints. Every edge's "
+    "removal is tested SIMULTANEOUSLY by one multi-source BFS keyed "
+    "on the removed edge — the frontier relation (edge, node) stays "
+    "|E| x |V| (graph-sized), each round is one join against the "
+    "shared adjacency with the row's own edge excluded by predicate, "
+    "and the rounds are fixed >= diameter. No per-edge loop, no "
+    "recomputation: the classic what-if analysis (which trade link's "
+    "loss fragments the network) as set-at-a-time relational "
+    "iteration. All integers; the flag is a NULL-check on the "
+    "endpoint's reachability row",
+)
+def graph_bridges(spark, sf_dir):
+    und = _trade_und(spark, sf_dir)
+    bidir = und.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionByName(und.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    frontier = und.select(
+        F.col("a").alias("ea"), F.col("b").alias("eb"), F.col("a").alias("v")
+    ).localCheckpoint()
+    not_removed = ~(
+        ((F.col("x") == F.col("ea")) & (F.col("y") == F.col("eb")))
+        | ((F.col("x") == F.col("eb")) & (F.col("y") == F.col("ea")))
+    )
+    for _ in range(_CL_ITERS):
+        grown = (
+            frontier.join(F.broadcast(bidir), frontier.v == bidir.x)
+            .where(not_removed)
+            .select("ea", "eb", F.col("y").alias("v"))
+        )
+        frontier = (
+            frontier.unionByName(grown)
+            .groupBy("ea", "eb", "v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .drop("_c")
+            .localCheckpoint()
+        )
+    reached = frontier.where(F.col("v") == F.col("eb")).select(
+        F.col("ea").alias("ra"), F.col("eb").alias("rb"), F.lit(1).alias("hit")
+    )
+    return und.join(
+        reached, (und.a == reached.ra) & (und.b == reached.rb), "left"
+    ).select(
+        "a",
+        "b",
+        F.col("hit").isNull().cast("long").alias("is_bridge"),
+    )

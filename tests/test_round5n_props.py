@@ -587,3 +587,102 @@ def test_js_divergence_matches_python_reference(spark, sf_dir):
     assert row.n_terms == len(vocab)
     assert abs(row.jsd_bits - jsd) < 1e-3
     assert 0.0 <= row.jsd_bits <= 1.0  # JS in bits is bounded by 1
+
+
+def test_srm_matches_md5_reference(spark, sf_dir):
+    import hashlib
+
+    users = {
+        r.user_id
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    n0 = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"srm:{u}".encode()).hexdigest()[:13], 16) % 2
+        == 0
+    )
+    n1 = len(users) - n0
+    row = all_queries()["evt_ab_srm"].fn(spark, sf_dir).collect()[0]
+    assert (row.n0, row.n1) == (n0, n1)
+    chi = (n0 - n1) ** 2 / (n0 + n1)
+    assert abs(row.chi2 - chi) < 2e-6
+    assert row.srm_detected == int(chi > 3.841458820694124)
+
+
+def test_bridges_match_python_reference(spark, sf_dir):
+    from collections import defaultdict, deque
+
+    from shippinglanes_spark.operators.graph import _trade_und
+
+    edges = {(r.a, r.b) for r in _trade_und(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def connected_without(a, b):
+        seen, q = {a}, deque([a])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if (u, w) in ((a, b), (b, a)):
+                    continue
+                if w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        return b in seen
+
+    got = {
+        (r.a, r.b): r.is_bridge
+        for r in all_queries()["graph_bridges"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == edges
+    for a, b in edges:
+        assert got[(a, b)] == int(not connected_without(a, b)), (a, b)
+
+
+def test_seasonal_strength_matches_pandas(spark, sf_dir):
+    import numpy as np
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS series",
+            "datediff(o_orderdate, DATE '1995-01-01') AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("series", "d")
+        .sum("cents")
+        .orderBy("series", "d")
+        .toPandas()
+        .rename(columns={"sum(cents)": "v"})
+    )
+    got = {
+        r.series: r
+        for r in all_queries()["ts_seasonal_strength"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for series, g in daily.groupby("series"):
+        v = g["v"].to_numpy(dtype=float)
+        d = g["d"].to_numpy()
+        trend = np.floor(
+            np.convolve(v, np.ones(7), "valid") / 7.0
+        )  # full 7-windows only
+        detr = v[3:-3] - trend
+        dows = d[3:-3] % 7
+        seas = {k: detr[dows == k].mean() for k in set(dows)}
+        resid = detr - np.array([seas[k] for k in dows])
+        var_r = resid.var()
+        var_d = detr.var()
+        if var_d <= 0:
+            assert series not in got
+            continue
+        fs = max(0.0, 1 - var_r / var_d)
+        r = got[series]
+        assert r.n_days == len(detr)
+        assert abs(r.seasonal_strength - fs) < 2e-4
