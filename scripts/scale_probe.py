@@ -590,6 +590,7 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "evt_ab_srm",
         "graph_bridges",
         "ts_seasonal_strength",
+        "graph_transitivity",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

@@ -1508,3 +1508,70 @@ def graph_bridges(spark, sf_dir):
         "b",
         F.col("hit").isNull().cast("long").alias("is_bridge"),
     )
+
+
+@register(
+    "graph_transitivity",
+    section="2.9",
+    oracle="WITH "
+    + _KCORE_BASE_SQL.strip()
+    + """,
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+            GROUP BY v),
+    wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+            FROM deg)
+    SELECT n_tri, n_wedges,
+           CAST(3 * n_tri * 1000000 // n_wedges AS BIGINT)
+             AS transitivity_ppm
+    FROM tri CROSS JOIN wed
+    WHERE n_wedges > 0
+    """,
+    notes="global clustering coefficient (transitivity) of the trade "
+    "graph: C = 3 * triangles / wedges, where triangles come from the "
+    "oriented-edge enumeration shared with graph_triangles (each "
+    "counted once as a<b<c) and wedges are sum d(d-1)/2 over the "
+    "degree table. Exact BIGINTs end to end, reported as integer ppm "
+    "via one floor-division — the one-number answer to 'how cliquish "
+    "is this network' next to the per-node triangle counts. d(d-1)/2 "
+    "is exact integer arithmetic in both engines (d(d-1) is always "
+    "even). Graph-sized after the shared edge pass",
+)
+def graph_transitivity(spark, sf_dir):
+    und = _trade_und(spark, sf_dir)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(F.broadcast(e2), F.col("y") == F.col("y2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .where(F.col("n_wedges") > 0)
+        .select(
+            "n_tri",
+            "n_wedges",
+            F.expr(
+                "CAST(3 * n_tri * 1000000 div n_wedges AS BIGINT)"
+            ).alias("transitivity_ppm"),
+        )
+    )

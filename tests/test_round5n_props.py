@@ -686,3 +686,26 @@ def test_seasonal_strength_matches_pandas(spark, sf_dir):
         r = got[series]
         assert r.n_days == len(detr)
         assert abs(r.seasonal_strength - fs) < 2e-4
+
+
+def test_transitivity_matches_python_reference(spark, sf_dir):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from shippinglanes_spark.operators.graph import _trade_und
+
+    edges = {(r.a, r.b) for r in _trade_und(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if a < b < c
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    row = all_queries()["graph_transitivity"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_tri, row.n_wedges) == (tri, wedges)
+    assert row.transitivity_ppm == 3 * tri * 1_000_000 // wedges
