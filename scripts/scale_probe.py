@@ -591,6 +591,8 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
         "graph_bridges",
         "ts_seasonal_strength",
         "graph_transitivity",
+        "geo_heading_rose",
+        "evt_burstiness",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

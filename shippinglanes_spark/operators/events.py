@@ -2599,3 +2599,80 @@ def evt_ab_srm(spark, sf_dir):
         (F.floor(chi * 1e6) / 1e6).alias("chi2"),
         (chi > _SRM_CHI_CRIT).cast("long").alias("srm_detected"),
     )
+
+
+@register(
+    "evt_burstiness",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+                      event_id
+               FROM events),
+    g AS (SELECT event_type,
+                 (ts_us - LAG(ts_us) OVER (
+                    PARTITION BY event_type, user_id
+                    ORDER BY ts_us, event_id)) // 60000000 AS gap_min
+          FROM e),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(gap_min) AS BIGINT) AS s,
+                 CAST(SUM(gap_min * gap_min) AS BIGINT) AS ss
+          FROM g WHERE gap_min IS NOT NULL GROUP BY event_type),
+    b AS (SELECT event_type, n, s,
+                 CAST(s AS DOUBLE) / n AS mu,
+                 sqrt((n * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * s)
+                      / (CAST(n AS DOUBLE) * n)) AS sigma
+          FROM m)
+    SELECT event_type, n AS n_gaps,
+           FLOOR(mu * 1e4) / 1e4 AS mean_gap_min,
+           FLOOR((sigma - mu) / (sigma + mu) * 1e6) / 1e6 AS burstiness
+    FROM b WHERE sigma + mu > 0
+    """,
+    notes="Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of "
+    "per-user inter-event gaps, per event type: B -> -1 is metronomic, "
+    "0 is Poisson, -> +1 is heavy-tailed bursts — the temporal-pattern "
+    "diagnostic behind rate-limit sizing and anomaly thresholds. Gaps "
+    "integerize to whole minutes so the first/second moments are "
+    "exact BIGINTs (gap^2 in MICROseconds would overflow by sf0.1 — "
+    "the agg_hurst lesson applied at design time); the cross products "
+    "n*ss and s^2 go through DOUBLE (they overflow by sf1), one "
+    "correctly-rounded sqrt, identical trees both engines, floored. "
+    "One keyed window pass + one per-type aggregate",
+)
+def evt_burstiness(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "user_id", epoch_us("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts_us", "event_id"
+    )
+    g = e.select(
+        "event_type",
+        F.expr("(ts_us - lag(ts_us) over (partition by event_type, user_id"
+               " order by ts_us, event_id)) div 60000000").alias("gap_min"),
+    ).where(F.col("gap_min").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_min").cast("long").alias("s"),
+        F.sum(F.col("gap_min") * F.col("gap_min")).cast("long").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (
+            F.col("n") * F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    b = m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        (F.floor(mu * 1e4) / 1e4).alias("mean_gap_min"),
+        (F.floor((sigma - mu) / (sigma + mu) * 1e6) / 1e6).alias(
+            "burstiness"
+        ),
+        (sigma + mu).alias("_sm"),
+    )
+    return b.where(F.col("_sm") > 0).drop("_sm")

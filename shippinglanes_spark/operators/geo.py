@@ -945,3 +945,71 @@ def geo_geohash(spark, sf_dir):
         F.countDistinct("user_id").cast("long").alias("n_vessels"),
         F.min("gh8").alias("sample_gh8"),
     )
+
+
+@register(
+    "geo_heading_rose",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    hops AS (
+      SELECT user_id,
+             LAG(lat) OVER w AS lat1, LAG(lon) OVER w AS lon1,
+             LAG(ts_us) OVER w AS ts1, lat AS lat2, lon AS lon2, ts_us
+      FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    hdg AS (
+      SELECT CAST(FLOOR(ROUND({_BEARING_SQL}, 4) / 30.0) AS BIGINT)
+               AS sector,
+             ROUND({_HAV_SQL}, 4) AS km,
+             user_id
+      FROM hops WHERE lat1 IS NOT NULL AND ts_us > ts1)
+    SELECT sector,
+           CAST(sector * 30 AS BIGINT) AS from_deg,
+           CAST(COUNT(*) AS BIGINT) AS n_hops,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels,
+           CAST(SUM(CAST(ROUND(km * 10000) AS BIGINT)) AS BIGINT)
+             AS dist_dm4
+    FROM hdg GROUP BY sector
+    """,
+    notes="traffic rose: the 12-sector (30-degree) heading histogram "
+    "of every vessel hop, with hop counts, distinct vessels, and "
+    "total distance per sector — the classic AIS directional-flow "
+    "summary (dominant lane bearings fall straight out of it). "
+    "Bearings reuse the geo_speed_course trig and are ROUNDed 4 dp "
+    "BEFORE sector binning, so the bin edge is decided on the same "
+    "double in both engines; distances integerize to exact "
+    "tenth-of-meter units before summing (float-sum-order-free). One "
+    "keyed window pass + one 12-group aggregate at any scale",
+)
+def geo_heading_rose(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = _fixes(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.lag("ts_us").over(w).alias("ts1"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    ).where(F.col("lat1").isNotNull() & (F.col("ts_us") > F.col("ts1")))
+    b = F.round(
+        bearing_deg(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
+        4,
+    )
+    km = F.round(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
+        4,
+    )
+    hdg = hops.select(
+        F.floor(b / 30.0).cast("long").alias("sector"),
+        km.alias("km"),
+        "user_id",
+    )
+    return hdg.groupBy("sector").agg(
+        (F.col("sector") * 30).cast("long").alias("from_deg"),
+        F.count(F.lit(1)).cast("long").alias("n_hops"),
+        F.countDistinct("user_id").cast("long").alias("n_vessels"),
+        F.sum(F.round(F.col("km") * 10000).cast("long"))
+        .cast("long")
+        .alias("dist_dm4"),
+    ).select("sector", "from_deg", "n_hops", "n_vessels", "dist_dm4")

@@ -709,3 +709,99 @@ def test_transitivity_matches_python_reference(spark, sf_dir):
     row = all_queries()["graph_transitivity"].fn(spark, sf_dir).collect()[0]
     assert (row.n_tri, row.n_wedges) == (tri, wedges)
     assert row.transitivity_ppm == 3 * tri * 1_000_000 // wedges
+
+
+def test_heading_rose_matches_pandas(spark, sf_dir):
+    import numpy as np
+
+    fx = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+            "(value % 180) - 90 AS lat",
+            "((value * 2) % 360) - 180 AS lon",
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, set(), 0])
+    for _, g in fx.groupby("user_id"):
+        rows = g.to_numpy()
+        for i in range(1, len(rows)):
+            _, _, t1, la1, lo1 = rows[i - 1]
+            uid, _, t2, la2, lo2 = rows[i]
+            if t2 <= t1:
+                continue
+            rla1, rla2 = np.radians(la1), np.radians(la2)
+            dlon = np.radians(lo2 - lo1)
+            y = np.sin(dlon) * np.cos(rla2)
+            x = np.cos(rla1) * np.sin(rla2) - np.sin(rla1) * np.cos(
+                rla2
+            ) * np.cos(dlon)
+            brg = (np.degrees(np.arctan2(y, x)) % 360 + 360) % 360
+            km = (
+                2
+                * 6371.0
+                * np.arcsin(
+                    np.sqrt(
+                        np.sin(np.radians(la2 - la1) / 2) ** 2
+                        + np.cos(rla1)
+                        * np.cos(rla2)
+                        * np.sin(dlon / 2) ** 2
+                    )
+                )
+            )
+            sec = int(np.floor(round(brg, 4) / 30.0))
+            a = agg[sec]
+            a[0] += 1
+            a[1].add(uid)
+            a[2] += int(np.floor(round(km, 4) * 10000 + 0.5))
+    got = {
+        r.sector: r
+        for r in all_queries()["geo_heading_rose"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for sec, (n, users, dist) in agg.items():
+        r = got[sec]
+        assert (r.n_hops, r.n_vessels, r.from_deg) == (n, len(users), sec * 30)
+        assert r.dist_dm4 == dist
+
+
+def test_burstiness_coefficient_matches_pandas(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+            "event_id",
+        )
+        .toPandas()
+        .sort_values(["event_type", "user_id", "ts_us", "event_id"])
+    )
+    got = {
+        r.event_type: r
+        for r in all_queries()["evt_burstiness"].fn(spark, sf_dir).collect()
+    }
+    for et, g in ev.groupby("event_type"):
+        gaps = []
+        for _, u in g.groupby("user_id"):
+            ts = list(u["ts_us"])
+            gaps += [(b - a) // 60_000_000 for a, b in zip(ts, ts[1:])]
+        if not gaps:
+            continue
+        n = len(gaps)
+        mu = sum(gaps) / n
+        var = (n * sum(x * x for x in gaps) - sum(gaps) ** 2) / n**2
+        sigma = math.sqrt(var)
+        if sigma + mu <= 0:
+            assert et not in got
+            continue
+        r = got[et]
+        assert r.n_gaps == n
+        assert abs(r.mean_gap_min - mu) < 2e-4
+        assert abs(r.burstiness - (sigma - mu) / (sigma + mu)) < 2e-6
