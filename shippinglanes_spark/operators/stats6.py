@@ -1,0 +1,432 @@
+"""Round-6 statistics pack (SURVEY §2.4 extensions): distribution-shape
+tests, multiple-testing correction, and empirical-Bayes shrinkage.
+
+Cross-engine float discipline (FIXTURES.md): every per-row quantity is an
+exact integer; higher-moment sums that would overflow BIGINT per row
+(cents**4 reaches 9.8e18 at the observed value ceiling of 560.21) go
+through Spark DECIMAL(38,0) vs DuckDB HUGEINT — both exact 128-bit-class
+integer sums, order-independent, identical when cast to DOUBLE. The only
+float arithmetic is a scalar expression tree over those exact group
+totals, written identically in both engines, then FLOORed at 6 dp.
+
+Scale notes (100 TB): every query here is one keyed aggregate (or one
+keyed aggregate + one bounded reduce); nothing collects, nothing joins
+beyond broadcast-size group tables. agg_bh_fdr's final window runs over
+one row per event TYPE (bounded domain, ~tens), not per event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+# logistic approximation of the standard normal CDF (Bowling et al. 2009):
+# Phi(z) ~= 1 / (1 + exp(-(0.07056 z^3 + 1.5976 z))), |err| < 1.4e-4.
+# Spec constants embedded as identical repr literals in both engines
+# (neither has erf/invnorm) — the agg_power_analysis discipline.
+_PHI_A = 0.07056
+_PHI_B = 1.5976
+_BH_ALPHA = 0.05
+
+
+def _cents_events(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+
+@register(
+    "agg_jarque_bera",
+    section="2.4",
+    oracle="""
+    WITH x AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+                 CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+          FROM x GROUP BY event_type),
+    m AS (SELECT event_type, n, s1 / n AS mu, s2 / n AS r2,
+                 s3 / n AS r3, s4 / n AS r4
+          FROM s WHERE n >= 8),
+    c AS (SELECT event_type, n,
+                 r2 - mu * mu AS m2,
+                 r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+                 r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                    - 3 * mu * mu * mu * mu AS m4
+          FROM m),
+    g AS (SELECT event_type, n,
+                 m3 / POWER(m2, 1.5) AS skew,
+                 m4 / (m2 * m2) - 3.0 AS exkurt
+          FROM c WHERE m2 > 0)
+    SELECT event_type, n,
+           FLOOR(skew * 1e6) / 1e6 AS skewness,
+           FLOOR(exkurt * 1e6) / 1e6 AS excess_kurtosis,
+           FLOOR(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) * 1e6)
+             / 1e6 AS jb_stat
+    FROM g ORDER BY event_type
+    """,
+    notes="Jarque-Bera normality test per event type: skewness and "
+    "excess kurtosis from raw power sums S1..S4, JB = n/6 (g1^2 + "
+    "g2^2/4). The power sums are exact 128-bit integer sums "
+    "(DECIMAL(38,0) vs HUGEINT — cents^4 per row is ~9.8e18, past "
+    "BIGINT), so the float expression tree sees identical scalar "
+    "inputs per group in both engines; FLOOR 6 dp. One keyed "
+    "aggregate at any scale; deliberately avoids the engines' own "
+    "skewness()/kurtosis() builtins, which differ in formulation "
+    "(sample-vs-population corrections)",
+)
+def agg_jarque_bera(spark, sf_dir):
+    x = _cents_events(spark, sf_dir)
+    c = F.col("cents").cast("decimal(38,0)")
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("double").alias("s1"),
+        F.sum(c * F.col("cents")).cast("double").alias("s2"),
+        F.sum(c * F.col("cents") * F.col("cents")).cast("double").alias("s3"),
+        F.sum(c * F.col("cents") * F.col("cents") * F.col("cents"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    r2 = F.col("s2") / n
+    r3 = F.col("s3") / n
+    r4 = F.col("s4") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / 4.0)
+    return (
+        s.where(n >= 8)
+        .where(m2 > 0)
+        .select(
+            "event_type",
+            "n",
+            (F.floor(skew * 1e6) / 1e6).alias("skewness"),
+            (F.floor(exk * 1e6) / 1e6).alias("excess_kurtosis"),
+            (F.floor(jb * 1e6) / 1e6).alias("jb_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_theil",
+    section="2.4",
+    oracle="""
+    WITH u AS (SELECT event_type, user_id,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                           AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL
+               GROUP BY event_type, user_id),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS t
+          FROM u GROUP BY event_type),
+    q AS (SELECT u.event_type,
+                 CAST(FLOOR(
+                   (CAST(u.x AS DOUBLE) * g.n / g.t)
+                   * LN(CAST(u.x AS DOUBLE) * g.n / g.t) * 1e6)
+                 AS BIGINT) AS term
+          FROM u JOIN g USING (event_type)
+          WHERE u.x > 0 AND g.t > 0)
+    SELECT q.event_type, g.n AS n_users,
+           FLOOR(CAST(SUM(q.term) AS DOUBLE) / g.n) / 1e6 AS theil_t
+    FROM q JOIN g USING (event_type)
+    GROUP BY q.event_type, g.n
+    ORDER BY q.event_type
+    """,
+    notes="Theil T inequality index of per-user spend within each event "
+    "type: T = (1/n) sum (x/mu) ln(x/mu). Each user's term is FLOORed "
+    "to a 1e-6 integer BEFORE summing (the emb_isotropy quantization "
+    "pattern), so the corpus-sized sum is an exact BIGINT in both "
+    "engines — sum of terms is bounded by n * ln(n) * 1e6 (since "
+    "sum(x/mu) = n), ~2e16 even at a billion users. The ratio x/mu is "
+    "computed as (double(x) * n) / t in BOTH engines (identical op "
+    "order; x*n as an integer could overflow, double-first cannot). "
+    "Complements agg_gini (rank-based) with the decomposable entropy "
+    "index; two keyed aggregates + one broadcast join at any scale",
+)
+def agg_theil(spark, sf_dir):
+    ev = _cents_events(spark, sf_dir)
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    g = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    r = F.col("x").cast("double") * F.col("n") / F.col("t")
+    q = (
+        u.join(F.broadcast(g), "event_type")
+        .where((F.col("x") > 0) & (F.col("t") > 0))
+        .select(
+            "event_type",
+            F.floor(r * F.log(r) * 1e6).cast("long").alias("term"),
+        )
+    )
+    return (
+        q.groupBy("event_type")
+        .agg(F.sum("term").cast("long").alias("s"))
+        .join(F.broadcast(g), "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_users"),
+            (F.floor(F.col("s").cast("double") / F.col("n")) / 1e6).alias(
+                "theil_t"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_bh_fdr",
+    section="2.4",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      CAST(ts AS DATE) < DATE '2024-01-16' AS early,
+                      CAST(ROUND(value * 100) AS BIGINT) >= 5000 AS hi
+               FROM events WHERE value IS NOT NULL),
+    t AS (SELECT event_type,
+                 CAST(COUNT(*) FILTER (early) AS BIGINT) AS n1,
+                 CAST(COUNT(*) FILTER (early AND hi) AS BIGINT) AS x1,
+                 CAST(COUNT(*) FILTER (NOT early) AS BIGINT) AS n2,
+                 CAST(COUNT(*) FILTER (NOT early AND hi) AS BIGINT) AS x2
+          FROM e GROUP BY event_type),
+    z AS (SELECT event_type, n1, x1, n2, x2,
+                 (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)) AS zstat
+          FROM t WHERE n1 > 0 AND n2 > 0
+            AND x1 + x2 > 0 AND x1 + x2 < n1 + n2),
+    p AS (SELECT event_type, n1, x1, n2, x2, zstat,
+                 2 * (1 - 1 / (1 + EXP(-({_PHI_A!r} * ABS(zstat)
+                                          * ABS(zstat) * ABS(zstat)
+                                        + {_PHI_B!r} * ABS(zstat)))))
+                   AS pval
+          FROM z),
+    r AS (SELECT *,
+                 CAST(ROW_NUMBER() OVER (ORDER BY pval, event_type)
+                      AS BIGINT) AS k,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM p),
+    d AS (SELECT *,
+                 MAX(CASE WHEN pval <= k * {_BH_ALPHA!r} / m
+                          THEN k ELSE 0 END) OVER () AS kmax
+          FROM r)
+    SELECT event_type, n1, x1, n2, x2,
+           FLOOR(zstat * 1e6) / 1e6 AS z,
+           FLOOR(pval * 1e6) / 1e6 AS p_value,
+           k, CAST(k * 1000 * {_BH_ALPHA!r} / m AS DOUBLE) / 1000
+                AS bh_threshold,
+           CAST(CASE WHEN k <= kmax THEN 1 ELSE 0 END AS BIGINT)
+             AS discovery
+    FROM d ORDER BY k
+    """,
+    notes="Benjamini-Hochberg step-up FDR correction over the per-type "
+    "two-proportion z-tests (first-half vs second-half high-value "
+    "share): rank raw p ascending, reject all k <= max(k: p_k <= "
+    "k*alpha/m). The normal CDF is the Bowling logistic approximation "
+    "with spec constants embedded as identical repr literals in both "
+    "engines (no erf anywhere); z and p are identical expression "
+    "trees over exact counts, so the BH ranking compares identical "
+    "doubles. The final window runs over one row per event TYPE — a "
+    "bounded domain (~tens), never per event — so the OVER () frames "
+    "are metadata-sized at any corpus scale",
+)
+def agg_bh_fdr(spark, sf_dir):
+    ev = _cents_events(spark, sf_dir)
+    early = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    hi = F.col("cents") >= 5000
+    t = ev.groupBy("event_type").agg(
+        F.count(F.when(early, 1)).cast("long").alias("n1"),
+        F.count(F.when(early & hi, 1)).cast("long").alias("x1"),
+        F.count(F.when(~early, 1)).cast("long").alias("n2"),
+        F.count(F.when(~early & hi, 1)).cast("long").alias("x2"),
+    )
+    n1, x1, n2, x2 = (F.col(c) for c in ("n1", "x1", "n2", "x2"))
+    pool = (x1 + x2).cast("double") / (n1 + n2)
+    zstat = (x1.cast("double") / n1 - x2.cast("double") / n2) / F.sqrt(
+        pool * (1 - pool) * (1.0 / n1 + 1.0 / n2)
+    )
+    z = (
+        t.where((n1 > 0) & (n2 > 0) & (x1 + x2 > 0) & (x1 + x2 < n1 + n2))
+        .withColumn("zstat", zstat)
+    )
+    az = F.abs(F.col("zstat"))
+    pval = 2 * (1 - 1 / (1 + F.exp(-(_PHI_A * az * az * az + _PHI_B * az))))
+    p = z.withColumn("pval", pval)
+    # bounded domain: one row per event type — the global windows below
+    # are over ~tens of rows, not data-sized
+    r = p.withColumn(
+        "k",
+        F.row_number().over(W.orderBy("pval", "event_type")).cast("long"),
+    ).withColumn("m", F.count(F.lit(1)).over(W.partitionBy()).cast("long"))
+    d = r.withColumn(
+        "kmax",
+        F.max(
+            F.when(
+                F.col("pval") <= F.col("k") * _BH_ALPHA / F.col("m"),
+                F.col("k"),
+            ).otherwise(0)
+        ).over(W.partitionBy()),
+    )
+    return d.select(
+        "event_type",
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        (F.floor(F.col("zstat") * 1e6) / 1e6).alias("z"),
+        (F.floor(F.col("pval") * 1e6) / 1e6).alias("p_value"),
+        "k",
+        (
+            (F.col("k") * 1000 * _BH_ALPHA / F.col("m")).cast("double")
+            / 1000
+        ).alias("bh_threshold"),
+        F.when(F.col("k") <= F.col("kmax"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("discovery"),
+    ).orderBy("k")
+
+
+@register(
+    "agg_eb_shrinkage",
+    section="2.4",
+    oracle="""
+    WITH pr AS (SELECT l_partkey,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COUNT(*) FILTER (l_returnflag = 'R')
+                            AS BIGINT) AS x
+                FROM lineitem GROUP BY l_partkey),
+    rp AS (SELECT l_partkey, n, x,
+                  CAST(x * 1000000 // n AS BIGINT) AS r_ppm
+           FROM pr),
+    mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                   CAST(SUM(r_ppm) AS BIGINT) AS s,
+                   CAST(SUM(CAST(r_ppm AS HUGEINT) * r_ppm) AS DOUBLE)
+                     AS ss
+            FROM rp),
+    ab AS (SELECT np,
+                  (CAST(s AS DOUBLE) / np) / 1e6 AS m,
+                  (ss / np - (CAST(s AS DOUBLE) / np)
+                             * (CAST(s AS DOUBLE) / np)) / 1e12 AS v
+           FROM mom),
+    prior AS (SELECT np, m, v,
+                     m * (m * (1 - m) / v - 1) AS alpha,
+                     (1 - m) * (m * (1 - m) / v - 1) AS beta
+              FROM ab WHERE v > 0 AND m * (1 - m) > v),
+    sh AS (SELECT r.l_partkey, r.n, r.x,
+                  CAST(r.x AS DOUBLE) / r.n AS raw,
+                  (r.x + p.alpha) / (r.n + p.alpha + p.beta) AS shrunk,
+                  p.alpha, p.beta
+           FROM rp r CROSS JOIN prior p)
+    SELECT l_partkey, n, x,
+           FLOOR(raw * 1e6) / 1e6 AS raw_rate,
+           FLOOR(shrunk * 1e6) / 1e6 AS shrunk_rate,
+           FLOOR(alpha * 1e4) / 1e4 AS prior_alpha,
+           FLOOR(beta * 1e4) / 1e4 AS prior_beta
+    FROM sh
+    ORDER BY shrunk DESC, l_partkey LIMIT 20
+    """,
+    notes="empirical-Bayes (beta-binomial) shrinkage of per-part return "
+    "rates: fit the prior by method of moments on the per-part raw "
+    "rates, then report each part's posterior-mean rate (x+a)/(n+a+b) "
+    "— the small-n parts pull toward the grand mean instead of "
+    "topping the leaderboard on 1-for-1 flukes. Rates are integerized "
+    "to ppm BEFORE the moment sums (exact BIGINT; the ppm^2 sum goes "
+    "through HUGEINT/DECIMAL(38,0) for 100TB headroom), so the MoM "
+    "prior is an identical scalar in both engines; ordering for the "
+    "top-20 compares identically-computed doubles with a partkey "
+    "tiebreak. Plan: one keyed aggregate + 1-row reduce + broadcast "
+    "scalar join + TakeOrderedAndProject — no global sort",
+)
+def agg_eb_shrinkage(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("long")
+        .alias("x"),
+    )
+    rp = pr.withColumn(
+        "r_ppm", F.expr("CAST(x * 1000000 div n AS BIGINT)")
+    )
+    mom = rp.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("r_ppm").cast("long").alias("s"),
+        F.sum(F.col("r_ppm").cast("decimal(38,0)") * F.col("r_ppm"))
+        .cast("double")
+        .alias("ss"),
+    )
+    m = (F.col("s").cast("double") / F.col("np")) / 1e6
+    v = (
+        F.col("ss") / F.col("np")
+        - (F.col("s").cast("double") / F.col("np"))
+        * (F.col("s").cast("double") / F.col("np"))
+    ) / 1e12
+    prior = (
+        mom.select(
+            F.col("np"),
+            m.alias("m"),
+            v.alias("v"),
+        )
+        .where((F.col("v") > 0) & (F.col("m") * (1 - F.col("m")) > F.col("v")))
+        .select(
+            "np",
+            "m",
+            "v",
+            (
+                F.col("m")
+                * (F.col("m") * (1 - F.col("m")) / F.col("v") - 1)
+            ).alias("alpha"),
+            (
+                (1 - F.col("m"))
+                * (F.col("m") * (1 - F.col("m")) / F.col("v") - 1)
+            ).alias("beta"),
+        )
+    )
+    sh = rp.crossJoin(F.broadcast(prior)).select(
+        "l_partkey",
+        "n",
+        "x",
+        (F.col("x").cast("double") / F.col("n")).alias("raw"),
+        (
+            (F.col("x") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).alias("shrunk"),
+        "alpha",
+        "beta",
+    )
+    return (
+        sh.orderBy(F.col("shrunk").desc(), "l_partkey")
+        .limit(20)
+        .select(
+            "l_partkey",
+            "n",
+            "x",
+            (F.floor(F.col("raw") * 1e6) / 1e6).alias("raw_rate"),
+            (F.floor(F.col("shrunk") * 1e6) / 1e6).alias("shrunk_rate"),
+            (F.floor(F.col("alpha") * 1e4) / 1e4).alias("prior_alpha"),
+            (F.floor(F.col("beta") * 1e4) / 1e4).alias("prior_beta"),
+        )
+    )

@@ -127,6 +127,7 @@ def _load_all() -> None:
         scans,
         setops,
         sorting,
+        stats6,
         subqueries,
         timeseries,
         tpch,

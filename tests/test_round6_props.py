@@ -1,0 +1,163 @@
+"""Independent semantic cross-checks for the round-6 stats pack: the
+DuckDB oracles prove cross-engine equality; these prove the SEMANTICS
+against brute-force pandas/pure-python references sharing no
+formulation with either engine."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from shippinglanes_spark.registry import all_queries
+
+
+def _cents(spark, sf_dir) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "user_id",
+            "CAST(ts AS DATE) AS day",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+        .where("value IS NOT NULL")
+        .toPandas()
+    )
+
+
+def test_jarque_bera_matches_population_moments(spark, sf_dir):
+    ev = _cents(spark, sf_dir)
+    got = {
+        r.event_type: r
+        for r in all_queries()["agg_jarque_bera"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ev["event_type"].unique())
+    for et, g in ev.groupby("event_type"):
+        x = g["cents"].astype(float)
+        n = len(x)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        skew = m3 / m2**1.5
+        exk = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
+        r = got[et]
+        assert r.n == n
+        assert abs(r.skewness - skew) < 1e-4
+        assert abs(r.excess_kurtosis - exk) < 1e-4
+        assert abs(r.jb_stat - jb) < jb * 1e-4 + 1e-3
+
+
+def test_theil_matches_literal_loop(spark, sf_dir):
+    ev = _cents(spark, sf_dir)
+    got = {
+        r.event_type: r
+        for r in all_queries()["agg_theil"].fn(spark, sf_dir).collect()
+    }
+    for et, g in ev.groupby("event_type"):
+        per_user = g.groupby("user_id")["cents"].sum()
+        xs = [float(v) for v in per_user if v > 0]
+        n = len(per_user)
+        mu = per_user.sum() / n
+        t = sum((x / mu) * math.log(x / mu) for x in xs) / n
+        r = got[et]
+        assert r.n_users == n
+        # engine quantizes each term at 1e-6 before the exact sum
+        assert abs(r.theil_t - t) < 5e-5
+
+
+def _bh_stepup(pvals: list[float], alpha: float) -> list[bool]:
+    """Literal BH step-up: reject all ranks <= max(k: p_k <= k*a/m)."""
+    order = sorted(range(len(pvals)), key=lambda i: pvals[i])
+    m = len(pvals)
+    kmax = 0
+    for rank, i in enumerate(order, start=1):
+        if pvals[i] <= rank * alpha / m:
+            kmax = rank
+    out = [False] * m
+    for rank, i in enumerate(order, start=1):
+        if rank <= kmax:
+            out[i] = True
+    return out
+
+
+def test_bh_stepup_reference_semantics():
+    # planted p-values where the step-up differs from naive per-rank
+    # thresholding: p(2)=0.021 > 2*0.05/4 but p(3)=0.03 <= 3*0.05/4,
+    # so ranks 1..3 are ALL discoveries (step-up rescues rank 2)
+    p = [0.01, 0.021, 0.03, 0.9]
+    assert _bh_stepup(p, 0.05) == [True, True, True, False]
+    assert _bh_stepup([0.9, 0.8, 0.7, 0.6], 0.05) == [False] * 4
+    assert _bh_stepup([0.001] * 4, 0.05) == [True] * 4
+
+
+def test_bh_fdr_matches_reference(spark, sf_dir):
+    ev = _cents(spark, sf_dir)
+    ev["early"] = ev["day"] < pd.Timestamp("2024-01-16").date()
+    ev["hi"] = ev["cents"] >= 5000
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        n1 = int(g["early"].sum())
+        x1 = int((g["early"] & g["hi"]).sum())
+        n2 = int((~g["early"]).sum())
+        x2 = int(((~g["early"]) & g["hi"]).sum())
+        pool = (x1 + x2) / (n1 + n2)
+        z = (x1 / n1 - x2 / n2) / math.sqrt(
+            pool * (1 - pool) * (1 / n1 + 1 / n2)
+        )
+        az = abs(z)
+        phi = 1 / (1 + math.exp(-(0.07056 * az**3 + 1.5976 * az)))
+        rows.append((et, n1, x1, n2, x2, z, 2 * (1 - phi)))
+    ref = pd.DataFrame(
+        rows, columns=["et", "n1", "x1", "n2", "x2", "z", "p"]
+    )
+    disc = _bh_stepup(list(ref["p"]), 0.05)
+    ref["discovery"] = disc
+    got = all_queries()["agg_bh_fdr"].fn(spark, sf_dir).toPandas()
+    assert len(got) == len(ref)
+    merged = got.merge(ref, left_on="event_type", right_on="et")
+    for r in merged.itertuples():
+        assert (r.n1_x, r.x1_x, r.n2_x, r.x2_x) == (r.n1_y, r.x1_y, r.n2_y, r.x2_y)
+        assert abs(r.z_x - r.z_y) < 2e-6
+        assert abs(r.p_value - r.p) < 2e-6
+        assert bool(r.discovery_x) == bool(r.discovery_y)
+
+
+def test_eb_shrinkage_matches_pandas_mom(spark, sf_dir):
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_partkey", "CAST(l_returnflag = 'R' AS INT) AS ret"
+        )
+        .toPandas()
+    )
+    per = li.groupby("l_partkey").agg(n=("ret", "size"), x=("ret", "sum"))
+    ppm = (per["x"] * 1_000_000 // per["n"]).astype("int64")
+    m = ppm.mean() / 1e6
+    v = (ppm.astype(float) ** 2).mean() / 1e12 - m * m
+    common = m * (1 - m) / v - 1
+    alpha, beta = m * common, (1 - m) * common
+    per["shrunk"] = (per["x"] + alpha) / (per["n"] + alpha + beta)
+    top = per.sort_values(
+        ["shrunk"], ascending=False, kind="mergesort"
+    ).reset_index()
+    # tiebreak on partkey like the engine
+    top = top.sort_values(
+        ["shrunk", "l_partkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    got = all_queries()["agg_eb_shrinkage"].fn(spark, sf_dir).toPandas()
+    assert list(got["l_partkey"]) == list(top["l_partkey"])
+    assert abs(got["prior_alpha"].iloc[0] - alpha) < 1e-3
+    assert abs(got["prior_beta"].iloc[0] - beta) < 1e-3
+    for a, b in zip(got["shrunk_rate"], top["shrunk"]):
+        assert abs(a - b) < 2e-6
+    # shrinkage property: every small-n extreme rate pulls toward m
+    grand = per["x"].sum() / per["n"].sum()
+    for r in per.itertuples():
+        raw = r.x / r.n
+        assert (
+            min(raw, grand) - 1e-9 <= r.shrunk <= max(raw, grand) + 1e-9
+            or abs(raw - grand) < 0.2
+        )
