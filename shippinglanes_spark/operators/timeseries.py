@@ -1802,3 +1802,362 @@ def agg_hurst(spark, sf_dir):
         F.col("np").alias("n_scales"),
         F.round(slope / (2 * math.log(2.0)) + 1, 4).alias("hurst"),
     )
+
+
+# SAX breakpoints for a 4-symbol alphabet: standard normal quartiles,
+# embedded as identical repr literals in both engines (spec constants,
+# the agg_power_analysis discipline).
+_SAX_Q1 = -0.6744897501960817
+_SAX_Q3 = 0.6744897501960817
+_SAX_W = 8  # PAA segments per series
+
+
+@register(
+    "ts_xcorr_lags",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS x,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    lags AS (SELECT CAST(k AS BIGINT) AS k
+             FROM generate_series(-7, 7) AS t(k)),
+    pair AS (SELECT l.k, a.x, b.y
+             FROM lags l
+             JOIN d a ON TRUE
+             JOIN d b ON b.di = a.di + l.k),
+    s AS (SELECT k,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM pair GROUP BY k)
+    SELECT k, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                 (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 4) AS xcorr
+    FROM s
+    WHERE n >= 8 AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+      AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0
+    ORDER BY k
+    """,
+    notes="cross-correlation function between the daily click and "
+    "purchase count series at lags -7..+7 (lead/lag detector: does one "
+    "metric anticipate the other?): the daily grid is calendar-bounded "
+    "metadata, so the 15-lag self-join is a broadcast of a tiny table "
+    "against itself — never event-sized. Six sufficient statistics per "
+    "lag are exact integer sums; the cross-products go through DOUBLE "
+    "before multiplying (n*sxy overflows BIGINT once daily volume "
+    "reaches ~1e7 — the agg_cuped lesson); Pearson r ROUNDed 4 dp. "
+    "Generalizes ts_autocorr (self, 2 lags) and ts_corr_series "
+    "(rolling, lag 0) to the full +-K CCF",
+)
+def ts_xcorr_lags(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("long").alias("k"))
+    a = d.select(F.col("di").alias("dia"), "x")
+    b = d.select(F.col("di").alias("dib"), "y")
+    pair = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("dib") == F.col("dia") + F.col("k"))
+    )
+    s = pair.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    )
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    )
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    return (
+        s.where((n >= 8) & (vx > 0) & (vy > 0))
+        .select("k", "n", F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("xcorr"))
+        .orderBy("k")
+    )
+
+
+@register(
+    "ts_granger",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS x,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    l AS (SELECT y,
+                 LAG(y) OVER (ORDER BY di) AS y1,
+                 LAG(x) OVER (ORDER BY di) AS x1
+          FROM d),
+    p AS (SELECT y, y1, x1 FROM l WHERE y1 IS NOT NULL),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(y1) AS BIGINT) AS s1,
+                 CAST(SUM(x1) AS BIGINT) AS s2,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(y1 * y1) AS BIGINT) AS s11,
+                 CAST(SUM(x1 * x1) AS BIGINT) AS s22,
+                 CAST(SUM(y1 * x1) AS BIGINT) AS s12,
+                 CAST(SUM(y * y1) AS BIGINT) AS s1y,
+                 CAST(SUM(y * x1) AS BIGINT) AS s2y
+          FROM p),
+    c AS (SELECT n,
+                 n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy,
+                 n * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 AS c11,
+                 n * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 AS c22,
+                 n * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 AS c12,
+                 n * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy AS c1y,
+                 n * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy AS c2y
+          FROM s),
+    f AS (SELECT n, cyy, c11, c1y, c2y,
+                 (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b,
+                 (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS g
+          FROM c WHERE c11 * c22 - c12 * c12 > 0 AND c11 > 0),
+    r AS (SELECT n, b, g,
+                 (cyy - (c1y * c1y) / c11) / n AS rss_r,
+                 (cyy - b * c1y - g * c2y) / n AS rss_u
+          FROM f)
+    SELECT n,
+           FLOOR(b * 1e6) / 1e6 AS coef_ylag,
+           FLOOR(g * 1e6) / 1e6 AS coef_xlag,
+           FLOOR((rss_r - rss_u) * (n - 3) / rss_u * 1e6) / 1e6
+             AS f_stat
+    FROM r WHERE rss_u > 0
+    """,
+    notes="Granger causality (1 lag): does yesterday's click count "
+    "improve the prediction of today's purchase count beyond "
+    "yesterday's purchases alone? Restricted (y ~ y_lag) vs "
+    "unrestricted (y ~ y_lag + x_lag) OLS in closed form from TEN "
+    "exact integer sums over the calendar-bounded daily grid — the "
+    "2x2 normal equations solve by Cramer's rule, so no matrix "
+    "library exists anywhere; F = (RSS_r - RSS_u)(n-3)/RSS_u. Every "
+    "centered moment is n*S - S*S computed in DOUBLE (BIGINT "
+    "cross-products overflow near 1e7 daily volume); both engines "
+    "evaluate the identical scalar tree, FLOOR 6 dp. The lag window "
+    "is over the daily table (metadata-sized), never over events",
+)
+def ts_granger(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("di")  # daily grid: calendar-bounded, never events
+    lagged = d.select(
+        "y",
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    ).where(F.col("y1").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("y1").cast("long").alias("s1"),
+        F.sum("x1").cast("long").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("y1") * F.col("y1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s22"),
+        F.sum(F.col("y1") * F.col("x1")).cast("long").alias("s12"),
+        F.sum(F.col("y") * F.col("y1")).cast("long").alias("s1y"),
+        F.sum(F.col("y") * F.col("x1")).cast("long").alias("s2y"),
+    )
+    n = F.col("n")
+    cyy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    c11 = n * F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1")
+    c22 = n * F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2")
+    c12 = n * F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2")
+    c1y = n * F.col("s1y").cast("double") - F.col("s1").cast("double") * F.col("sy")
+    c2y = n * F.col("s2y").cast("double") - F.col("s2").cast("double") * F.col("sy")
+    det = c11 * c22 - c12 * c12
+    b = (c1y * c22 - c2y * c12) / det
+    g = (c2y * c11 - c1y * c12) / det
+    rss_r = (cyy - (c1y * c1y) / c11) / n
+    rss_u = (cyy - b * c1y - g * c2y) / n
+    fstat = (rss_r - rss_u) * (n - 3) / rss_u
+    return (
+        s.where((det > 0) & (c11 > 0))
+        .select(
+            "n",
+            (F.floor(b * 1e6) / 1e6).alias("coef_ylag"),
+            (F.floor(g * 1e6) / 1e6).alias("coef_xlag"),
+            (F.floor(fstat * 1e6) / 1e6).alias("f_stat"),
+            rss_u.alias("_rss_u"),
+        )
+        .where(F.col("_rss_u") > 0)
+        .drop("_rss_u")
+    )
+
+
+@register(
+    "ts_sax",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT event_type,
+                      CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                           AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL
+               GROUP BY 1, 2),
+    idx AS (SELECT event_type, c,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY di) AS BIGINT) - 1
+                     AS i,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM d),
+    st AS (SELECT event_type,
+                  CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(SUM(c) AS BIGINT) AS s1,
+                  CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+           FROM idx GROUP BY event_type),
+    seg AS (SELECT i.event_type,
+                   CAST(i.i * {_SAX_W} // i.n AS BIGINT) AS seg,
+                   CAST(SUM(i.c) AS BIGINT) AS segsum,
+                   CAST(COUNT(*) AS BIGINT) AS segn
+            FROM idx i GROUP BY 1, 2),
+    z AS (SELECT g.event_type, g.seg,
+                 ((CAST(g.segsum AS DOUBLE) / g.segn)
+                  - CAST(t.s1 AS DOUBLE) / t.n)
+                 / SQRT(t.s2 / t.n - (CAST(t.s1 AS DOUBLE) / t.n)
+                                     * (CAST(t.s1 AS DOUBLE) / t.n)) AS zz
+          FROM seg g JOIN st t USING (event_type)
+          WHERE t.s2 / t.n - (CAST(t.s1 AS DOUBLE) / t.n)
+                             * (CAST(t.s1 AS DOUBLE) / t.n) > 0),
+    sym AS (SELECT event_type, seg,
+                   CASE WHEN zz < {_SAX_Q1!r} THEN 'a'
+                        WHEN zz < 0.0 THEN 'b'
+                        WHEN zz < {_SAX_Q3!r} THEN 'c'
+                        ELSE 'd' END AS s
+            FROM z)
+    SELECT event_type,
+           STRING_AGG(s, '' ORDER BY seg) AS sax_word
+    FROM sym GROUP BY event_type ORDER BY event_type
+    """,
+    notes=f"SAX symbolization (Lin/Keogh): each event type's daily-spend "
+    f"series is z-normalized, PAA-compressed to {_SAX_W} segments "
+    "(segment id = i*w div n over the per-series day rank — pure "
+    "integer), and each segment mean is binned into a 4-letter "
+    "alphabet at the standard-normal quartile breakpoints (embedded "
+    "as identical repr literals). The output word is the "
+    "indexable shape signature used for motif/similarity search over "
+    "billions of series. Per-series stats are exact integer sums "
+    "(the squared sum through HUGEINT/DECIMAL for headroom); the "
+    "day-rank window is keyed per series and calendar-bounded. "
+    "Breakpoint comparisons see identical doubles in both engines",
+)
+def ts_sax(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("di")
+    idx = d.select(
+        "event_type",
+        "c",
+        (F.row_number().over(w).cast("long") - 1).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    st = idx.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("s2"),
+    )
+    seg = idx.groupBy(
+        "event_type",
+        F.expr(f"CAST(i * {_SAX_W} div n AS BIGINT)").alias("seg"),
+    ).agg(
+        F.sum("c").cast("long").alias("segsum"),
+        F.count(F.lit(1)).cast("long").alias("segn"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    z = (
+        seg.join(F.broadcast(st), "event_type")
+        .where(var > 0)
+        .select(
+            "event_type",
+            "seg",
+            (
+                (F.col("segsum").cast("double") / F.col("segn") - mu)
+                / F.sqrt(var)
+            ).alias("zz"),
+        )
+    )
+    sym = z.select(
+        "event_type",
+        "seg",
+        F.when(F.col("zz") < _SAX_Q1, "a")
+        .when(F.col("zz") < 0.0, "b")
+        .when(F.col("zz") < _SAX_Q3, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg", F.col("s").alias("s")))
+                    ),
+                    lambda r: r["s"],
+                ),
+                "",
+            ).alias("sax_word")
+        )
+        .orderBy("event_type")
+    )

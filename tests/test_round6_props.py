@@ -161,3 +161,91 @@ def test_eb_shrinkage_matches_pandas_mom(spark, sf_dir):
             min(raw, grand) - 1e-9 <= r.shrunk <= max(raw, grand) + 1e-9
             or abs(raw - grand) < 0.2
         )
+
+
+def _daily_xy(spark, sf_dir) -> pd.DataFrame:
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type")
+        .toPandas()
+    )
+    g = ev.groupby("day")
+    return pd.DataFrame(
+        {
+            "x": g.apply(
+                lambda d: int((d["event_type"] == "click").sum()),
+                include_groups=False,
+            ),
+            "y": g.apply(
+                lambda d: int((d["event_type"] == "purchase").sum()),
+                include_groups=False,
+            ),
+        }
+    ).sort_index()
+
+
+def test_xcorr_lags_matches_pandas_shift(spark, sf_dir):
+    d = _daily_xy(spark, sf_dir)
+    got = {
+        int(r.k): r
+        for r in all_queries()["ts_xcorr_lags"].fn(spark, sf_dir).collect()
+    }
+    for k in range(-7, 8):
+        # engine pairs (x at t, y at t+k)
+        pair = pd.DataFrame({"x": d["x"], "y": d["y"].shift(-k)}).dropna()
+        if len(pair) < 8 or pair["x"].std() == 0 or pair["y"].std() == 0:
+            assert k not in got
+            continue
+        r = pair["x"].corr(pair["y"])
+        assert got[k].n == len(pair)
+        assert abs(got[k].xcorr - r) < 1e-3
+
+
+def test_granger_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    d = _daily_xy(spark, sf_dir)
+    y = d["y"].to_numpy(dtype=float)
+    x = d["x"].to_numpy(dtype=float)
+    yt, y1, x1 = y[1:], y[:-1], x[:-1]
+    n = len(yt)
+    Xr = np.column_stack([np.ones(n), y1])
+    Xu = np.column_stack([np.ones(n), y1, x1])
+    br, *_ = np.linalg.lstsq(Xr, yt, rcond=None)
+    bu, *_ = np.linalg.lstsq(Xu, yt, rcond=None)
+    rss_r = float(((yt - Xr @ br) ** 2).sum())
+    rss_u = float(((yt - Xu @ bu) ** 2).sum())
+    fref = (rss_r - rss_u) * (n - 3) / rss_u
+    row = all_queries()["ts_granger"].fn(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert abs(row.coef_ylag - bu[1]) < 1e-4
+    assert abs(row.coef_xlag - bu[2]) < 1e-4
+    assert abs(row.f_stat - fref) < fref * 1e-4 + 1e-4
+
+
+def test_sax_matches_literal_reference(spark, sf_dir):
+    ev = _cents(spark, sf_dir)
+    got = {
+        r.event_type: r.sax_word
+        for r in all_queries()["ts_sax"].fn(spark, sf_dir).collect()
+    }
+    q1, q3 = -0.6744897501960817, 0.6744897501960817
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day")["cents"].sum().sort_index()
+        n = len(daily)
+        vals = daily.to_numpy(dtype=float)
+        mu = vals.mean()
+        sd = (vals.var()) ** 0.5  # population
+        segs = []
+        for s in range(8):
+            seg_vals = [
+                v for i, v in enumerate(vals) if (i * 8) // n == s
+            ]
+            if not seg_vals:
+                continue
+            z = (sum(seg_vals) / len(seg_vals) - mu) / sd
+            segs.append(
+                "a" if z < q1 else "b" if z < 0 else "c" if z < q3 else "d"
+            )
+        assert got[et] == "".join(segs)
+        assert len(got[et]) == min(8, n)
