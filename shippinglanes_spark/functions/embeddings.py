@@ -837,3 +837,169 @@ def emb_isotropy(spark, sf_dir):
     return t.select(
         "n_vecs", (F.floor(mean_cos * 1e6) / 1e6).alias("mean_cosine")
     )
+
+
+@register(
+    "emb_cka",
+    section="2.9",
+    oracle="""
+    WITH ex AS (SELECT vec_id, t.i - 1 AS dim,
+                       CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+                FROM embeddings CROSS JOIN range(1, 65) t(i)),
+    am AS (SELECT dim, MAX(ABS(x)) AS mx FROM ex GROUP BY dim),
+    q AS (SELECT e.vec_id, e.dim,
+                 CAST(FLOOR(e.x * 1e6) AS BIGINT) AS xq,
+                 CAST(FLOOR((ROUND(e.x / a.mx * 127) * a.mx / 127) * 1e6)
+                      AS BIGINT) AS yq
+          FROM ex e JOIN am a USING (dim) WHERE a.mx > 0),
+    s1 AS (SELECT dim, CAST(SUM(xq) AS BIGINT) AS sx,
+                  CAST(SUM(yq) AS BIGINT) AS sy
+           FROM q GROUP BY dim),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS nv FROM q),
+    p AS (SELECT a.dim AS i, b.dim AS j,
+                 CAST(SUM(CAST(a.xq AS HUGEINT) * b.xq) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(a.yq AS HUGEINT) * b.yq) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(a.xq AS HUGEINT) * b.yq) AS DOUBLE) AS sxy
+          FROM q a JOIN q b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2),
+    c AS (SELECT p.i, p.j,
+                 p.sxx - CAST(sa.sx AS DOUBLE) * sb.sx / nn.nv AS cxx,
+                 p.syy - CAST(sa.sy AS DOUBLE) * sb.sy / nn.nv AS cyy,
+                 p.sxy - CAST(sa.sx AS DOUBLE) * sb.sy / nn.nv AS cxy
+          FROM p JOIN s1 sa ON sa.dim = p.i JOIN s1 sb ON sb.dim = p.j
+          CROSS JOIN nn),
+    f AS (SELECT
+            list_reduce(list_prepend(0.0,
+              list(cxy * cxy ORDER BY i, j)), (a, b) -> a + b) AS fxy,
+            list_reduce(list_prepend(0.0,
+              list(cxx * cxx ORDER BY i, j)), (a, b) -> a + b) AS fxx,
+            list_reduce(list_prepend(0.0,
+              list(cyy * cyy ORDER BY i, j)), (a, b) -> a + b) AS fyy
+          FROM c)
+    SELECT nn.nv AS n_vecs,
+           FLOOR(fxy / (SQRT(fxx) * SQRT(fyy)) * 1e6) / 1e6 AS cka
+    FROM f CROSS JOIN nn
+    """,
+    notes="linear CKA (centered kernel alignment, Kornblith et al.) "
+    "between the raw embedding space and its int8 symmetric-absmax "
+    "quantized reconstruction — the representation-similarity score "
+    "answering 'how much geometry did quantization destroy?' (1.0 = "
+    "identical up to rotation/scale). CKA = ||Yc'Xc||_F^2 / "
+    "(||Xc'Xc||_F ||Yc'Yc||_F) from three 64x64 cross-moment tables; "
+    "values are 1e-6-quantized ints so every moment is an exact "
+    "128-bit integer sum (order-free), centering/Frobenius run on "
+    "identical doubles with dim-ordered folds (emb_isotropy "
+    "discipline). The dim-pair relation is rows x 64^2 here for "
+    "oracle parity; at corpus scale the same three Grams come from "
+    "emb_top_pc's mapInPandas d+d^2 partials — documented swap, "
+    "identical math. Output is one row at any scale",
+)
+def emb_cka(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    am = ex.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("mx"))
+    q = (
+        ex.join(F.broadcast(am), "dim")
+        .where(F.col("mx") > 0)
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("x") * 1e6).cast("long").alias("xq"),
+            F.floor(
+                (
+                    F.round(F.col("x") / F.col("mx") * 127, 0)
+                    * F.col("mx")
+                    / 127
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("yq"),
+        )
+        .localCheckpoint()
+    )
+    s1 = q.groupBy("dim").agg(
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+    )
+    nn = q.agg(F.countDistinct("vec_id").cast("long").alias("nv"))
+    a = q.select(
+        "vec_id",
+        F.col("dim").alias("i"),
+        F.col("xq").alias("xa"),
+        F.col("yq").alias("ya"),
+    )
+    b = q.select(
+        "vec_id",
+        F.col("dim").alias("j"),
+        F.col("xq").alias("xb"),
+        F.col("yq").alias("yb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(dec(F.col("xa")) * F.col("xb")).cast("double").alias("sxx"),
+            F.sum(dec(F.col("ya")) * F.col("yb")).cast("double").alias("syy"),
+            F.sum(dec(F.col("xa")) * F.col("yb")).cast("double").alias("sxy"),
+        )
+    )
+    sa = s1.select(
+        F.col("dim").alias("i"),
+        F.col("sx").alias("sxi"),
+        F.col("sy").alias("syi"),
+    )
+    sb = s1.select(
+        F.col("dim").alias("j"),
+        F.col("sx").alias("sxj"),
+        F.col("sy").alias("syj"),
+    )
+    c = (
+        p.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxx")
+                - F.col("sxi").cast("double") * F.col("sxj") / F.col("nv")
+            ).alias("cxx"),
+            (
+                F.col("syy")
+                - F.col("syi").cast("double") * F.col("syj") / F.col("nv")
+            ).alias("cyy"),
+            (
+                F.col("sxy")
+                - F.col("sxi").cast("double") * F.col("syj") / F.col("nv")
+            ).alias("cxy"),
+        )
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("i", "j", term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        )
+
+    f = c.agg(
+        fold(F.col("cxy") * F.col("cxy")).alias("fxy"),
+        fold(F.col("cxx") * F.col("cxx")).alias("fxx"),
+        fold(F.col("cyy") * F.col("cyy")).alias("fyy"),
+    )
+    return f.crossJoin(F.broadcast(nn)).select(
+        F.col("nv").alias("n_vecs"),
+        (
+            F.floor(
+                F.col("fxy") / (F.sqrt(F.col("fxx")) * F.sqrt(F.col("fyy")))
+                * 1e6
+            )
+            / 1e6
+        ).alias("cka"),
+    )

@@ -1575,3 +1575,253 @@ def graph_transitivity(spark, sf_dir):
             ).alias("transitivity_ppm"),
         )
     )
+
+
+_HITS_ITERS = 4
+
+
+def _hits_oracle() -> str:
+    """Unroll the HITS mutual recurrence into chained CTEs (the
+    graph_pagerank discipline). Normalization divides by the MAX score
+    (order-independent, unlike a float SUM), so the only float sums are
+    the per-node neighbor folds — the same ~25-term aggregations the
+    pagerank oracle has certified green, absorbed by ROUND 6dp."""
+    ctes = ["h0 AS (SELECT id, 1.0 AS h FROM n)"]
+    for i in range(1, _HITS_ITERS + 1):
+        ctes.append(
+            f"""a{i}r AS (
+      SELECT e.dst AS id, SUM(p.h * e.w) AS v
+      FROM h{i - 1} p JOIN e ON p.id = e.src GROUP BY e.dst)"""
+        )
+        ctes.append(f"a{i}m AS (SELECT MAX(v) AS mx FROM a{i}r)")
+        ctes.append(
+            f"""a{i} AS (
+      SELECT n.id, COALESCE(r.v, 0.0) / t.mx AS a
+      FROM n CROSS JOIN a{i}m t LEFT JOIN a{i}r r ON r.id = n.id)"""
+        )
+        ctes.append(
+            f"""h{i}r AS (
+      SELECT e.src AS id, SUM(p.a * e.w) AS v
+      FROM a{i} p JOIN e ON p.id = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(f"h{i}m AS (SELECT MAX(v) AS mx FROM h{i}r)")
+        ctes.append(
+            f"""h{i} AS (
+      SELECT n.id, COALESCE(r.v, 0.0) / t.mx AS h
+      FROM n CROSS JOIN h{i}m t LEFT JOIN h{i}r r ON r.id = n.id)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT h.id AS nation_id,
+           ROUND(h.h, 6) AS hub,
+           ROUND(a.a, 6) AS authority
+    FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON a.id = h.id"""
+    )
+
+
+@register(
+    "graph_hits",
+    section="2.9",
+    oracle=_hits_oracle(),
+    notes=f"HITS hubs & authorities ({_HITS_ITERS} iterations) on the "
+    "weighted nation trade graph: authority(j) = sum of hub(i)*w over "
+    "in-edges, hub(i) = sum of authority(j)*w over out-edges, "
+    "max-normalized each half-step — MAX is order-independent (unlike "
+    "a float SUM), so the normalizer is engine-deterministic and the "
+    "only float folds are the per-node ~25-term sums the pagerank "
+    "oracle already certifies under ROUND 6dp. Oracle = the identical "
+    "recurrence unrolled into chained CTEs — a fully value-checked "
+    "iterative algorithm. Each iteration is two broadcast-joined keyed "
+    "aggregations over the edge list; ranks stay node-sized. The "
+    "directional complement of graph_pagerank: pagerank finds "
+    "endorsement flow, HITS separates 'big importers' (hubs) from "
+    "'big exporters' (authorities) in one pass",
+)
+def graph_hits(spark, sf_dir):
+    """HITS where each half-step is ONE keyed aggregation against a
+    broadcast score table; localCheckpoint keeps the plan flat across
+    iterations (the graph_pagerank/connected_components lesson)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = n.select(F.col("n_nationkey").alias("id"))
+    hub = nodes.select("id", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            edges.join(F.broadcast(hub), edges.src == hub.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("v"))
+        )
+        amx = ar.agg(F.max("v").alias("mx"))
+        auth = (
+            nodes.crossJoin(F.broadcast(amx))
+            .join(ar, nodes.id == ar.dst, "left")
+            .select(
+                "id",
+                (F.coalesce(F.col("v"), F.lit(0.0)) / F.col("mx")).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hr = (
+            edges.join(F.broadcast(auth), edges.dst == auth.id)
+            .groupBy("src")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("v"))
+        )
+        hmx = hr.agg(F.max("v").alias("mx"))
+        hub = (
+            nodes.crossJoin(F.broadcast(hmx))
+            .join(hr, nodes.id == hr.src, "left")
+            .select(
+                "id",
+                (F.coalesce(F.col("v"), F.lit(0.0)) / F.col("mx")).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        hub.join(auth, "id")
+        .select(
+            F.col("id").alias("nation_id"),
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )
+
+
+_LPA_ITERS = 3
+
+_LPA_BASE_SQL = """
+    e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey
+          GROUP BY 1, 2),
+    u AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                 CAST(SUM(w) AS BIGINT) AS uw
+          FROM e GROUP BY 1, 2),
+    adj AS (SELECT a AS v, b AS nb, uw FROM u
+            UNION ALL SELECT b, a, uw FROM u),
+    nodes AS (SELECT DISTINCT v FROM adj)
+"""
+
+
+def _lpa_oracle() -> str:
+    """Unroll synchronous weighted label propagation: each node adopts
+    the label with the largest incident weight sum, ties to the SMALLEST
+    label — every step is exact integer arithmetic + a deterministic
+    rank, so the oracle is a full value check of the iterative
+    algorithm (the graph_pagerank discipline, with no floats at all)."""
+    ctes = ["l0 AS (SELECT v, v AS lbl FROM nodes)"]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"""w{i} AS (
+      SELECT adj.v, p.lbl, CAST(SUM(adj.uw) AS BIGINT) AS ws
+      FROM adj JOIN l{i - 1} p ON p.v = adj.nb
+      GROUP BY adj.v, p.lbl)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                                        ORDER BY ws DESC, lbl) AS rn
+      FROM w{i})"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+      SELECT n.v, COALESCE(r.lbl, n.v) AS lbl
+      FROM nodes n LEFT JOIN r{i} r ON r.v = n.v AND r.rn = 1)"""
+        )
+    return (
+        "WITH "
+        + _LPA_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v AS nation_id, CAST(lbl AS BIGINT) AS community
+    FROM l{_LPA_ITERS}"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    section="2.9",
+    oracle=_lpa_oracle(),
+    notes=f"community DETECTION by synchronous weighted label "
+    f"propagation ({_LPA_ITERS} iterations) on the undirected nation "
+    "trade graph: every node adopts the label with the largest "
+    "incident edge-weight sum, ties broken to the smallest label — "
+    "all exact integer arithmetic, so unlike pagerank/HITS there is "
+    "not a single float anywhere and the unrolled-CTE oracle is "
+    "bit-exact. Complements graph_modularity, which only SCORES a "
+    "given partition (region); LPA finds one from the topology. Each "
+    "iteration is one keyed aggregate over the adjacency plus a "
+    "keyed rank — label tables stay node-sized and broadcast; the "
+    "edge list never reshuffles after its first groupBy",
+)
+def graph_label_propagation(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window as W
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    u = e.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").cast("long").alias("uw"))
+    adj = (
+        u.select(F.col("a").alias("v"), F.col("b").alias("nb"), "uw")
+        .unionByName(
+            u.select(F.col("b").alias("v"), F.col("a").alias("nb"), "uw")
+        )
+        .localCheckpoint()
+    )
+    nodes = adj.select("v").distinct().localCheckpoint()
+    labels = nodes.select("v", F.col("v").alias("lbl"))
+    rnk = W.partitionBy("v").orderBy(F.col("ws").desc(), "lbl")
+    for _ in range(_LPA_ITERS):
+        wsum = (
+            adj.join(
+                F.broadcast(labels.select(F.col("v").alias("nb"), "lbl")),
+                "nb",
+            )
+            .groupBy("v", "lbl")
+            .agg(F.sum("uw").cast("long").alias("ws"))
+        )
+        best = (
+            wsum.withColumn("rn", F.row_number().over(rnk))
+            .where(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+        labels = (
+            nodes.join(best.withColumnRenamed("lbl", "newl"), "v", "left")
+            .select("v", F.coalesce("newl", "v").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("v").alias("nation_id"), F.col("lbl").cast("long").alias("community")
+    )

@@ -430,3 +430,205 @@ def agg_eb_shrinkage(spark, sf_dir):
             (F.floor(F.col("beta") * 1e4) / 1e4).alias("prior_beta"),
         )
     )
+
+
+# Fisher's exact test: log-factorial spine size (covers any margin the
+# calendar-bounded daily 2x2 can produce) and the standard relative
+# tolerance for the two-sided "as extreme" comparison (R/scipy use
+# 1e-7; embedded identically in both engines so the included-k set is
+# decided on the same doubles).
+_FISHER_SPINE = 4096
+_FISHER_RELTOL = 1.0000001
+
+
+@register(
+    "agg_fisher_exact",
+    section="2.4",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+    dm AS (SELECT di, cnt,
+                  ((di + 3) % 7) >= 5 AS wkend
+           FROM d),
+    med AS (SELECT cnt AS m FROM (
+              SELECT cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt, di) AS rn,
+                     COUNT(*) OVER () AS nd
+              FROM dm) WHERE rn = (nd + 1) // 2),
+    tab AS (SELECT
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(*) FILTER (wkend) AS BIGINT) AS r1,
+              CAST(COUNT(*) FILTER (NOT wkend) AS BIGINT) AS r2,
+              CAST(COUNT(*) FILTER (cnt > m) AS BIGINT) AS c1,
+              CAST(COUNT(*) FILTER (wkend AND cnt > m) AS BIGINT) AS a,
+              CAST(COUNT(*) FILTER (wkend AND cnt <= m) AS BIGINT) AS b,
+              CAST(COUNT(*) FILTER (NOT wkend AND cnt > m) AS BIGINT) AS c,
+              CAST(COUNT(*) FILTER (NOT wkend AND cnt <= m) AS BIGINT) AS dd
+            FROM dm CROSS JOIN med),
+    lft AS (SELECT i,
+                   SUM(CASE WHEN i = 0 THEN 0.0 ELSE LN(i) END)
+                     OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS lf
+            FROM range(0, {_FISHER_SPINE}) t(i)),
+    lfa AS (SELECT list(lf ORDER BY i) AS arr FROM lft),
+    ks AS (SELECT t.*, lfa.arr, k.k
+           FROM tab t CROSS JOIN lfa
+           CROSS JOIN range(0, {_FISHER_SPINE}) k(k)
+           WHERE k.k >= GREATEST(0, t.c1 - t.r2)
+             AND k.k <= LEAST(t.r1, t.c1)),
+    lp AS (SELECT *,
+                  arr[CAST(r1 AS INT) + 1] - arr[CAST(k AS INT) + 1]
+                    - arr[CAST(r1 - k AS INT) + 1]
+                  + arr[CAST(r2 AS INT) + 1] - arr[CAST(c1 - k AS INT) + 1]
+                    - arr[CAST(r2 - c1 + k AS INT) + 1]
+                  - (arr[CAST(n AS INT) + 1] - arr[CAST(c1 AS INT) + 1]
+                     - arr[CAST(n - c1 AS INT) + 1]) AS l
+           FROM ks),
+    obs AS (SELECT l AS l0 FROM lp WHERE k = a),
+    ps AS (SELECT list_reduce(list_prepend(0.0,
+             list(CASE WHEN lp.l <= obs.l0 + LN({_FISHER_RELTOL!r})
+                       THEN EXP(lp.l) ELSE 0.0 END ORDER BY lp.k)),
+             (x, y) -> x + y) AS p
+           FROM lp CROSS JOIN obs)
+    SELECT t.n AS n_days, t.r1 AS weekend_days, t.c1 AS high_days, t.a,
+           FLOOR(LEAST(1.0, ps.p) * 1e6) / 1e6 AS p_two_sided,
+           CASE WHEN t.b * t.c > 0
+                THEN FLOOR(CAST(t.a * t.dd AS DOUBLE)
+                           / (t.b * t.c) * 1e6) / 1e6 END AS odds_ratio
+    FROM tab t CROSS JOIN ps
+    """,
+    notes="Fisher's EXACT test on the calendar 2x2 (weekend day x "
+    "above-median purchase volume): the hypergeometric tail summed "
+    "over every table as extreme as observed. Log-factorials come "
+    "from ONE running-sum spine (4096 rows, a constant — margins are "
+    "day counts, calendar-bounded at any corpus scale) evaluated in "
+    "identical sequential frame order by both engines, then collected "
+    "into an array for O(1) lookups — no gamma function, which "
+    "neither engine's SQL exposes portably. The 'as extreme' "
+    "comparison uses the standard 1e-7 relative tolerance embedded "
+    "identically; the final sum is a k-ordered fold. The small-count "
+    "companion to agg_chisq_independence, which is asymptotic and "
+    "lies for sparse tables. Corpus work = one keyed daily aggregate",
+)
+def agg_fisher_exact(spark, sf_dir):
+    import math
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("cnt")
+    )
+    dm = d.select("di", "cnt", (((F.col("di") + 3) % 7) >= 5).alias("wkend"))
+    wmed = W.orderBy("cnt", "di")
+    med = (
+        dm.select(
+            "cnt",
+            F.row_number().over(wmed).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("nd"),
+        )
+        .where(F.col("rn") == F.expr("(nd + 1) div 2"))
+        .select(F.col("cnt").alias("m"))
+    )
+    hi = F.col("cnt") > F.col("m")
+    tab = dm.crossJoin(F.broadcast(med)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("wkend"), 1)).cast("long").alias("r1"),
+        F.count(F.when(~F.col("wkend"), 1)).cast("long").alias("r2"),
+        F.count(F.when(hi, 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("wkend") & hi, 1)).cast("long").alias("a"),
+        F.count(F.when(F.col("wkend") & ~hi, 1)).cast("long").alias("b"),
+        F.count(F.when(~F.col("wkend") & hi, 1)).cast("long").alias("c"),
+        F.count(F.when(~F.col("wkend") & ~hi, 1)).cast("long").alias("dd"),
+    )
+    # constant-size spine: the running sum is a single 4096-row task
+    spine = spark.range(0, _FISHER_SPINE).select(F.col("id").alias("i"))
+    lft = spine.select(
+        "i",
+        F.sum(F.when(F.col("i") == 0, 0.0).otherwise(F.log("i")))
+        .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
+        .alias("lf"),
+    )
+    lfa = lft.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lf"))),
+            lambda r: r["lf"],
+        ).alias("arr")
+    )
+    ks = (
+        tab.crossJoin(F.broadcast(lfa))
+        .crossJoin(F.broadcast(spine.select(F.col("i").alias("k"))))
+        .where(
+            (F.col("k") >= F.greatest(F.lit(0), F.col("c1") - F.col("r2")))
+            & (F.col("k") <= F.least(F.col("r1"), F.col("c1")))
+        )
+    )
+
+    def lf(col):
+        return F.element_at("arr", (col + 1).cast("int"))
+
+    lp = ks.withColumn(
+        "l",
+        lf(F.col("r1"))
+        - lf(F.col("k"))
+        - lf(F.col("r1") - F.col("k"))
+        + lf(F.col("r2"))
+        - lf(F.col("c1") - F.col("k"))
+        - lf(F.col("r2") - F.col("c1") + F.col("k"))
+        - (
+            lf(F.col("n"))
+            - lf(F.col("c1"))
+            - lf(F.col("n") - F.col("c1"))
+        ),
+    ).localCheckpoint()
+    obs = lp.where(F.col("k") == F.col("a")).select(F.col("l").alias("l0"))
+    ps = (
+        lp.crossJoin(F.broadcast(obs))
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "k",
+                            F.when(
+                                F.col("l")
+                                <= F.col("l0") + math.log(_FISHER_RELTOL),
+                                F.exp(F.col("l")),
+                            )
+                            .otherwise(0.0)
+                            .alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r["t"],
+            ).alias("p")
+        )
+    )
+    return tab.crossJoin(F.broadcast(ps)).select(
+        F.col("n").alias("n_days"),
+        F.col("r1").alias("weekend_days"),
+        F.col("c1").alias("high_days"),
+        "a",
+        (F.floor(F.least(F.lit(1.0), F.col("p")) * 1e6) / 1e6).alias(
+            "p_two_sided"
+        ),
+        F.when(
+            F.col("b") * F.col("c") > 0,
+            F.floor(
+                F.col("a").cast("double")
+                * F.col("dd")
+                / (F.col("b") * F.col("c"))
+                * 1e6
+            )
+            / 1e6,
+        ).alias("odds_ratio"),
+    )

@@ -145,6 +145,7 @@ def _load_all() -> None:
         pipeline3,
         pipeline4,
         pipeline5,
+        pipeline6,
         ranking,
         scalar,
         similarity,

@@ -249,3 +249,210 @@ def test_sax_matches_literal_reference(spark, sf_dir):
             )
         assert got[et] == "".join(segs)
         assert len(got[et]) == min(8, n)
+
+
+def test_hits_matches_numpy_power_iteration(spark, sf_dir):
+    import numpy as np
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .count()
+        .toPandas()
+    )
+    n = 25
+    W = np.zeros((n, n))
+    for r in e.itertuples():
+        W[r.src, r.dst] = r.count
+    h = np.ones(n)
+    for _ in range(4):
+        a = W.T @ h
+        a = a / a.max()
+        h = W @ a
+        h = h / h.max()
+    got = (
+        all_queries()["graph_hits"].fn(spark, sf_dir).toPandas()
+        .set_index("nation_id")
+        .sort_index()
+    )
+    assert len(got) == n
+    assert np.allclose(got["hub"].to_numpy(), h, atol=1e-5)
+    assert np.allclose(got["authority"].to_numpy(), a, atol=1e-5)
+
+
+def test_dsir_matches_hashlib_reference_and_separates_target(spark, sf_dir):
+    import hashlib
+    import math
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .toPandas()
+    )
+    B = 1024
+
+    def buckets(text):
+        toks = text.split(" ")
+        out = []
+        for i in range(len(toks) - 1):
+            bg = toks[i] + " " + toks[i + 1]
+            hx = hashlib.md5(("dsir:" + bg).encode()).hexdigest()[:4]
+            out.append(int(hx, 16) % B)
+        return out
+
+    cr, ct = Counter(), Counter()
+    per_doc = {}
+    for r in docs.itertuples():
+        bs = buckets(r.text)
+        per_doc[r.doc_id] = bs
+        cr.update(bs)
+        if r.lang == "en":
+            ct.update(bs)
+    R, T = sum(cr.values()), sum(ct.values())
+    lm = {
+        b: math.floor(
+            (
+                math.log((ct.get(b, 0) + 1.0) / (T + B))
+                - math.log((cr[b] + 1.0) / (R + B))
+            )
+            * 1e6
+        )
+        for b in cr
+    }
+    got = all_queries()["pipeline_dsir"].fn(spark, sf_dir).toPandas()
+    got = got.set_index("doc_id")
+    for did, bs in per_doc.items():
+        assert got.loc[did, "n_bigrams"] == len(bs)
+        assert got.loc[did, "score_micro"] == sum(lm[b] for b in bs)
+    # the point of DSIR: target-language docs score higher on average
+    en = got[got["lang"] == "en"]["score_micro"].mean()
+    other = got[got["lang"] != "en"]["score_micro"].mean()
+    assert en > other
+
+
+def test_cka_matches_numpy_and_self_is_one(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    mx = np.abs(X).max(axis=0)
+    Y = np.round(X / mx * 127) * mx / 127
+    Xq = np.floor(X * 1e6)
+    Yq = np.floor(Y * 1e6)
+    Xc = Xq - Xq.mean(axis=0)
+    Yc = Yq - Yq.mean(axis=0)
+    fxy = np.linalg.norm(Yc.T @ Xc) ** 2  # == ||Xc'Yc||_F^2
+    fxx = np.linalg.norm(Xc.T @ Xc, "fro") ** 2
+    fyy = np.linalg.norm(Yc.T @ Yc, "fro") ** 2
+    ref = fxy / (fxx**0.5 * fyy**0.5)
+    row = all_queries()["emb_cka"].fn(spark, sf_dir).collect()[0]
+    assert row.n_vecs == len(X)
+    assert abs(row.cka - ref) < 1e-4
+    # self-CKA of the raw space is exactly 1 by construction
+    self_ref = (fxx) / (fxx**0.5 * fxx**0.5)
+    assert abs(self_ref - 1.0) < 1e-12
+    # int8 reconstruction preserves nearly all geometry here
+    assert 0.99 < row.cka <= 1.0
+
+
+def test_fisher_exact_matches_fraction_reference(spark, sf_dir):
+    from fractions import Fraction
+    from math import comb
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT) AS di",
+            "event_type",
+        )
+        .toPandas()
+    )
+    daily = (
+        ev.groupby("di")
+        .apply(
+            lambda g: int((g["event_type"] == "purchase").sum()),
+            include_groups=False,
+        )
+        .sort_index()
+    )
+    cnts = sorted(zip(daily.values, daily.index))
+    med = cnts[(len(cnts) + 1) // 2 - 1][0]
+    wk = {di: ((di + 3) % 7) >= 5 for di in daily.index}
+    a = sum(1 for di, c in daily.items() if wk[di] and c > med)
+    b = sum(1 for di, c in daily.items() if wk[di] and c <= med)
+    c = sum(1 for di, c_ in daily.items() if not wk[di] and c_ > med)
+    d = sum(1 for di, c_ in daily.items() if not wk[di] and c_ <= med)
+    r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+
+    def hyp(k):
+        return Fraction(comb(r1, k) * comb(r2, c1 - k), comb(n, c1))
+
+    p_obs = hyp(a)
+    tol = Fraction(10000001, 10000000)
+    p = sum(
+        hyp(k)
+        for k in range(max(0, c1 - r2), min(r1, c1) + 1)
+        if hyp(k) <= p_obs * tol
+    )
+    row = all_queries()["agg_fisher_exact"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.weekend_days, row.high_days, row.a) == (
+        n,
+        r1,
+        c1,
+        a,
+    )
+    assert abs(row.p_two_sided - float(p)) < 1e-5
+    if b * c > 0:
+        assert abs(row.odds_ratio - (a * d) / (b * c)) < 1e-5
+
+
+def test_label_propagation_matches_literal_loop(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .count()
+        .toPandas()
+    )
+    und = {}
+    for r in e.itertuples():
+        key = (min(r.src, r.dst), max(r.src, r.dst))
+        und[key] = und.get(key, 0) + r.count
+    adj = {}
+    for (x, y), w in und.items():
+        adj.setdefault(x, {})[y] = w
+        adj.setdefault(y, {})[x] = w
+    lbl = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, nbs in adj.items():
+            ws = {}
+            for nb, w in nbs.items():
+                L = lbl[nb]
+                ws[L] = ws.get(L, 0) + w
+            best = sorted(ws.items(), key=lambda t: (-t[1], t[0]))[0][0]
+            new[v] = best
+        lbl = new
+    got = {
+        r.nation_id: r.community
+        for r in all_queries()["graph_label_propagation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == lbl
+    # communities exist: fewer labels than nodes after propagation
+    assert len(set(lbl.values())) < len(lbl)
