@@ -895,57 +895,91 @@ def emb_isotropy(spark, sf_dir):
     "identical math. Output is one row at any scale",
 )
 def emb_cka(spark, sf_dir):
+    """The 64x64 dim-pair relation in the oracle is rows x 64^2; the
+    Spark side computes the SAME exact-integer cross moments as
+    mapInPandas int64 matmul partials (one 4096-row partial per Arrow
+    batch — exact below ~25M rows/batch at the observed value range,
+    far above the 10k-row Arrow default), then sums partials in
+    DECIMAL(38,0). Quantization (FLOOR/ROUND) stays in SQL expressions
+    shared verbatim with the oracle — numpy's banker's rounding never
+    touches a value."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
     am = ex.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("mx"))
-    q = (
-        ex.join(F.broadcast(am), "dim")
-        .where(F.col("mx") > 0)
+    # per-dim absmax as an ordered array (64 doubles) for the array form
+    ama = am.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+            lambda r: r["mx"],
+        ).alias("mxa")
+    )
+    qa = (
+        emb.crossJoin(F.broadcast(ama))
         .select(
             "vec_id",
-            "dim",
-            F.floor(F.col("x") * 1e6).cast("long").alias("xq"),
-            F.floor(
-                (
-                    F.round(F.col("x") / F.col("mx") * 127, 0)
-                    * F.col("mx")
-                    / 127
-                )
-                * 1e6
-            )
-            .cast("long")
-            .alias("yq"),
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN mxa[i] > 0 THEN "
+                "CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            ).alias("xq"),
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN mxa[i] > 0 THEN "
+                "CAST(FLOOR((ROUND(CAST(x AS DOUBLE) / mxa[i] * 127, 0) "
+                "* mxa[i] / 127) * 1e6) AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            ).alias("yq"),
         )
         .localCheckpoint()
     )
-    s1 = q.groupBy("dim").agg(
-        F.sum("xq").cast("long").alias("sx"),
-        F.sum("yq").cast("long").alias("sy"),
+    s1 = (
+        qa.select(F.posexplode("xq").alias("dim", "xqe"), "yq")
+        .select("dim", "xqe", F.expr("yq[dim]").alias("yqe"))
+        .groupBy("dim")
+        .agg(
+            F.sum("xqe").cast("long").alias("sx"),
+            F.sum("yqe").cast("long").alias("sy"),
+        )
     )
-    nn = q.agg(F.countDistinct("vec_id").cast("long").alias("nv"))
-    a = q.select(
-        "vec_id",
-        F.col("dim").alias("i"),
-        F.col("xq").alias("xa"),
-        F.col("yq").alias("ya"),
-    )
-    b = q.select(
-        "vec_id",
-        F.col("dim").alias("j"),
-        F.col("xq").alias("xb"),
-        F.col("yq").alias("yb"),
+    nn = qa.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["xq"]]
+            )
+            Y = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["yq"]]
+            )
+            d = X.shape[1]
+            pxx = X.T @ X  # exact: int64 values bounded ~6e5
+            pyy = Y.T @ Y
+            pxy = X.T @ Y  # [i, j] = sum_r xq_i * yq_j
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "pxx": pxx.ravel(),
+                    "pyy": pyy.ravel(),
+                    "pxy": pxy.ravel(),
+                }
+            )
+
+    partials = qa.select("xq", "yq").mapInPandas(
+        gram_partials, "i int, j int, pxx long, pyy long, pxy long"
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    p = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(
-            F.sum(dec(F.col("xa")) * F.col("xb")).cast("double").alias("sxx"),
-            F.sum(dec(F.col("ya")) * F.col("yb")).cast("double").alias("syy"),
-            F.sum(dec(F.col("xa")) * F.col("yb")).cast("double").alias("sxy"),
-        )
+    p = partials.groupBy("i", "j").agg(
+        F.sum(dec(F.col("pxx"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("pyy"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("pxy"))).cast("double").alias("sxy"),
     )
     sa = s1.select(
         F.col("dim").alias("i"),
