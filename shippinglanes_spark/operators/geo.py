@@ -1013,3 +1013,216 @@ def geo_heading_rose(spark, sf_dir):
         .cast("long")
         .alias("dist_dm4"),
     ).select("sector", "from_deg", "n_hops", "n_vessels", "dist_dm4")
+
+
+@register(
+    "geo_route_deviation",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    hops AS (
+      SELECT user_id, lat, lon, ts_us, event_id,
+             LAG(lat) OVER w AS lat1, LAG(lon) OVER w AS lon1,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nf
+      FROM fixes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    seg AS (
+      SELECT user_id, nf,
+             CASE WHEN lat1 IS NULL THEN 0
+                  ELSE CAST(ROUND(2 * 6371.0 * ASIN(SQRT(
+                         SIN(RADIANS(lat - lat1) / 2) ^ 2
+                         + COS(RADIANS(lat1)) * COS(RADIANS(lat))
+                         * SIN(RADIANS(lon - lon1) / 2) ^ 2)) * 10000)
+                       AS BIGINT) END AS hop_dm4,
+             CASE WHEN rn = 1 THEN lat END AS flat,
+             CASE WHEN rn = 1 THEN lon END AS flon,
+             CASE WHEN rn = nf THEN lat END AS llat,
+             CASE WHEN rn = nf THEN lon END AS llon
+      FROM hops),
+    agg AS (
+      SELECT user_id,
+             CAST(MAX(nf) AS BIGINT) AS n_fixes,
+             CAST(SUM(hop_dm4) AS BIGINT) AS path_dm4,
+             MAX(flat) AS lat1, MAX(flon) AS lon1,
+             MAX(llat) AS lat2, MAX(llon) AS lon2
+      FROM seg GROUP BY user_id),
+    fin AS (
+      SELECT user_id, n_fixes, path_dm4,
+             CAST(ROUND({_HAV_SQL} * 10000) AS BIGINT) AS direct_dm4
+      FROM agg)
+    SELECT user_id, n_fixes, path_dm4, direct_dm4,
+           FLOOR(CAST(path_dm4 AS DOUBLE) / direct_dm4 * 1e4) / 1e4
+             AS sinuosity
+    FROM fin
+    WHERE n_fixes >= 3 AND direct_dm4 >= 10000
+    ORDER BY user_id
+    """,
+    notes="route-deviation (sinuosity) index per vessel: traversed track "
+    "length over the great-circle distance between first and last fix "
+    "— 1.0 is a straight shot, large values flag loitering, weather "
+    "routing, or position noise. Each hop is ROUNDed to an exact "
+    "0.1-meter integer BEFORE the per-vessel sum (the track-length "
+    "quantization discipline), so the corpus-sized accumulation is "
+    "BIGINT-exact in both engines; endpoints come from the same keyed "
+    "window pass that computes hops (rn=1 / rn=nf pick-offs folded "
+    "through MAX — no extra scan, no self-join). Vessels with a "
+    "sub-kilometer displacement are excluded (the ratio is unstable "
+    "at a near-zero denominator). One keyed window + one keyed "
+    "aggregate at any scale",
+)
+def geo_route_deviation(spark, sf_dir):
+    fixes = _fixes(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wall = Window.partitionBy("user_id")
+    hops = fixes.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("lat1"),
+        F.lag("lon").over(w).alias("lon1"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nf"),
+    )
+    hop = haversine_km(
+        F.col("lat1"), F.col("lon1"), F.col("lat"), F.col("lon")
+    )
+    seg = hops.select(
+        "user_id",
+        "nf",
+        F.when(F.col("lat1").isNull(), F.lit(0))
+        .otherwise(F.round(hop * 10000).cast("long"))
+        .alias("hop_dm4"),
+        F.when(F.col("rn") == 1, F.col("lat")).alias("flat"),
+        F.when(F.col("rn") == 1, F.col("lon")).alias("flon"),
+        F.when(F.col("rn") == F.col("nf"), F.col("lat")).alias("llat"),
+        F.when(F.col("rn") == F.col("nf"), F.col("lon")).alias("llon"),
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.max("nf").cast("long").alias("n_fixes"),
+        F.sum("hop_dm4").cast("long").alias("path_dm4"),
+        F.max("flat").alias("lat1"),
+        F.max("flon").alias("lon1"),
+        F.max("llat").alias("lat2"),
+        F.max("llon").alias("lon2"),
+    )
+    direct = F.round(
+        haversine_km(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        )
+        * 10000
+    ).cast("long")
+    fin = agg.select(
+        "user_id", "n_fixes", "path_dm4", direct.alias("direct_dm4")
+    )
+    return (
+        fin.where((F.col("n_fixes") >= 3) & (F.col("direct_dm4") >= 10000))
+        .select(
+            "user_id",
+            "n_fixes",
+            "path_dm4",
+            "direct_dm4",
+            (
+                F.floor(
+                    F.col("path_dm4").cast("double")
+                    / F.col("direct_dm4")
+                    * 1e4
+                )
+                / 1e4
+            ).alias("sinuosity"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# two literal convex geofence quadrilaterals, vertices COUNTERCLOCKWISE
+# (zone_id, x1,y1, x2,y2, x3,y3, x4,y4) in (lon, lat)
+# NOTE: the synthetic projection makes lon ≡ 2*lat (mod 360) — every fix
+# lies on that line, so zones must intersect it to be non-empty. Zone 2
+# sits on the line's lat ∈ [-48, -32] stretch (lon = 2*lat ∈ [-96, -64]).
+_PIP_ZONES = (
+    (1, -40.0, 0.0, 0.0, -30.0, 40.0, 0.0, 0.0, 30.0),
+    (2, -100.0, -48.0, -60.0, -48.0, -60.0, -32.0, -100.0, -32.0),
+)
+
+_PIP_ZONES_SQL = "zones(zone_id, x1, y1, x2, y2, x3, y3, x4, y4) AS (VALUES " + ", ".join(
+    "(" + ", ".join(repr(v) for v in z) + ")" for z in _PIP_ZONES
+) + ")"
+
+
+@register(
+    "geo_point_in_polygon",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    {_PIP_ZONES_SQL},
+    hit AS (
+      SELECT z.zone_id, f.user_id, f.event_id
+      FROM fixes f JOIN zones z
+        ON f.lon >= LEAST(z.x1, z.x2, z.x3, z.x4)
+       AND f.lon <= GREATEST(z.x1, z.x2, z.x3, z.x4)
+       AND f.lat >= LEAST(z.y1, z.y2, z.y3, z.y4)
+       AND f.lat <= GREATEST(z.y1, z.y2, z.y3, z.y4)
+       AND (z.x2 - z.x1) * (f.lat - z.y1)
+           - (z.y2 - z.y1) * (f.lon - z.x1) >= 0
+       AND (z.x3 - z.x2) * (f.lat - z.y2)
+           - (z.y3 - z.y2) * (f.lon - z.x2) >= 0
+       AND (z.x4 - z.x3) * (f.lat - z.y3)
+           - (z.y4 - z.y3) * (f.lon - z.x3) >= 0
+       AND (z.x1 - z.x4) * (f.lat - z.y4)
+           - (z.y1 - z.y4) * (f.lon - z.x4) >= 0)
+    SELECT zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fixes,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vessels
+    FROM hit GROUP BY zone_id ORDER BY zone_id
+    """,
+    notes="point-in-polygon containment join against two literal convex "
+    "geofence quadrilaterals: a fix is inside when all four edge "
+    "cross-products are non-negative (counterclockwise vertices; "
+    "boundary counts as inside). The bounding-box conjuncts run "
+    "first, so virtually every outside fix is rejected by four cheap "
+    "comparisons before any multiply — with thousands of polygons the "
+    "same query keys fixes AND polygon bboxes to grid cells "
+    "(join_spatial_grid's machinery) so each fix only meets nearby "
+    "polygons; two zones need only the broadcast. Coordinates are "
+    "exact modular arithmetic and the cross-products are identical "
+    "expression trees, so the inside set is decided on the same "
+    "doubles in both engines. Row-local predicate + one keyed "
+    "aggregate — no shuffle before the two-row result",
+)
+def geo_point_in_polygon(spark, sf_dir):
+    fixes = _fixes(spark, sf_dir)
+    zones = spark.createDataFrame(
+        list(_PIP_ZONES),
+        "zone_id int, x1 double, y1 double, x2 double, y2 double, "
+        "x3 double, y3 double, x4 double, y4 double",
+    )
+
+    def edge(xa, ya, xb, yb):
+        return (F.col(xb) - F.col(xa)) * (F.col("lat") - F.col(ya)) - (
+            F.col(yb) - F.col(ya)
+        ) * (F.col("lon") - F.col(xa))
+
+    xs = ["x1", "x2", "x3", "x4"]
+    ys = ["y1", "y2", "y3", "y4"]
+    bbox = (
+        (F.col("lon") >= F.least(*[F.col(c) for c in xs]))
+        & (F.col("lon") <= F.greatest(*[F.col(c) for c in xs]))
+        & (F.col("lat") >= F.least(*[F.col(c) for c in ys]))
+        & (F.col("lat") <= F.greatest(*[F.col(c) for c in ys]))
+    )
+    inside = (
+        (edge("x1", "y1", "x2", "y2") >= 0)
+        & (edge("x2", "y2", "x3", "y3") >= 0)
+        & (edge("x3", "y3", "x4", "y4") >= 0)
+        & (edge("x4", "y4", "x1", "y1") >= 0)
+    )
+    hit = fixes.join(F.broadcast(zones), bbox & inside)
+    return (
+        hit.groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fixes"),
+            F.countDistinct("user_id").cast("long").alias("n_vessels"),
+        )
+        .orderBy("zone_id")
+    )

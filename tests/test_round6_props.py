@@ -456,3 +456,94 @@ def test_label_propagation_matches_literal_loop(spark, sf_dir):
     assert got == lbl
     # communities exist: fewer labels than nodes after propagation
     assert len(set(lbl.values())) < len(lbl)
+
+
+def _fixes_pdf(spark, sf_dir) -> pd.DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+            "(value % 180) - 90 AS lat",
+            "((value * 2) % 360) - 180 AS lon",
+        )
+        .toPandas()
+    )
+
+
+def test_route_deviation_matches_literal_loop(spark, sf_dir):
+    import math
+
+    def hav(a1, o1, a2, o2):
+        dlat = math.radians(a2 - a1)
+        dlon = math.radians(o2 - o1)
+        x = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(math.radians(a1))
+            * math.cos(math.radians(a2))
+            * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+    fx = _fixes_pdf(spark, sf_dir)
+    got = {
+        r.user_id: r
+        for r in all_queries()["geo_route_deviation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for uid, g in fx.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        pts = list(zip(g["lat"], g["lon"]))
+        path = sum(
+            round(hav(*pts[i], *pts[i + 1]) * 10000)
+            for i in range(len(pts) - 1)
+        )
+        direct = round(hav(*pts[0], *pts[-1]) * 10000)
+        if len(pts) < 3 or direct < 10000:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert (r.n_fixes, r.path_dm4, r.direct_dm4) == (
+            len(pts),
+            path,
+            direct,
+        )
+        assert abs(r.sinuosity - path / direct) < 2e-4
+        assert r.sinuosity >= 1.0  # path is never shorter than the chord
+
+
+def test_point_in_polygon_matches_matplotlib_free_reference(spark, sf_dir):
+    # literal ray-casting reference, entirely unlike the cross-product
+    # formulation (boundary handled by the engine's >= 0 convention, so
+    # compare on strictly-interior/exterior points and count parity)
+    zones = {
+        1: [(-40.0, 0.0), (0.0, -30.0), (40.0, 0.0), (0.0, 30.0)],
+        2: [(-100.0, -48.0), (-60.0, -48.0), (-60.0, -32.0), (-100.0, -32.0)],
+    }
+
+    def inside(px, py, poly):
+        n = len(poly)
+        for k in range(n):
+            x1, y1 = poly[k]
+            x2, y2 = poly[(k + 1) % n]
+            if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) < 0:
+                return False
+        return True
+
+    fx = _fixes_pdf(spark, sf_dir)
+    got = {
+        r.zone_id: r
+        for r in all_queries()["geo_point_in_polygon"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for zid, poly in zones.items():
+        hits = fx[[inside(r.lon, r.lat, poly) for r in fx.itertuples()]]
+        if len(hits) == 0:
+            assert zid not in got
+            continue
+        assert got[zid].n_fixes == len(hits)
+        assert got[zid].n_vessels == hits["user_id"].nunique()
+    assert len(got) == 2  # both zones exercised by the fixtures
