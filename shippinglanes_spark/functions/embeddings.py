@@ -1037,3 +1037,106 @@ def emb_cka(spark, sf_dir):
             / 1e6
         ).alias("cka"),
     )
+
+
+@register(
+    "emb_mmd",
+    section="2.9",
+    oracle="""
+    WITH u AS (SELECT label, t.i - 1 AS dim,
+                      CAST(FLOOR(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                                 * 1e6) AS BIGINT) AS xq
+               FROM embeddings CROSS JOIN range(1, 65) t(i)),
+    s AS (SELECT label, dim,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xq) AS BIGINT) AS sx
+          FROM u GROUP BY label, dim),
+    pair AS (SELECT a.label AS label_a, b.label AS label_b, a.dim,
+                    a.n AS na, b.n AS nb,
+                    (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+                      AS dmu
+             FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label),
+    m AS (SELECT label_a, label_b, CAST(MAX(na) AS BIGINT) AS n_a,
+                 CAST(MAX(nb) AS BIGINT) AS n_b,
+                 list_reduce(list_prepend(0.0,
+                   list(dmu * dmu / 1e12 ORDER BY dim)),
+                   (x, y) -> x + y) AS mmd2
+          FROM pair GROUP BY label_a, label_b)
+    SELECT label_a, label_b, n_a, n_b,
+           FLOOR(mmd2 * 1e9) / 1e9 AS mmd2_linear
+    FROM m ORDER BY label_a, label_b
+    """,
+    notes="linear-kernel MMD^2 between every pair of label groups: "
+    "||mean_a - mean_b||^2 over the 64 dims — the two-sample "
+    "distribution-shift statistic for embedding spaces (retraining "
+    "drift gates, domain-mix audits). With the linear kernel the "
+    "statistic collapses to group mean differences, so the corpus "
+    "work is ONE keyed aggregate of 1e-6-quantized exact integer "
+    "per-dim sums (emb_isotropy discipline); the label-pair relation "
+    "is groups^2 x 64 metadata, folded in dim order. FLOOR 1e-9 "
+    "(squared-micro units are tiny). The cheap screen before the "
+    "quadratic-kernel MMD a notebook would run on flagged pairs",
+)
+def emb_mmd(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("xf").cast("double") * 1e6).cast("long").alias("xq"),
+    )
+    s = u.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+    )
+    a = s.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+    )
+    b = s.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dimb"),
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+    )
+    pair = a.join(
+        b,
+        (F.col("dim") == F.col("dimb"))
+        & (F.col("label_a") < F.col("label_b")),
+    ).select(
+        "label_a",
+        "label_b",
+        "dim",
+        "na",
+        "nb",
+        (
+            F.col("sxa").cast("double") / F.col("na")
+            - F.col("sxb").cast("double") / F.col("nb")
+        ).alias("dmu"),
+    )
+    m = pair.groupBy("label_a", "label_b").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "dim",
+                        (F.col("dmu") * F.col("dmu") / 1e12).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("mmd2"),
+    )
+    return m.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (F.floor(F.col("mmd2") * 1e9) / 1e9).alias("mmd2_linear"),
+    ).orderBy("label_a", "label_b")

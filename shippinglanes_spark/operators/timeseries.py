@@ -2161,3 +2161,122 @@ def ts_sax(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_interrupted",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    cut AS (SELECT CAST(epoch_us(TIMESTAMP '2024-01-16') // 86400000000
+                        AS BIGINT) AS c),
+    t AS (SELECT di - c AS t, y, t >= 0 AS post
+          FROM d CROSS JOIN cut),
+    s AS (SELECT post,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(t) AS BIGINT) AS st,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(t * t) AS BIGINT) AS stt,
+                 CAST(SUM(t * y) AS BIGINT) AS sty
+          FROM t GROUP BY post),
+    fit AS (SELECT post, n,
+                   (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+                   / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                     AS b,
+                   (CAST(sy AS DOUBLE)
+                    - (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+                      / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                      * st) / n AS a
+            FROM s
+            WHERE n >= 3
+              AND n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st > 0),
+    pre AS (SELECT n AS n_pre, a AS a_pre, b AS b_pre
+            FROM fit WHERE NOT post),
+    pst AS (SELECT n AS n_post, a AS a_post, b AS b_post
+            FROM fit WHERE post)
+    SELECT n_pre, n_post,
+           FLOOR(a_pre * 1e6) / 1e6 AS intercept_pre,
+           FLOOR(b_pre * 1e6) / 1e6 AS slope_pre,
+           FLOOR(a_post * 1e6) / 1e6 AS intercept_post,
+           FLOOR(b_post * 1e6) / 1e6 AS slope_post,
+           FLOOR((a_post - a_pre) * 1e6) / 1e6 AS level_change,
+           FLOOR((b_post - b_pre) * 1e6) / 1e6 AS slope_change
+    FROM pre CROSS JOIN pst
+    """,
+    notes="interrupted time-series (segmented regression) around the "
+    "2024-01-16 cutpoint: separate OLS lines fit to the daily purchase "
+    "count before and after, with time centered at the cut so the "
+    "intercept difference IS the level change and the slope difference "
+    "the trend change — the pre/post causal readout evt_did gives for "
+    "two GROUPS, here for one series interrupted in time. Both fits "
+    "are closed-form from five exact integer sums per segment "
+    "(cross-products through DOUBLE — the agg_cuped overflow lesson); "
+    "one keyed daily aggregate is the only corpus work, the rest is "
+    "calendar-bounded. FLOOR 6 dp",
+)
+def ts_interrupted(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cut_di = F.lit(19738).cast("long")  # 2024-01-16 as epoch day
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y")
+    )
+    t = d.select(
+        (F.col("di") - cut_di).alias("t"),
+        "y",
+        ((F.col("di") - cut_di) >= 0).alias("post"),
+    )
+    s = t.groupBy("post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    n = F.col("n")
+    den = n * F.col("stt").cast("double") - F.col("st").cast("double") * F.col(
+        "st"
+    )
+    b = (
+        n * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy")
+    ) / den
+    a = (F.col("sy").cast("double") - b * F.col("st")) / n
+    fit = (
+        s.where((n >= 3) & (den > 0))
+        .select("post", "n", b.alias("b"), a.alias("a"))
+    )
+    pre = fit.where(~F.col("post")).select(
+        F.col("n").alias("n_pre"),
+        F.col("a").alias("a_pre"),
+        F.col("b").alias("b_pre"),
+    )
+    pst = fit.where(F.col("post")).select(
+        F.col("n").alias("n_post"),
+        F.col("a").alias("a_post"),
+        F.col("b").alias("b_post"),
+    )
+    return pre.crossJoin(pst).select(
+        "n_pre",
+        "n_post",
+        (F.floor(F.col("a_pre") * 1e6) / 1e6).alias("intercept_pre"),
+        (F.floor(F.col("b_pre") * 1e6) / 1e6).alias("slope_pre"),
+        (F.floor(F.col("a_post") * 1e6) / 1e6).alias("intercept_post"),
+        (F.floor(F.col("b_post") * 1e6) / 1e6).alias("slope_post"),
+        (F.floor((F.col("a_post") - F.col("a_pre")) * 1e6) / 1e6).alias(
+            "level_change"
+        ),
+        (F.floor((F.col("b_post") - F.col("b_pre")) * 1e6) / 1e6).alias(
+            "slope_change"
+        ),
+    )

@@ -547,3 +547,65 @@ def test_point_in_polygon_matches_matplotlib_free_reference(spark, sf_dir):
         assert got[zid].n_fixes == len(hits)
         assert got[zid].n_vessels == hits["user_id"].nunique()
     assert len(got) == 2  # both zones exercised by the fixtures
+
+
+def test_interrupted_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT) AS di",
+            "CAST(event_type = 'purchase' AS INT) AS p",
+        )
+        .groupBy("di")
+        .sum("p")
+        .toPandas()
+        .sort_values("di")
+    )
+    cut = 19738  # 2024-01-16
+    t = daily["di"].to_numpy() - cut
+    y = daily["sum(p)"].to_numpy(dtype=float)
+    pre, post = t < 0, t >= 0
+    b1, a1 = np.polyfit(t[pre].astype(float), y[pre], 1)
+    b2, a2 = np.polyfit(t[post].astype(float), y[post], 1)
+    row = all_queries()["ts_interrupted"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_pre, row.n_post) == (int(pre.sum()), int(post.sum()))
+    assert abs(row.intercept_pre - a1) < 1e-4
+    assert abs(row.slope_pre - b1) < 1e-4
+    assert abs(row.intercept_post - a2) < 1e-4
+    assert abs(row.slope_post - b2) < 1e-4
+    assert abs(row.level_change - (a2 - a1)) < 2e-4
+    assert abs(row.slope_change - (b2 - b1)) < 2e-4
+
+
+def test_mmd_matches_numpy_means(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    X = np.floor(
+        np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb["embedding"]]
+        )
+        * 1e6
+    )
+    labels = emb["label"].to_numpy()
+    got = {
+        (r.label_a, r.label_b): r
+        for r in all_queries()["emb_mmd"].fn(spark, sf_dir).collect()
+    }
+    uniq = sorted(set(labels))
+    assert len(got) == len(uniq) * (len(uniq) - 1) // 2
+    for i, la in enumerate(uniq):
+        for lb in uniq[i + 1 :]:
+            ma = X[labels == la].mean(axis=0) / 1e6
+            mb = X[labels == lb].mean(axis=0) / 1e6
+            ref = float(((ma - mb) ** 2).sum())
+            r = got[(la, lb)]
+            assert (r.n_a, r.n_b) == (
+                int((labels == la).sum()),
+                int((labels == lb).sum()),
+            )
+            assert abs(r.mmd2_linear - ref) < 1e-6
+            assert r.mmd2_linear >= 0
