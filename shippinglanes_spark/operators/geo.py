@@ -1226,3 +1226,100 @@ def geo_point_in_polygon(spark, sf_dir):
         )
         .orderBy("zone_id")
     )
+
+
+# literal transit gate (a "strait" chord across the traffic corridor):
+# (lon, lat) endpoints, crossing direction signed by the cross product
+_GATE = (-30.0, 15.0, 30.0, -15.0)  # gx1, gy1, gx2, gy2
+
+
+@register(
+    "geo_line_crossings",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL.strip()},
+    hops AS (
+      SELECT user_id,
+             LAG(lon) OVER w AS px1, LAG(lat) OVER w AS py1,
+             lon AS px2, lat AS py2
+      FROM fixes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    g AS (SELECT {_GATE[0]!r} AS gx1, {_GATE[1]!r} AS gy1,
+                 {_GATE[2]!r} AS gx2, {_GATE[3]!r} AS gy2),
+    x AS (
+      SELECT user_id,
+             (gx2 - gx1) * (py2 - py1) - (gy2 - gy1) * (px2 - px1) AS dirx
+      FROM hops CROSS JOIN g
+      WHERE px1 IS NOT NULL
+        AND ((gx2 - gx1) * (py1 - gy1) - (gy2 - gy1) * (px1 - gx1))
+          * ((gx2 - gx1) * (py2 - gy1) - (gy2 - gy1) * (px2 - gx1)) < 0
+        AND ((px2 - px1) * (gy1 - py1) - (py2 - py1) * (gx1 - px1))
+          * ((px2 - px1) * (gy2 - py1) - (py2 - py1) * (gx2 - px1)) < 0)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_crossings,
+           CAST(COUNT(*) FILTER (dirx > 0) AS BIGINT) AS n_forward,
+           CAST(COUNT(*) FILTER (dirx < 0) AS BIGINT) AS n_reverse
+    FROM x GROUP BY user_id ORDER BY user_id
+    """,
+    notes="transit-gate crossing counts per vessel: a hop crosses the "
+    "literal gate segment when the two proper-intersection orientation "
+    "tests disagree on both segments (strict < 0 — touch-and-go on "
+    "the infinite line does not count), and the crossing direction is "
+    "the sign of the gate x hop cross product (forward/reverse "
+    "transit tallies — the strait-traffic statistic AIS authorities "
+    "publish). All four orientation tests are identical double "
+    "expression trees over exact modular coordinates. One keyed "
+    "window (the shared per-vessel hop pass) + row-local sign tests "
+    "+ one keyed aggregate; gates generalize to a broadcast table "
+    "with bbox prefilters (geo_point_in_polygon's machinery)",
+)
+def geo_line_crossings(spark, sf_dir):
+    gx1, gy1, gx2, gy2 = _GATE
+    fixes = _fixes(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = fixes.select(
+        "user_id",
+        F.lag("lon").over(w).alias("px1"),
+        F.lag("lat").over(w).alias("py1"),
+        F.col("lon").alias("px2"),
+        F.col("lat").alias("py2"),
+    ).where(F.col("px1").isNotNull())
+
+    def orient(ax, ay, bx, by, px, py):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    side_p1 = orient(
+        F.lit(gx1), F.lit(gy1), F.lit(gx2), F.lit(gy2),
+        F.col("px1"), F.col("py1"),
+    )
+    side_p2 = orient(
+        F.lit(gx1), F.lit(gy1), F.lit(gx2), F.lit(gy2),
+        F.col("px2"), F.col("py2"),
+    )
+    side_g1 = orient(
+        F.col("px1"), F.col("py1"), F.col("px2"), F.col("py2"),
+        F.lit(gx1), F.lit(gy1),
+    )
+    side_g2 = orient(
+        F.col("px1"), F.col("py1"), F.col("px2"), F.col("py2"),
+        F.lit(gx2), F.lit(gy2),
+    )
+    dirx = (F.lit(gx2) - gx1) * (F.col("py2") - F.col("py1")) - (
+        F.lit(gy2) - gy1
+    ) * (F.col("px2") - F.col("px1"))
+    x = hops.where(
+        (side_p1 * side_p2 < 0) & (side_g1 * side_g2 < 0)
+    ).select("user_id", dirx.alias("dirx"))
+    return (
+        x.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_crossings"),
+            F.count(F.when(F.col("dirx") > 0, 1))
+            .cast("long")
+            .alias("n_forward"),
+            F.count(F.when(F.col("dirx") < 0, 1))
+            .cast("long")
+            .alias("n_reverse"),
+        )
+        .orderBy("user_id")
+    )

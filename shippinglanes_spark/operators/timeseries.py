@@ -2280,3 +2280,102 @@ def ts_interrupted(spark, sf_dir):
             "slope_change"
         ),
     )
+
+
+# 5% asymptotic critical value of the Dickey-Fuller tau_mu distribution
+# (constant-only regression) — a spec constant embedded identically in
+# both engines (MacKinnon 2010 asymptotic table).
+_ADF_CRIT_5PCT = -2.86
+
+
+@register(
+    "ts_adf",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    l AS (SELECT y - LAG(y) OVER (ORDER BY di) AS dy,
+                 LAG(y) OVER (ORDER BY di) AS y1
+          FROM d),
+    p AS (SELECT CAST(dy AS BIGINT) AS dy, CAST(y1 AS BIGINT) AS y1
+          FROM l WHERE y1 IS NOT NULL),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y1) AS BIGINT) AS sx,
+                 CAST(SUM(dy) AS BIGINT) AS sy,
+                 CAST(SUM(y1 * y1) AS BIGINT) AS sxx,
+                 CAST(SUM(y1 * dy) AS BIGINT) AS sxy,
+                 CAST(SUM(dy * dy) AS BIGINT) AS syy
+          FROM p),
+    c AS (SELECT n,
+                 n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS cxx,
+                 n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS cxy,
+                 n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy
+          FROM s),
+    f AS (SELECT n, cxx, cxy / cxx AS g,
+                 (cyy - (cxy * cxy) / cxx) / n AS rss
+          FROM c WHERE cxx > 0),
+    t AS (SELECT n, g,
+                 g / SQRT((rss / (n - 2)) / (cxx / n)) AS df_stat
+          FROM f WHERE n > 2 AND rss > 0)
+    SELECT n,
+           FLOOR(g * 1e6) / 1e6 AS gamma,
+           FLOOR(df_stat * 1e6) / 1e6 AS df_stat,
+           {_ADF_CRIT_5PCT!r} AS crit_5pct,
+           CAST(CASE WHEN df_stat < {_ADF_CRIT_5PCT!r} THEN 1 ELSE 0 END
+                AS BIGINT) AS is_stationary
+    FROM t
+    """,
+    notes="Dickey-Fuller unit-root test (constant-only) on the daily "
+    "event-count series: regress delta-y on lagged y, DF statistic = "
+    "gamma / se(gamma); reject the unit root (declare stationary) "
+    "when it falls below the MacKinnon 5% asymptotic tau_mu critical "
+    "value, embedded as an identical literal. Closed-form one-"
+    "regressor OLS from six exact integer sums over the calendar-"
+    "bounded daily grid — centered cross-products in DOUBLE (the "
+    "agg_cuped overflow lesson). The unit-root complement of "
+    "ts_mann_kendall (monotone trend) and agg_hurst (long memory); "
+    "corpus work = one keyed daily rollup. FLOOR 6 dp",
+)
+def ts_adf(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.orderBy("di")  # daily grid: calendar-bounded
+    lagged = d.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("y1"),
+    ).where(F.col("y1").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y1").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("y1") * F.col("y1")).cast("long").alias("sxx"),
+        F.sum(F.col("y1") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    cxx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    cxy = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    cyy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    g = cxy / cxx
+    rss = (cyy - (cxy * cxy) / cxx) / n
+    df_stat = g / F.sqrt((rss / (n - 2)) / (cxx / n))
+    return (
+        s.where((cxx > 0) & (n > 2) & (rss > 0))
+        .select(
+            "n",
+            (F.floor(g * 1e6) / 1e6).alias("gamma"),
+            (F.floor(df_stat * 1e6) / 1e6).alias("df_stat"),
+            F.lit(_ADF_CRIT_5PCT).alias("crit_5pct"),
+            F.when(df_stat < _ADF_CRIT_5PCT, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_stationary"),
+        )
+    )

@@ -609,3 +609,70 @@ def test_mmd_matches_numpy_means(spark, sf_dir):
             )
             assert abs(r.mmd2_linear - ref) < 1e-6
             assert r.mmd2_linear >= 0
+
+
+def test_adf_matches_numpy_ols(spark, sf_dir):
+    import numpy as np
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT) AS di"
+        )
+        .groupBy("di")
+        .count()
+        .toPandas()
+        .sort_values("di")["count"]
+        .to_numpy(dtype=float)
+    )
+    dy = np.diff(daily)
+    y1 = daily[:-1]
+    n = len(dy)
+    X = np.column_stack([np.ones(n), y1])
+    beta, res, *_ = np.linalg.lstsq(X, dy, rcond=None)
+    g = beta[1]
+    resid = dy - X @ beta
+    rss = float((resid**2).sum())
+    se = (rss / (n - 2) / ((y1 - y1.mean()) ** 2).sum()) ** 0.5
+    row = all_queries()["ts_adf"].fn(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert abs(row.gamma - g) < 1e-4
+    assert abs(row.df_stat - g / se) < 1e-3
+    assert row.is_stationary == int(g / se < -2.86)
+
+
+def test_line_crossings_matches_segment_intersection(spark, sf_dir):
+    gx1, gy1, gx2, gy2 = -30.0, 15.0, 30.0, -15.0
+
+    def orient(ax, ay, bx, by, px, py):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    fx = _fixes_pdf(spark, sf_dir)
+    ref = {}
+    for uid, g in fx.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        pts = list(zip(g["lon"], g["lat"]))
+        nc = nf = nr = 0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            s1 = orient(gx1, gy1, gx2, gy2, x1, y1)
+            s2 = orient(gx1, gy1, gx2, gy2, x2, y2)
+            t1 = orient(x1, y1, x2, y2, gx1, gy1)
+            t2 = orient(x1, y1, x2, y2, gx2, gy2)
+            if s1 * s2 < 0 and t1 * t2 < 0:
+                nc += 1
+                d = (gx2 - gx1) * (y2 - y1) - (gy2 - gy1) * (x2 - x1)
+                if d > 0:
+                    nf += 1
+                elif d < 0:
+                    nr += 1
+        if nc:
+            ref[uid] = (nc, nf, nr)
+    got = {
+        r.user_id: (r.n_crossings, r.n_forward, r.n_reverse)
+        for r in all_queries()["geo_line_crossings"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == ref
+    assert len(got) > 0
