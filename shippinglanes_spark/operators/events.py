@@ -2676,3 +2676,200 @@ def evt_burstiness(spark, sf_dir):
         (sigma + mu).alias("_sm"),
     )
     return b.where(F.col("_sm") > 0).drop("_sm")
+
+
+# Shapley coalition weights for n=3 players: |S|! (n-1-|S|)! / n!
+# (exact rationals as repr literals shared by both engines)
+_SHAP_W0 = 1.0 / 3.0  # |S| = 0
+_SHAP_W1 = 1.0 / 6.0  # |S| = 1
+_SHAP_W2 = 1.0 / 3.0  # |S| = 2
+
+
+def _shapley_phi_sql(i: str, j: str, k: str) -> str:
+    """phi_i over coalitions of {j, k}: sum of weighted marginal
+    contributions v(S+i) - v(S)."""
+    return (
+        f"{_SHAP_W0!r} * (v{i} - v0) "
+        f"+ {_SHAP_W1!r} * (v{i}{j} - v{j}) "
+        f"+ {_SHAP_W1!r} * (v{i}{k} - v{k}) "
+        f"+ {_SHAP_W2!r} * (vvcs - v{j}{k})"
+    )
+
+
+@register(
+    "evt_attribution_shapley",
+    section="2.6",
+    oracle=f"""
+    WITH uc AS (SELECT user_id,
+                      CAST(COUNT(*) FILTER (event_type = 'view')
+                           AS BIGINT) AS nv,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS nc,
+                      CAST(COUNT(*) FILTER (event_type = 'signup')
+                           AS BIGINT) AS ns,
+                      CAST(MAX(CASE WHEN event_type = 'purchase'
+                                     AND CAST(ROUND(value * 100) AS BIGINT)
+                                         >= 20000
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS conv
+               FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                   CAST(SUM(nv) AS BIGINT) AS sv,
+                   CAST(SUM(nc) AS BIGINT) AS sc,
+                   CAST(SUM(ns) AS BIGINT) AS ss
+            FROM uc),
+    u AS (SELECT user_id,
+                 CAST(CASE WHEN nv * nu > sv THEN 1 ELSE 0 END
+                      AS BIGINT) AS tv,
+                 CAST(CASE WHEN nc * nu > sc THEN 1 ELSE 0 END
+                      AS BIGINT) AS tc,
+                 CAST(CASE WHEN ns * nu > ss THEN 1 ELSE 0 END
+                      AS BIGINT) AS ts,
+                 conv
+          FROM uc CROSS JOIN tot),
+    s AS (SELECT tv, tc, ts,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS x
+          FROM u GROUP BY tv, tc, ts),
+    p AS (SELECT
+            COALESCE(MAX(CASE WHEN tv=0 AND tc=0 AND ts=0
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS v0,
+            COALESCE(MAX(CASE WHEN tv=1 AND tc=0 AND ts=0
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS vv,
+            COALESCE(MAX(CASE WHEN tv=0 AND tc=1 AND ts=0
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS vc,
+            COALESCE(MAX(CASE WHEN tv=0 AND tc=0 AND ts=1
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS vs,
+            COALESCE(MAX(CASE WHEN tv=1 AND tc=1 AND ts=0
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS vvc,
+            COALESCE(MAX(CASE WHEN tv=1 AND tc=0 AND ts=1
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS vvs,
+            COALESCE(MAX(CASE WHEN tv=0 AND tc=1 AND ts=1
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS vcs,
+            COALESCE(MAX(CASE WHEN tv=1 AND tc=1 AND ts=1
+                              THEN CAST(x AS DOUBLE)/n END), 0) AS vvcs,
+            CAST(SUM(n) AS BIGINT) AS n_users
+          FROM s),
+    phi AS (SELECT n_users,
+                   {_shapley_phi_sql('v', 'c', 's')} AS phi_view,
+                   {_shapley_phi_sql('c', 'v', 's')
+                    .replace('vcv', 'vvc').replace('vcs', 'vcs')} AS phi_click,
+                   {_shapley_phi_sql('s', 'v', 'c')
+                    .replace('vsv', 'vvs').replace('vsc', 'vcs')} AS phi_signup
+            FROM p)
+    SELECT channel, n_users, FLOOR(phi * 1e6) / 1e6 AS shapley_value
+    FROM (SELECT n_users, 'view' AS channel, phi_view AS phi FROM phi
+          UNION ALL
+          SELECT n_users, 'click', phi_click FROM phi
+          UNION ALL
+          SELECT n_users, 'signup', phi_signup FROM phi)
+    ORDER BY channel
+    """,
+    notes="Shapley-value channel attribution over three ENGAGEMENT "
+    "channels (above-mean view/click/signup activity — the every-user-touches-everything degeneracy needs a real split, decided by the exact integer cross-multiply cnt*users > total) against HIGH-VALUE purchase "
+    "conversion (>= 200 units — every fixture user converts on plain "
+    "purchase, the agg_power_analysis degeneracy lesson): coalition "
+    "value v(S) = conversion rate of users whose touch set is exactly "
+    "S, phi_i = sum over coalitions of the weighted marginal "
+    "contribution with the exact 3-player factorial weights embedded "
+    "as literals. The fair-division answer to 'which channel drives "
+    "conversion' next to last-touch (evt_attribution) and linear "
+    "(evt_attribution_linear). ONE user-keyed aggregate + an 8-row "
+    "coalition table at any scale; v values are single divisions of "
+    "exact counts",
+)
+def evt_attribution_shapley(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    conv = (F.col("event_type") == "purchase") & (
+        F.round(F.col("value") * 100).cast("long") >= 20000
+    )
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("nv"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("nc"),
+        F.count(F.when(F.col("event_type") == "signup", 1))
+        .cast("long")
+        .alias("ns"),
+        F.max(conv.cast("long")).alias("conv"),
+    )
+    tot = uc.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("nv").cast("long").alias("sv"),
+        F.sum("nc").cast("long").alias("sc"),
+        F.sum("ns").cast("long").alias("ss"),
+    )
+    u = uc.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.when(F.col("nv") * F.col("nu") > F.col("sv"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("tv"),
+        F.when(F.col("nc") * F.col("nu") > F.col("sc"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("tc"),
+        F.when(F.col("ns") * F.col("nu") > F.col("ss"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ts"),
+        "conv",
+    )
+    s = u.groupBy("tv", "tc", "ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+
+    def v(tv, tc, ts):
+        return F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("tv") == tv)
+                    & (F.col("tc") == tc)
+                    & (F.col("ts") == ts),
+                    F.col("x").cast("double") / F.col("n"),
+                )
+            ),
+            F.lit(0.0),
+        )
+
+    p = s.agg(
+        v(0, 0, 0).alias("v0"),
+        v(1, 0, 0).alias("vv"),
+        v(0, 1, 0).alias("vc"),
+        v(0, 0, 1).alias("vs"),
+        v(1, 1, 0).alias("vvc"),
+        v(1, 0, 1).alias("vvs"),
+        v(0, 1, 1).alias("vcs"),
+        v(1, 1, 1).alias("vvcs"),
+        F.sum("n").cast("long").alias("n_users"),
+    )
+
+    def phi(vi, vij, vik, vj, vk, vjk):
+        return (
+            _SHAP_W0 * (F.col(vi) - F.col("v0"))
+            + _SHAP_W1 * (F.col(vij) - F.col(vj))
+            + _SHAP_W1 * (F.col(vik) - F.col(vk))
+            + _SHAP_W2 * (F.col("vvcs") - F.col(vjk))
+        )
+
+    phiv = phi("vv", "vvc", "vvs", "vc", "vs", "vcs")
+    phic = phi("vc", "vvc", "vcs", "vv", "vs", "vvs")
+    phis = phi("vs", "vvs", "vcs", "vv", "vc", "vvc")
+    wide = p.select(
+        "n_users",
+        phiv.alias("phi_view"),
+        phic.alias("phi_click"),
+        phis.alias("phi_signup"),
+    )
+    stacked = wide.selectExpr(
+        "n_users",
+        "stack(3, 'view', phi_view, 'click', phi_click, "
+        "'signup', phi_signup) AS (channel, phi)",
+    )
+    return stacked.select(
+        "channel",
+        "n_users",
+        (F.floor(F.col("phi") * 1e6) / 1e6).alias("shapley_value"),
+    ).orderBy("channel")

@@ -632,3 +632,93 @@ def agg_fisher_exact(spark, sf_dir):
             / 1e6,
         ).alias("odds_ratio"),
     )
+
+
+# Gumbel method-of-moments constants (spec literals shared by both
+# engines): Euler-Mascheroni and pi.
+_EULER_GAMMA = 0.5772156649015329
+_PI = 3.141592653589793
+_EV_RETURN_T = 100  # return period in blocks (days)
+
+
+@register(
+    "agg_extreme_value",
+    section="2.4",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(MAX(CAST(ROUND(value * 100) AS BIGINT))
+                           AS BIGINT) AS mx
+               FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL
+               GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(mx) AS BIGINT) AS s1,
+                 CAST(SUM(CAST(mx AS HUGEINT) * mx) AS DOUBLE) AS s2
+          FROM d),
+    mom AS (SELECT n,
+                   CAST(s1 AS DOUBLE) / n AS m,
+                   s2 / n - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n) AS v
+            FROM s WHERE n >= 5),
+    fit AS (SELECT n, m, v,
+                   SQRT(6.0 * v) / {_PI!r} AS beta,
+                   m - {_EULER_GAMMA!r} * (SQRT(6.0 * v) / {_PI!r}) AS mu
+            FROM mom WHERE v > 0)
+    SELECT n AS n_blocks,
+           FLOOR(mu * 1e4) / 1e4 AS gumbel_mu,
+           FLOOR(beta * 1e4) / 1e4 AS gumbel_beta,
+           FLOOR((mu - (SQRT(6.0 * v) / {_PI!r})
+                  * LN(-LN(1.0 - 1.0 / {_EV_RETURN_T}))) * 1e4) / 1e4
+             AS return_level_{_EV_RETURN_T}
+    FROM fit
+    """,
+    notes=f"extreme-value analysis of daily purchase maxima: Gumbel fit "
+    "by method of moments (beta = s*sqrt(6)/pi, mu = m - gamma*beta, "
+    "with Euler-Mascheroni and pi embedded as identical repr "
+    f"literals) and the {_EV_RETURN_T}-day return level mu - beta * "
+    "ln(-ln(1 - 1/T)) — the 'how big a spike should we provision "
+    "for' number capacity planning and risk teams ask of any metric. "
+    "Block maxima are exact integer cents (MAX is order-free); the "
+    "squared-sum goes through HUGEINT/DECIMAL(38,0); the two float "
+    "moments are single divisions of exact scalars. One keyed daily "
+    "aggregate + a 1-row reduce at any scale. FLOOR 4 dp (cents "
+    "scale)",
+)
+def agg_extreme_value(spark, sf_dir):
+    ev = (
+        table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+    )
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.max(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("mx")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n")
+    m = F.col("s1").cast("double") / n
+    v = F.col("s2") / n - m * m
+    beta = F.sqrt(6.0 * v) / _PI
+    mu = m - _EULER_GAMMA * beta
+    rl = mu - beta * F.log(-F.log(1.0 - 1.0 / F.lit(_EV_RETURN_T)))
+    return (
+        s.where((n >= 5) & (v > 0))
+        .select(
+            n.alias("n_blocks"),
+            (F.floor(mu * 1e4) / 1e4).alias("gumbel_mu"),
+            (F.floor(beta * 1e4) / 1e4).alias("gumbel_beta"),
+            (F.floor(rl * 1e4) / 1e4).alias(f"return_level_{_EV_RETURN_T}"),
+        )
+    )

@@ -676,3 +676,89 @@ def test_line_crossings_matches_segment_intersection(spark, sf_dir):
     }
     assert got == ref
     assert len(got) > 0
+
+
+def test_shapley_matches_itertools_reference(spark, sf_dir):
+    from itertools import permutations
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "CAST(event_type = 'purchase' AND"
+            " CAST(ROUND(value * 100) AS BIGINT) >= 20000 AS INT) AS conv",
+        )
+        .toPandas()
+    )
+    per = ev.pivot_table(
+        index="user_id", columns="event_type", aggfunc="size", fill_value=0
+    )
+    conv = ev.groupby("user_id")["conv"].max()
+    nu = len(per)
+    chans = ["view", "click", "signup"]
+    flags = {
+        c: (per[c] * nu > per[c].sum()).astype(int) for c in chans
+    }
+    import pandas as pd_
+
+    sets = pd_.DataFrame({c: flags[c] for c in chans})
+    sets["conv"] = conv
+
+    def v(subset):
+        mask = True
+        for ci, c in enumerate(chans):
+            want = 1 if c in subset else 0
+            mask = mask & (sets[c] == want)
+        grp = sets[mask]
+        return grp["conv"].mean() if len(grp) else 0.0
+
+    # Shapley via the permutation definition — an entirely different
+    # formulation from the engine's coalition-weight sum
+    phi = {c: 0.0 for c in chans}
+    perms = list(permutations(chans))
+    for order in perms:
+        acc = set()
+        for c in order:
+            before = v(frozenset(acc))
+            acc.add(c)
+            after = v(frozenset(acc))
+            phi[c] += (after - before) / len(perms)
+    got = {
+        r.channel: r
+        for r in all_queries()["evt_attribution_shapley"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert all(got[c].n_users == nu for c in chans)
+    for c in chans:
+        assert abs(got[c].shapley_value - phi[c]) < 2e-6
+    # efficiency axiom: shapley values sum to v(N) - v(empty)
+    total = sum(phi.values())
+    assert abs(total - (v(frozenset(chans)) - v(frozenset()))) < 1e-9
+
+
+def test_extreme_value_matches_numpy_mom(spark, sf_dir):
+    import numpy as np
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(ts AS DATE) AS day",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+        .where("event_type = 'purchase' AND value IS NOT NULL")
+        .toPandas()
+    )
+    mx = ev.groupby("day")["cents"].max().to_numpy(dtype=float)
+    m, v = mx.mean(), mx.var()
+    beta = (6 * v) ** 0.5 / np.pi
+    mu = m - 0.5772156649015329 * beta
+    rl = mu - beta * np.log(-np.log(1 - 1 / 100))
+    row = all_queries()["agg_extreme_value"].fn(spark, sf_dir).collect()[0]
+    assert row.n_blocks == len(mx)
+    assert abs(row.gumbel_mu - mu) < mu * 1e-6 + 1e-3
+    assert abs(row.gumbel_beta - beta) < beta * 1e-6 + 1e-3
+    assert abs(row.return_level_100 - rl) < rl * 1e-6 + 1e-3
+    # the 100-day return level must exceed the location parameter
+    assert row.return_level_100 > row.gumbel_mu
