@@ -1397,7 +1397,9 @@ def graph_rich_club(spark, sf_dir):
         .localCheckpoint()
     )
     ks = deg.select(F.col("d").alias("k")).distinct()
-    rich = ks.join(deg, deg.d > ks.k).select("k", "v")
+    # broadcast the (graph-sized) threshold list: the inequality join
+    # plans as BroadcastNestedLoopJoin, never CartesianProduct
+    rich = deg.join(F.broadcast(ks), deg.d > ks.k).select("k", "v")
     nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
     r1 = rich.select(F.col("k").alias("k1"), F.col("v").alias("va"))
     r2 = rich.select(F.col("k").alias("k2"), F.col("v").alias("vb"))

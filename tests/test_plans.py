@@ -555,3 +555,38 @@ def test_rank_stats_no_cartesian_single_scan(spark, sf_dir):
         # post-checkpoint plan shows ZERO parquet scans; mcnemar shows
         # exactly one. Either way: never more than one.
         assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, name
+
+
+def test_round6_stats_single_pass_no_cartesian(spark, sf_dir):
+    # the moment-based tests are one map-side-combined pass over events
+    for name in ("agg_jarque_bera", "agg_extreme_value", "ts_granger"):
+        p = plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in p
+        assert p.count("Scan parquet") == 1, name
+    jb = plan(spark, sf_dir, "agg_jarque_bera")
+    assert jb.count("HashAggregate") >= 2  # partial + final
+
+
+def test_point_in_polygon_broadcasts_zones(spark, sf_dir):
+    p = plan(spark, sf_dir, "geo_point_in_polygon", mode="simple")
+    assert "CartesianProduct" not in p
+    # the 2-row zone literal joins as a broadcast nested loop (the
+    # predicate is a conjunction of inequalities, not an equi-key)
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_dsir_broadcasts_feature_table(spark, sf_dir):
+    p = plan(spark, sf_dir, "pipeline_dsir", mode="simple")
+    assert "CartesianProduct" not in p
+    # the 1024-bucket log-ratio table re-joins the corpus as a
+    # broadcast hash join — the corpus is never reshuffled by bucket
+    assert "BroadcastHashJoin" in p
+
+
+def test_shapley_single_user_aggregate(spark, sf_dir):
+    p = plan(spark, sf_dir, "evt_attribution_shapley", mode="simple")
+    assert "CartesianProduct" not in p
+    # two scans max: the corpus pass and the broadcast engagement-total
+    # lineage (AQE reuses the exchange at runtime when beneficial)
+    assert p.count("Scan parquet") <= 2
