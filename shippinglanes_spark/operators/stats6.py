@@ -722,3 +722,220 @@ def agg_extreme_value(spark, sf_dir):
             (F.floor(rl * 1e4) / 1e4).alias(f"return_level_{_EV_RETURN_T}"),
         )
     )
+
+
+_KANON_K = 5  # the privacy threshold audited against
+
+
+@register(
+    "profile_k_anonymity",
+    section="2.12",
+    oracle=f"""
+    WITH g AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(COUNT(*) AS BIGINT) AS sz,
+                      CAST(COUNT(DISTINCT
+                             CAST(ROUND(c_acctbal) AS BIGINT) // 1000)
+                           AS BIGINT) AS l_div
+               FROM customer GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(MIN(sz) AS BIGINT) AS min_class,
+           CAST(COALESCE(SUM(sz) FILTER (sz < {_KANON_K}), 0) * 1000000
+                // SUM(sz) AS BIGINT) AS rows_below_k_ppm,
+           CAST(COALESCE(SUM(sz) FILTER (sz < {_KANON_K}), 0) AS BIGINT)
+             AS rows_below_k,
+           CAST(COUNT(*) FILTER (sz < {_KANON_K}) AS BIGINT)
+             AS classes_below_k,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+    FROM g
+    """,
+    notes=f"k-anonymity / l-diversity audit of the customer table under "
+    "the quasi-identifier pair (nation, market segment): equivalence-"
+    f"class sizes, rows and classes below k={_KANON_K}, and the "
+    "minimum l-diversity of the banded account balance (distinct "
+    "1000-unit bands per class — the sensitive attribute a linker "
+    "would learn). The governance gate run before any record-level "
+    "export: min_class tells you the strongest re-identification "
+    "attack, min_l_diversity whether a class leaks its sensitive "
+    "value even without re-identification. One keyed aggregate + a "
+    "bounded class-table reduce at any scale (classes are QI-"
+    "cardinality, not row count). All exact integers",
+)
+def profile_k_anonymity(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.countDistinct(
+            F.expr("CAST(ROUND(c_acctbal) AS BIGINT) div 1000")
+        )
+        .cast("long")
+        .alias("l_div"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.min("sz").cast("long").alias("min_class"),
+        F.expr(
+            f"CAST(coalesce(sum(sz) FILTER (WHERE sz < {_KANON_K}), 0)"
+            " * 1000000 div sum(sz) AS BIGINT)"
+        ).alias("rows_below_k_ppm"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rows_below_k"),
+        F.count(F.when(F.col("sz") < _KANON_K, 1))
+        .cast("long")
+        .alias("classes_below_k"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+    )
+
+
+_IPF_ITERS = 3
+
+_IPF_BASE_SQL = """
+    cells AS (SELECT c_nationkey AS n, c_mktsegment AS s,
+                     CAST(COUNT(*) AS BIGINT) AS seed
+              FROM customer GROUP BY 1, 2),
+    trow AS (SELECT c.c_nationkey AS n, CAST(COUNT(*) AS BIGINT) AS t
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             GROUP BY 1),
+    tcol AS (SELECT c.c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS t
+             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             GROUP BY 1)
+"""
+
+
+def _ipf_oracle() -> str:
+    """Unroll IPF: weights live on an exact 1e-6 integer grid (FLOOR
+    after every scaling step — the emb_isotropy quantization pattern),
+    so every row/column sum is an exact BIGINT and the scaling factor
+    is one identical double expression per step."""
+    ctes = ["w0 AS (SELECT n, s, seed * 1000000 AS w FROM cells)"]
+    prev = "w0"
+    for i in range(1, _IPF_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n, CAST(SUM(w) AS BIGINT) AS rs"
+            f" FROM {prev} GROUP BY n)"
+        )
+        ctes.append(
+            f"""a{i} AS (
+      SELECT p.n, p.s,
+             CAST(FLOOR(CAST(p.w AS DOUBLE)
+                        * (CAST(tr.t AS DOUBLE) * 1000000.0)
+                        / CAST(r{i}.rs AS DOUBLE)) AS BIGINT) AS w
+      FROM {prev} p JOIN r{i} USING (n) JOIN trow tr USING (n))"""
+        )
+        ctes.append(
+            f"c{i} AS (SELECT s, CAST(SUM(w) AS BIGINT) AS cs"
+            f" FROM a{i} GROUP BY s)"
+        )
+        ctes.append(
+            f"""b{i} AS (
+      SELECT p.n, p.s,
+             CAST(FLOOR(CAST(p.w AS DOUBLE)
+                        * (CAST(tc.t AS DOUBLE) * 1000000.0)
+                        / CAST(c{i}.cs AS BIGINT)) AS BIGINT) AS w
+      FROM a{i} p JOIN c{i} USING (s) JOIN tcol tc USING (s))"""
+        )
+        prev = f"b{i}"
+    return (
+        "WITH "
+        + _IPF_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c.n AS nationkey, c.s AS mktsegment, c.seed,
+           FLOOR(CAST(w.w AS DOUBLE) / 1000000.0 * 1e4) / 1e4
+             AS raked_weight
+    FROM cells c JOIN {prev} w ON w.n = c.n AND w.s = c.s
+    ORDER BY nationkey, mktsegment"""
+    )
+
+
+@register(
+    "agg_ipf_raking",
+    section="2.4",
+    oracle=_ipf_oracle(),
+    notes=f"iterative proportional fitting ({_IPF_ITERS} iterations): "
+    "calibrate the customer (nation x segment) cell counts so their "
+    "margins match the ORDER-volume margins — the survey-statistics "
+    "raking every weighted-metrics pipeline needs when the sample "
+    "(customers) is distributed differently from the activity it "
+    "must represent (orders). Weights live on an exact 1e-6 integer "
+    "grid, FLOORed after every scaling step, so all row/column sums "
+    "are exact BIGINTs (no float-order anywhere) and the oracle is "
+    "the identical recurrence unrolled into CTEs — a fully "
+    "value-checked iterative algorithm. The cell table is "
+    "QI-cardinality (125 rows); corpus work is the two margin "
+    "aggregates",
+)
+def agg_ipf_raking(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        c.groupBy(
+            F.col("c_nationkey").alias("n"),
+            F.col("c_mktsegment").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("seed"))
+        .localCheckpoint()
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    trow = (
+        oc.groupBy(F.col("c_nationkey").alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tr"))
+        .localCheckpoint()
+    )
+    tcol = (
+        oc.groupBy(F.col("c_mktsegment").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .localCheckpoint()
+    )
+    w = cells.select("n", "s", (F.col("seed") * 1000000).alias("w"))
+    for _ in range(_IPF_ITERS):
+        rs = w.groupBy("n").agg(F.sum("w").cast("long").alias("rs"))
+        w = (
+            w.join(F.broadcast(rs), "n")
+            .join(F.broadcast(trow), "n")
+            .select(
+                "n",
+                "s",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (F.col("tr").cast("double") * 1000000.0)
+                    / F.col("rs").cast("double")
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        cs = w.groupBy("s").agg(F.sum("w").cast("long").alias("cs"))
+        w = (
+            w.join(F.broadcast(cs), "s")
+            .join(F.broadcast(tcol), "s")
+            .select(
+                "n",
+                "s",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (F.col("tc").cast("double") * 1000000.0)
+                    / F.col("cs").cast("long")
+                )
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        cells.join(w, ["n", "s"])
+        .select(
+            F.col("n").alias("nationkey"),
+            F.col("s").alias("mktsegment"),
+            "seed",
+            (F.floor(F.col("w").cast("double") / 1000000.0 * 1e4) / 1e4).alias(
+                "raked_weight"
+            ),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )

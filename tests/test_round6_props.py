@@ -762,3 +762,77 @@ def test_extreme_value_matches_numpy_mom(spark, sf_dir):
     assert abs(row.return_level_100 - rl) < rl * 1e-6 + 1e-3
     # the 100-day return level must exceed the location parameter
     assert row.return_level_100 > row.gumbel_mu
+
+
+def test_k_anonymity_matches_pandas(spark, sf_dir):
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .selectExpr(
+            "c_nationkey",
+            "c_mktsegment",
+            "CAST(ROUND(c_acctbal) AS BIGINT) div 1000 AS band",
+        )
+        .toPandas()
+    )
+    g = c.groupby(["c_nationkey", "c_mktsegment"]).agg(
+        sz=("band", "size"), l_div=("band", "nunique")
+    )
+    row = all_queries()["profile_k_anonymity"].fn(spark, sf_dir).collect()[0]
+    assert row.n_classes == len(g)
+    assert row.n_rows == len(c)
+    assert row.min_class == int(g["sz"].min())
+    below = g[g["sz"] < 5]
+    assert row.rows_below_k == int(below["sz"].sum())
+    assert row.classes_below_k == len(below)
+    assert row.rows_below_k_ppm == int(below["sz"].sum()) * 1_000_000 // len(c)
+    assert row.min_l_diversity == int(g["l_div"].min())
+
+
+def test_ipf_raking_matches_literal_loop_and_margins(spark, sf_dir):
+    import math
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .toPandas()
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .toPandas()
+    )
+    oc = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    seed = cust.groupby(["c_nationkey", "c_mktsegment"]).size()
+    trow = oc.groupby("c_nationkey").size()
+    tcol = oc.groupby("c_mktsegment").size()
+    w = {k: v * 1_000_000 for k, v in seed.items()}
+    for _ in range(3):
+        rs = {}
+        for (n, s), v in w.items():
+            rs[n] = rs.get(n, 0) + v
+        w = {
+            (n, s): math.floor(float(v) * (float(trow[n]) * 1e6) / float(rs[n]))
+            for (n, s), v in w.items()
+        }
+        cs = {}
+        for (n, s), v in w.items():
+            cs[s] = cs.get(s, 0) + v
+        w = {
+            (n, s): math.floor(float(v) * (float(tcol[s]) * 1e6) / float(cs[s]))
+            for (n, s), v in w.items()
+        }
+    got = {
+        (r.nationkey, r.mktsegment): r
+        for r in all_queries()["agg_ipf_raking"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(w)
+    for key, v in w.items():
+        assert got[key].seed == seed[key]
+        assert abs(got[key].raked_weight - math.floor(v / 1e6 * 1e4) / 1e4) < 1e-9
+    # IPF's point: after the final column step, column margins match the
+    # order-volume targets almost exactly
+    cs = {}
+    for (n, s), v in w.items():
+        cs[s] = cs.get(s, 0) + v / 1e6
+    for s, t in tcol.items():
+        assert abs(cs[s] - t) / t < 1e-4
