@@ -2379,3 +2379,271 @@ def ts_adf(spark, sf_dir):
             .alias("is_stationary"),
         )
     )
+
+
+@register(
+    "agg_tail_dependence",
+    section="2.10",
+    oracle="""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS x,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+    qx AS (SELECT x AS q FROM (
+             SELECT x, ROW_NUMBER() OVER (ORDER BY x, di) AS rn, nd
+             FROM d CROSS JOIN n) WHERE rn = (nd * 3 + 3) // 4),
+    qy AS (SELECT y AS q FROM (
+             SELECT y, ROW_NUMBER() OVER (ORDER BY y, di) AS rn, nd
+             FROM d CROSS JOIN n) WHERE rn = (nd * 3 + 3) // 4),
+    t AS (SELECT CAST(COUNT(*) FILTER (d.x > qx.q) AS BIGINT) AS nx,
+                 CAST(COUNT(*) FILTER (d.y > qy.q) AS BIGINT) AS ny,
+                 CAST(COUNT(*) FILTER (d.x > qx.q AND d.y > qy.q)
+                      AS BIGINT) AS nxy,
+                 CAST(MAX(n.nd) AS BIGINT) AS nd
+          FROM d CROSS JOIN qx CROSS JOIN qy CROSS JOIN n)
+    SELECT nd AS n_days, nx, ny, nxy,
+           CAST(CASE WHEN ny > 0 THEN nxy * 1000000 // ny END AS BIGINT)
+             AS lambda_u_ppm,
+           CAST(CASE WHEN nx * ny > 0
+                     THEN CAST(nxy AS BIGINT) * nd * 1000000
+                          // (nx * ny) END AS BIGINT) AS lift_ppm
+    FROM t
+    """,
+    notes="upper-tail dependence between daily click and purchase "
+    "volume: with both 75th-percentile thresholds picked as exact "
+    "DISCRETE rank statistics (actual data values, deterministic in "
+    "both engines), lambda_U = P(X > qx | Y > qy) estimates whether "
+    "extreme days co-occur — the co-movement question Pearson "
+    "correlation misses when the middle of the distribution "
+    "dominates; lift compares the joint exceedance to independence. "
+    "Every number is an exact integer (counts and floor-divided "
+    "ppm); the rank windows run on the calendar-bounded daily grid. "
+    "One keyed daily rollup is the only corpus work",
+)
+def agg_tail_dependence(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint()
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+
+    def q_of(col):
+        w = Window.orderBy(col, "di")
+        return (
+            d.crossJoin(F.broadcast(n))
+            .select(
+                F.col(col).alias("q"),
+                F.row_number().over(w).alias("rn"),
+                "nd",
+            )
+            .where(F.col("rn") == F.expr("(nd * 3 + 3) div 4"))
+            .select("q")
+        )
+
+    qx = q_of("x")
+    qy = q_of("y")
+    t = (
+        d.crossJoin(F.broadcast(qx.select(F.col("q").alias("qx"))))
+        .crossJoin(F.broadcast(qy.select(F.col("q").alias("qy"))))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.when(F.col("x") > F.col("qx"), 1))
+            .cast("long")
+            .alias("nx"),
+            F.count(F.when(F.col("y") > F.col("qy"), 1))
+            .cast("long")
+            .alias("ny"),
+            F.count(
+                F.when(
+                    (F.col("x") > F.col("qx")) & (F.col("y") > F.col("qy")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("nxy"),
+            F.max("nd").cast("long").alias("nd"),
+        )
+    )
+    return t.select(
+        F.col("nd").alias("n_days"),
+        "nx",
+        "ny",
+        "nxy",
+        F.when(
+            F.col("ny") > 0, F.expr("CAST(nxy * 1000000 div ny AS BIGINT)")
+        ).alias("lambda_u_ppm"),
+        F.when(
+            F.col("nx") * F.col("ny") > 0,
+            F.expr(
+                "CAST(CAST(nxy AS BIGINT) * nd * 1000000"
+                " div (nx * ny) AS BIGINT)"
+            ),
+        ).alias("lift_ppm"),
+    )
+
+
+@register(
+    "ts_cointegration",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS x,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM d),
+    fit AS (SELECT n,
+                   (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     AS b,
+                   (CAST(sy AS DOUBLE)
+                    - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * sx) / n AS a
+            FROM s
+            WHERE n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0),
+    res AS (SELECT d.di,
+                   CAST(FLOOR((d.y - (fit.a + fit.b * d.x)) * 1e6)
+                        AS BIGINT) AS e
+            FROM d CROSS JOIN fit),
+    l AS (SELECT e - LAG(e) OVER (ORDER BY di) AS de,
+                 LAG(e) OVER (ORDER BY di) AS e1
+          FROM res),
+    p AS (SELECT de, e1 FROM l WHERE e1 IS NOT NULL),
+    s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(e1) AS BIGINT) AS su,
+                  CAST(SUM(de) AS BIGINT) AS sv,
+                  CAST(SUM(CAST(e1 AS HUGEINT) * e1) AS DOUBLE) AS suu,
+                  CAST(SUM(CAST(e1 AS HUGEINT) * de) AS DOUBLE) AS suv,
+                  CAST(SUM(CAST(de AS HUGEINT) * de) AS DOUBLE) AS svv
+           FROM p),
+    c AS (SELECT n,
+                 n * suu - CAST(su AS DOUBLE) * su AS cuu,
+                 n * suv - CAST(su AS DOUBLE) * sv AS cuv,
+                 n * svv - CAST(sv AS DOUBLE) * sv AS cvv
+          FROM s2),
+    f2 AS (SELECT n, cuu, cuv / cuu AS g,
+                  (cvv - (cuv * cuv) / cuu) / n AS rss
+           FROM c WHERE cuu > 0),
+    t AS (SELECT n, g,
+                 g / SQRT((rss / (n - 2)) / (cuu / n)) AS eg_stat
+          FROM f2 WHERE n > 2 AND rss > 0)
+    SELECT (SELECT n FROM s) AS n_days,
+           FLOOR((SELECT b FROM fit) * 1e6) / 1e6 AS hedge_ratio,
+           FLOOR(g * 1e6) / 1e6 AS resid_gamma,
+           FLOOR(eg_stat * 1e6) / 1e6 AS eg_stat,
+           -3.37 AS crit_5pct,
+           CAST(CASE WHEN eg_stat < -3.37 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_cointegrated
+    FROM t
+    """,
+    notes="Engle-Granger cointegration test between the daily click and "
+    "purchase count series: stage 1 fits the long-run relation y ~ x "
+    "(closed-form OLS from exact sums), stage 2 runs the Dickey-"
+    "Fuller regression on the residuals — which are FLOORed to exact "
+    "1e-6 integers the moment they are formed, so every stage-2 sum "
+    "is exact (the squared sums through HUGEINT/DECIMAL). Verdict "
+    "against the Engle-Granger 5% critical value (-3.37, two-"
+    "variable case) embedded as an identical literal. The pairs-"
+    "trading / long-run-equilibrium question ts_adf answers for one "
+    "series, asked of a pair; corpus work is one keyed daily rollup",
+)
+def ts_cointegration(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint()
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nn = F.col("n")
+    den = nn * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    b = (
+        nn * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / den
+    a = (F.col("sy").cast("double") - b * F.col("sx")) / nn
+    fit = s.where(den > 0).select(
+        "n", b.alias("b"), a.alias("a")
+    )
+    res = d.crossJoin(F.broadcast(fit)).select(
+        "di",
+        F.floor(
+            (F.col("y") - (F.col("a") + F.col("b") * F.col("x"))) * 1e6
+        )
+        .cast("long")
+        .alias("e"),
+        F.col("n").alias("n_days"),
+        F.col("b").alias("hedge_ratio"),
+    )
+    w = Window.orderBy("di")  # daily grid, calendar-bounded
+    lagged = res.select(
+        "n_days",
+        "hedge_ratio",
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+        F.lag("e").over(w).alias("e1"),
+    ).where(F.col("e1").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s2 = lagged.groupBy("n_days", "hedge_ratio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e1").cast("long").alias("su"),
+        F.sum("de").cast("long").alias("sv"),
+        F.sum(dec(F.col("e1")) * F.col("e1")).cast("double").alias("suu"),
+        F.sum(dec(F.col("e1")) * F.col("de")).cast("double").alias("suv"),
+        F.sum(dec(F.col("de")) * F.col("de")).cast("double").alias("svv"),
+    )
+    n2 = F.col("n")
+    cuu = n2 * F.col("suu") - F.col("su").cast("double") * F.col("su")
+    cuv = n2 * F.col("suv") - F.col("su").cast("double") * F.col("sv")
+    cvv = n2 * F.col("svv") - F.col("sv").cast("double") * F.col("sv")
+    g = cuv / cuu
+    rss = (cvv - (cuv * cuv) / cuu) / n2
+    eg = g / F.sqrt((rss / (n2 - 2)) / (cuu / n2))
+    return (
+        s2.where((cuu > 0) & (n2 > 2) & (rss > 0))
+        .select(
+            "n_days",
+            (F.floor(F.col("hedge_ratio") * 1e6) / 1e6).alias("hedge_ratio"),
+            (F.floor(g * 1e6) / 1e6).alias("resid_gamma"),
+            (F.floor(eg * 1e6) / 1e6).alias("eg_stat"),
+            F.lit(-3.37).alias("crit_5pct"),
+            F.when(eg < -3.37, 1).otherwise(0).cast("long").alias(
+                "is_cointegrated"
+            ),
+        )
+    )

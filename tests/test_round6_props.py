@@ -836,3 +836,45 @@ def test_ipf_raking_matches_literal_loop_and_margins(spark, sf_dir):
         cs[s] = cs.get(s, 0) + v / 1e6
     for s, t in tcol.items():
         assert abs(cs[s] - t) / t < 1e-4
+
+
+def test_tail_dependence_matches_pandas(spark, sf_dir):
+    d = _daily_xy(spark, sf_dir).reset_index()
+    d = d.sort_values("day").reset_index(drop=True)
+    nd = len(d)
+    rank_pos = (nd * 3 + 3) // 4  # discrete 75th percentile rank
+    qx = sorted(zip(d["x"], d["day"]))[rank_pos - 1][0]
+    qy = sorted(zip(d["y"], d["day"]))[rank_pos - 1][0]
+    nx = int((d["x"] > qx).sum())
+    ny = int((d["y"] > qy).sum())
+    nxy = int(((d["x"] > qx) & (d["y"] > qy)).sum())
+    row = all_queries()["agg_tail_dependence"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.nx, row.ny, row.nxy) == (nd, nx, ny, nxy)
+    if ny > 0:
+        assert row.lambda_u_ppm == nxy * 1_000_000 // ny
+    if nx * ny > 0:
+        assert row.lift_ppm == nxy * nd * 1_000_000 // (nx * ny)
+
+
+def test_cointegration_matches_numpy_two_stage(spark, sf_dir):
+    import numpy as np
+
+    d = _daily_xy(spark, sf_dir)
+    x = d["x"].to_numpy(dtype=float)
+    y = d["y"].to_numpy(dtype=float)
+    b, a = np.polyfit(x, y, 1)
+    e = np.floor((y - (a + b * x)) * 1e6)
+    de, e1 = np.diff(e), e[:-1]
+    n = len(de)
+    X = np.column_stack([np.ones(n), e1])
+    beta, *_ = np.linalg.lstsq(X, de, rcond=None)
+    resid = de - X @ beta
+    rss = float((resid**2).sum())
+    se = (rss / (n - 2) / ((e1 - e1.mean()) ** 2).sum()) ** 0.5
+    eg = beta[1] / se
+    row = all_queries()["ts_cointegration"].fn(spark, sf_dir).collect()[0]
+    assert row.n_days == len(x)
+    assert abs(row.hedge_ratio - b) < 1e-4
+    assert abs(row.resid_gamma - beta[1]) < 1e-4
+    assert abs(row.eg_stat - eg) < 1e-3
+    assert row.is_cointegrated == int(eg < -3.37)
