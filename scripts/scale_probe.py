@@ -606,11 +606,47 @@ def round13_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round14_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-6 additions: one-pass moment/tail stats over the daily
+    grid (expect FLAT — corpus work is one keyed rollup), iterative
+    graph ops (node-sized rank tables — FLAT), DSIR (two corpus
+    passes + 1024-row broadcast), CKA (mapInPandas int64 Gram
+    partials), per-vessel track ops (one keyed window each)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_jarque_bera", "agg_theil", "agg_bh_fdr", "agg_eb_shrinkage",
+        "agg_fisher_exact", "agg_extreme_value", "agg_ipf_raking",
+        "agg_tail_dependence", "profile_k_anonymity",
+        "ts_xcorr_lags", "ts_granger", "ts_sax", "ts_interrupted",
+        "ts_adf", "ts_cointegration",
+        "graph_hits", "graph_label_propagation",
+        "pipeline_dsir", "emb_cka", "emb_mmd",
+        "geo_route_deviation", "geo_point_in_polygon",
+        "geo_line_crossings", "evt_attribution_shapley",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s")
+    return out
+
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r14" in sys.argv:
+        round14_registered(spark, SF, sfdir10)
+        return
     if "--r13" in sys.argv:
         round13_registered(spark, SF, sfdir10)
         return
