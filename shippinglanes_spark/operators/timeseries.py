@@ -2647,3 +2647,96 @@ def ts_cointegration(spark, sf_dir):
             ),
         )
     )
+
+
+_FOURIER_PI2 = 6.283185307179586  # 2*pi as an identical repr literal
+
+
+@register(
+    "ts_fourier_profile",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    idx AS (SELECT y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY di) AS BIGINT) - 1 AS t,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS nd
+            FROM d),
+    kept AS (SELECT y, t, (nd // 7) * 7 AS n
+             FROM idx WHERE t < (nd // 7) * 7),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, 4) t(k)),
+    terms AS (SELECT ks.k, kept.n,
+                     CAST(FLOOR(kept.y * COS({_FOURIER_PI2!r} * ks.k
+                                * kept.t / 7.0) * 1e6) AS BIGINT) AS tc,
+                     CAST(FLOOR(kept.y * SIN({_FOURIER_PI2!r} * ks.k
+                                * kept.t / 7.0) * 1e6) AS BIGINT) AS tsn
+              FROM kept CROSS JOIN ks),
+    s AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(SUM(tc) AS BIGINT) AS sc,
+                 CAST(SUM(tsn) AS BIGINT) AS ss
+          FROM terms GROUP BY k),
+    f AS (SELECT k, n,
+                 2.0 * (CAST(sc AS DOUBLE) / 1e6) / n AS a,
+                 2.0 * (CAST(ss AS DOUBLE) / 1e6) / n AS b
+          FROM s)
+    SELECT k AS harmonic, n AS n_days_used,
+           FLOOR(a * 1e4) / 1e4 AS a_k,
+           FLOOR(b * 1e4) / 1e4 AS b_k,
+           FLOOR(SQRT(a * a + b * b) * 1e4) / 1e4 AS amplitude,
+           FLOOR(ATAN2(b, a) * 1e6) / 1e6 AS phase_rad
+    FROM f ORDER BY k
+    """,
+    notes="weekly Fourier profile of the daily event-count series: the "
+    "first three harmonics of the 7-day cycle, fit WITHOUT any matrix "
+    "solve by restricting to complete weeks, where the Fourier basis "
+    "is exactly orthogonal and each coefficient is an independent "
+    "projection a_k = 2/n sum y cos(2 pi k t / 7). Each term is "
+    "FLOORed to a 1e-6 integer before the sum (exact BIGINTs, no "
+    "float order anywhere); 2*pi is an identical repr literal and "
+    "cos/sin/atan2 are libm on identical doubles. The spectral "
+    "companion of ts_seasonal_profile (day-of-week means): amplitude "
+    "says how strong the cycle is, phase where it peaks. One keyed "
+    "daily rollup; everything after is calendar-bounded",
+)
+def ts_fourier_profile(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.orderBy("di")  # daily grid: calendar-bounded
+    idx = d.select(
+        "y",
+        (F.row_number().over(w).cast("long") - 1).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("nd"),
+    )
+    kept = idx.where(
+        F.col("t") < F.expr("(nd div 7) * 7")
+    ).select("y", "t", F.expr("(nd div 7) * 7").alias("n"))
+    ks = spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
+    ang = F.lit(_FOURIER_PI2) * F.col("k") * F.col("t") / 7.0
+    terms = kept.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "n",
+        F.floor(F.col("y") * F.cos(ang) * 1e6).cast("long").alias("tc"),
+        F.floor(F.col("y") * F.sin(ang) * 1e6).cast("long").alias("tsn"),
+    )
+    s = terms.groupBy("k").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("tc").cast("long").alias("sc"),
+        F.sum("tsn").cast("long").alias("ss"),
+    )
+    a = 2.0 * (F.col("sc").cast("double") / 1e6) / F.col("n")
+    b = 2.0 * (F.col("ss").cast("double") / 1e6) / F.col("n")
+    return s.select(
+        F.col("k").alias("harmonic"),
+        F.col("n").alias("n_days_used"),
+        (F.floor(a * 1e4) / 1e4).alias("a_k"),
+        (F.floor(b * 1e4) / 1e4).alias("b_k"),
+        (F.floor(F.sqrt(a * a + b * b) * 1e4) / 1e4).alias("amplitude"),
+        (F.floor(F.atan2(b, a) * 1e6) / 1e6).alias("phase_rad"),
+    ).orderBy("harmonic")

@@ -878,3 +878,54 @@ def test_cointegration_matches_numpy_two_stage(spark, sf_dir):
     assert abs(row.resid_gamma - beta[1]) < 1e-4
     assert abs(row.eg_stat - eg) < 1e-3
     assert row.is_cointegrated == int(eg < -3.37)
+
+
+def test_fourier_profile_matches_numpy_projection(spark, sf_dir):
+    import numpy as np
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT) AS di"
+        )
+        .groupBy("di")
+        .count()
+        .toPandas()
+        .sort_values("di")["count"]
+        .to_numpy(dtype=float)
+    )
+    n = (len(daily) // 7) * 7
+    y = daily[:n]
+    t = np.arange(n)
+    got = {
+        r.harmonic: r
+        for r in all_queries()["ts_fourier_profile"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for k in (1, 2, 3):
+        a = 2 / n * (y * np.cos(2 * np.pi * k * t / 7)).sum()
+        b = 2 / n * (y * np.sin(2 * np.pi * k * t / 7)).sum()
+        r = got[k]
+        assert r.n_days_used == n
+        # engine quantizes each term at 1e-6; amplitudes are O(1..10)
+        assert abs(r.a_k - a) < 2e-4
+        assert abs(r.b_k - b) < 2e-4
+        assert abs(r.amplitude - (a * a + b * b) ** 0.5) < 3e-4
+        assert abs(r.phase_rad - np.arctan2(b, a)) < 1e-3
+    # orthogonality sanity: reconstructing day-of-week means from the
+    # three harmonics + mean reproduces the actual weekly profile
+    mean = y.mean()
+    recon = np.array(
+        [
+            mean
+            + sum(
+                got[k].a_k * np.cos(2 * np.pi * k * dow / 7)
+                + got[k].b_k * np.sin(2 * np.pi * k * dow / 7)
+                for k in (1, 2, 3)
+            )
+            for dow in range(7)
+        ]
+    )
+    actual = np.array([y[dow::7].mean() for dow in range(7)])
+    assert np.allclose(recon, actual, atol=0.05 * max(1.0, abs(actual).max()))
