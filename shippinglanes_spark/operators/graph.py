@@ -1696,7 +1696,7 @@ def graph_hits(spark, sf_dir):
             .localCheckpoint()
         )
     return (
-        hub.join(auth, "id")
+        hub.join(F.broadcast(auth), "id")
         .select(
             F.col("id").alias("nation_id"),
             F.round("h", 6).alias("hub"),
