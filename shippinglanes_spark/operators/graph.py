@@ -1707,8 +1707,21 @@ def graph_hits(spark, sf_dir):
 
 _LPA_ITERS = 3
 
+# MATERIALIZED: the label-propagation CTE chain references u/adj once
+# per iteration; without it DuckDB INLINES the 4-table corpus join into
+# every reference and the oracle goes combinatorial at sf0.1 (the
+# _KCORE_BASE_SQL lesson).
+# The raw trade graph is near-complete (every nation trades with every
+# other), and LPA on a dense weighted graph collapses to ONE community
+# at every SF (the known epidemic failure mode — certified green on a
+# degenerate answer until the row-value audit caught it). Communities
+# only exist on the BACKBONE: keep each node's top-K strongest edges
+# (mutual union), the standard k-NN sparsification.
+_LPA_TOPK = 3
+
 _LPA_BASE_SQL = """
-    e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+    e AS MATERIALIZED (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
                  CAST(COUNT(*) AS BIGINT) AS w
           FROM lineitem l
           JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1716,13 +1729,64 @@ _LPA_BASE_SQL = """
           JOIN supplier s ON l.l_suppkey = s.s_suppkey
           WHERE c.c_nationkey <> s.s_nationkey
           GROUP BY 1, 2),
-    u AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+    u0 AS MATERIALIZED (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
                  CAST(SUM(w) AS BIGINT) AS uw
           FROM e GROUP BY 1, 2),
-    adj AS (SELECT a AS v, b AS nb, uw FROM u
-            UNION ALL SELECT b, a, uw FROM u),
-    nodes AS (SELECT DISTINCT v FROM adj)
-"""
+    dirn AS (SELECT a AS v, b AS nb, uw FROM u0
+             UNION ALL SELECT b, a, uw FROM u0),
+    topk AS (SELECT v, nb FROM (
+               SELECT v, nb,
+                      ROW_NUMBER() OVER (PARTITION BY v
+                                         ORDER BY uw DESC, nb) AS rn
+               FROM dirn) WHERE rn <= {topk}),
+    u AS MATERIALIZED (
+          SELECT DISTINCT LEAST(v, nb) AS a, GREATEST(v, nb) AS b
+          FROM topk),
+    uw2 AS MATERIALIZED (
+          SELECT u.a, u.b, u0.uw FROM u
+          JOIN u0 ON u0.a = u.a AND u0.b = u.b),
+    adj AS MATERIALIZED (
+            SELECT a AS v, b AS nb, uw FROM uw2
+            UNION ALL SELECT b, a, uw FROM uw2),
+    nodes AS MATERIALIZED (SELECT DISTINCT v FROM adj)
+""".replace("{topk}", str(_LPA_TOPK))
+
+
+def _lpa_backbone(spark, sf_dir):
+    """Top-K-strongest-edge (mutual union) sparsification of the nation
+    trade graph: (a, b, uw) localCheckpointed — the Spark mirror of
+    _LPA_BASE_SQL's uw2 relation."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    u0 = e.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.sum("w").cast("long").alias("uw"))
+    dirn = u0.select(F.col("a").alias("v"), F.col("b").alias("nb"), "uw").unionByName(
+        u0.select(F.col("b").alias("v"), F.col("a").alias("nb"), "uw")
+    )
+    rk = W.partitionBy("v").orderBy(F.col("uw").desc(), "nb")
+    topk = (
+        dirn.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") <= _LPA_TOPK)
+        .select(
+            F.least("v", "nb").alias("a"), F.greatest("v", "nb").alias("b")
+        )
+        .distinct()
+    )
+    return topk.join(u0, ["a", "b"]).localCheckpoint()
 
 
 def _lpa_oracle() -> str:
@@ -1771,6 +1835,10 @@ def _lpa_oracle() -> str:
     "incident edge-weight sum, ties broken to the smallest label — "
     "all exact integer arithmetic, so unlike pagerank/HITS there is "
     "not a single float anywhere and the unrolled-CTE oracle is "
+    "bit-exact. Runs on the top-3-strongest-edge backbone: the raw "
+    "trade graph is near-complete and dense-graph LPA collapses to "
+    "one community (the epidemic failure mode) — sparsify first, "
+    "the standard practice. "
     "bit-exact. Complements graph_modularity, which only SCORES a "
     "given partition (region); LPA finds one from the topology. Each "
     "iteration is one keyed aggregate over the adjacency plus a "
@@ -1778,23 +1846,9 @@ def _lpa_oracle() -> str:
     "edge list never reshuffles after its first groupBy",
 )
 def graph_label_propagation(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
     from pyspark.sql import Window as W
 
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .where(c.c_nationkey != s.s_nationkey)
-        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
-    u = e.groupBy(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).agg(F.sum("w").cast("long").alias("uw"))
+    u = _lpa_backbone(spark, sf_dir)
     adj = (
         u.select(F.col("a").alias("v"), F.col("b").alias("nb"), "uw")
         .unionByName(
@@ -1826,4 +1880,134 @@ def graph_label_propagation(spark, sf_dir):
         )
     return labels.select(
         F.col("v").alias("nation_id"), F.col("lbl").cast("long").alias("community")
+    )
+
+
+def _conductance_oracle() -> str:
+    """The LPA recurrence (shared generator) extended with the
+    community-quality readout: conductance = cut / min(vol, 2m - vol),
+    every quantity an exact BIGINT."""
+    ctes = ["l0 AS (SELECT v, v AS lbl FROM nodes)"]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"""w{i} AS (
+      SELECT adj.v, p.lbl, CAST(SUM(adj.uw) AS BIGINT) AS ws
+      FROM adj JOIN l{i - 1} p ON p.v = adj.nb
+      GROUP BY adj.v, p.lbl)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                                        ORDER BY ws DESC, lbl) AS rn
+      FROM w{i})"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+      SELECT n.v, COALESCE(r.lbl, n.v) AS lbl
+      FROM nodes n LEFT JOIN r{i} r ON r.v = n.v AND r.rn = 1)"""
+        )
+    return (
+        "WITH "
+        + _LPA_BASE_SQL.strip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    lab AS (SELECT v, lbl FROM l{_LPA_ITERS}),
+    vol AS (SELECT lab.lbl,
+                   CAST(COUNT(DISTINCT adj.v) AS BIGINT) AS n_members,
+                   CAST(SUM(adj.uw) AS BIGINT) AS vol_w
+            FROM adj JOIN lab ON lab.v = adj.v
+            GROUP BY lab.lbl),
+    m2 AS (SELECT CAST(SUM(uw) AS BIGINT) * 2 AS total FROM uw2),
+    cut AS (SELECT la.lbl, CAST(SUM(uw2.uw) AS BIGINT) AS cut_w
+            FROM uw2 JOIN lab la ON la.v = uw2.a
+                   JOIN lab lb ON lb.v = uw2.b AND lb.lbl <> la.lbl
+            GROUP BY la.lbl
+            UNION ALL
+            SELECT lb.lbl, CAST(SUM(uw2.uw) AS BIGINT)
+            FROM uw2 JOIN lab la ON la.v = uw2.a
+                   JOIN lab lb ON lb.v = uw2.b AND lb.lbl <> la.lbl
+            GROUP BY lb.lbl),
+    cutg AS (SELECT lbl, CAST(SUM(cut_w) AS BIGINT) AS cut_w
+             FROM cut GROUP BY lbl)
+    SELECT v.lbl AS community, v.n_members, v.vol_w,
+           CAST(COALESCE(c.cut_w, 0) AS BIGINT) AS cut_w,
+           CAST(COALESCE(c.cut_w, 0) * 1000000
+                // LEAST(v.vol_w, m2.total - v.vol_w) AS BIGINT)
+             AS conductance_ppm
+    FROM vol v CROSS JOIN m2 LEFT JOIN cutg c ON c.lbl = v.lbl
+    WHERE LEAST(v.vol_w, m2.total - v.vol_w) > 0
+    ORDER BY community"""
+    )
+
+
+@register(
+    "graph_conductance",
+    section="2.9",
+    oracle=_conductance_oracle(),
+    notes="conductance of every community graph_label_propagation "
+    "detects: phi(C) = cut(C) / min(vol(C), 2m - vol(C)) — the "
+    "standard 'is this a real community or an artifact' score (low = "
+    "well-separated), closing the detect -> evaluate loop next to "
+    "graph_modularity (which scores the region partition instead). "
+    "Composes the LPA labels with two graph-sized keyed aggregates; "
+    "every quantity is an exact BIGINT (weighted degrees, cut "
+    "weights), conductance reported as integer ppm via one floor "
+    "division. Zero floats end to end, like LPA itself",
+)
+def graph_conductance(spark, sf_dir):
+    labels = graph_label_propagation(spark, sf_dir).select(
+        F.col("nation_id").alias("v"), F.col("community").alias("lbl")
+    )
+    u = _lpa_backbone(spark, sf_dir)
+    adj = u.select(F.col("a").alias("v"), "uw").unionByName(
+        u.select(F.col("b").alias("v"), "uw")
+    )
+    vol = (
+        adj.join(F.broadcast(labels), "v")
+        .groupBy("lbl")
+        .agg(
+            F.countDistinct("v").cast("long").alias("n_members"),
+            F.sum("uw").cast("long").alias("vol_w"),
+        )
+    )
+    m2 = u.agg((F.sum("uw") * 2).cast("long").alias("total"))
+    la = labels.select(F.col("v").alias("a"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("v").alias("b"), F.col("lbl").alias("lb"))
+    crossing = (
+        u.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .where(F.col("la") != F.col("lb"))
+    )
+    cut = (
+        crossing.select(F.col("la").alias("lbl"), "uw")
+        .unionByName(crossing.select(F.col("lb").alias("lbl"), "uw"))
+        .groupBy("lbl")
+        .agg(F.sum("uw").cast("long").alias("cut_w"))
+    )
+    j = (
+        vol.crossJoin(F.broadcast(m2))
+        .join(cut, "lbl", "left")
+        .select(
+            F.col("lbl").alias("community"),
+            "n_members",
+            "vol_w",
+            F.coalesce(F.col("cut_w"), F.lit(0)).cast("long").alias("cut_w"),
+            F.least(
+                F.col("vol_w"), F.col("total") - F.col("vol_w")
+            ).alias("_den"),
+        )
+    )
+    return (
+        j.where(F.col("_den") > 0)
+        .select(
+            "community",
+            "n_members",
+            "vol_w",
+            "cut_w",
+            F.expr(
+                "CAST(cut_w * 1000000 div _den AS BIGINT)"
+            ).alias("conductance_ppm"),
+        )
+        .orderBy("community")
     )

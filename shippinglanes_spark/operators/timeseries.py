@@ -2740,3 +2740,99 @@ def ts_fourier_profile(spark, sf_dir):
         (F.floor(F.sqrt(a * a + b * b) * 1e4) / 1e4).alias("amplitude"),
         (F.floor(F.atan2(b, a) * 1e6) / 1e6).alias("phase_rad"),
     ).orderBy("harmonic")
+
+
+# Shewhart individuals-chart constant: sigma-hat = mean moving range
+# / d2 with d2 = 1.128 for subgroups of 2 (spec literal, both engines)
+_SPC_D2 = 1.128
+
+
+@register(
+    "ts_control_chart",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                           AS BIGINT) AS y
+               FROM events WHERE event_type = 'purchase'
+                 AND value IS NOT NULL
+               GROUP BY 1),
+    mr AS (SELECT di, y,
+                  ABS(y - LAG(y) OVER (ORDER BY di)) AS m
+           FROM d),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(m) AS BIGINT) AS sm,
+                 CAST(COUNT(m) AS BIGINT) AS nm
+          FROM mr),
+    lim AS (SELECT n,
+                   CAST(sy AS DOUBLE) / n AS center,
+                   (CAST(sm AS DOUBLE) / nm) / {_SPC_D2!r} AS sigma
+            FROM s WHERE nm > 0)
+    SELECT mr.di AS day_index, mr.y,
+           FLOOR(lim.center * 1e2) / 1e2 AS center,
+           FLOOR((lim.center - 3 * lim.sigma) * 1e2) / 1e2 AS lcl,
+           FLOOR((lim.center + 3 * lim.sigma) * 1e2) / 1e2 AS ucl,
+           CAST(CASE WHEN mr.y < lim.center - 3 * lim.sigma
+                       OR mr.y > lim.center + 3 * lim.sigma
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM mr CROSS JOIN lim
+    ORDER BY mr.di
+    """,
+    notes="Shewhart individuals control chart (I-MR) of daily purchase "
+    "revenue: center = mean of the daily totals, sigma estimated from "
+    "the mean moving range / d2 (1.128, the n=2 subgroup constant, an "
+    "identical literal), 3-sigma limits, and a per-day out-of-control "
+    "flag — the SPC readout ops teams put on every metric; ts_cusum "
+    "locates a drift, this flags individual excursions. Daily totals "
+    "and moving ranges are exact BIGINTs; the limits are one "
+    "identical float expression, and the flag compares the same "
+    "doubles in both engines. One keyed rollup + a calendar-bounded "
+    "lag window",
+)
+def ts_control_chart(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    w = Window.orderBy("di")  # daily grid: calendar-bounded
+    mr = d.select(
+        "di", "y", F.abs(F.col("y") - F.lag("y").over(w)).alias("m")
+    ).localCheckpoint()
+    s = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("m").cast("long").alias("sm"),
+        F.count("m").cast("long").alias("nm"),
+    )
+    center = F.col("sy").cast("double") / F.col("n")
+    sigma = (F.col("sm").cast("double") / F.col("nm")) / _SPC_D2
+    lim = s.where(F.col("nm") > 0).select(
+        center.alias("center"), sigma.alias("sigma")
+    )
+    j = mr.crossJoin(F.broadcast(lim))
+    ooc = (F.col("y") < F.col("center") - 3 * F.col("sigma")) | (
+        F.col("y") > F.col("center") + 3 * F.col("sigma")
+    )
+    return j.select(
+        F.col("di").alias("day_index"),
+        "y",
+        (F.floor(F.col("center") * 1e2) / 1e2).alias("center"),
+        (F.floor((F.col("center") - 3 * F.col("sigma")) * 1e2) / 1e2).alias(
+            "lcl"
+        ),
+        (F.floor((F.col("center") + 3 * F.col("sigma")) * 1e2) / 1e2).alias(
+            "ucl"
+        ),
+        F.when(ooc, 1).otherwise(0).cast("long").alias("out_of_control"),
+    ).orderBy("day_index")

@@ -432,6 +432,16 @@ def test_label_propagation_matches_literal_loop(spark, sf_dir):
     for r in e.itertuples():
         key = (min(r.src, r.dst), max(r.src, r.dst))
         und[key] = und.get(key, 0) + r.count
+    # top-3-strongest-edge backbone (mutual union), like the engine
+    dense = {}
+    for (x, y), w in und.items():
+        dense.setdefault(x, []).append((y, w))
+        dense.setdefault(y, []).append((x, w))
+    kept = set()
+    for v, nbs in dense.items():
+        for nb, _w in sorted(nbs, key=lambda t: (-t[1], t[0]))[:3]:
+            kept.add((min(v, nb), max(v, nb)))
+    und = {k: und[k] for k in kept}
     adj = {}
     for (x, y), w in und.items():
         adj.setdefault(x, {})[y] = w
@@ -929,3 +939,94 @@ def test_fourier_profile_matches_numpy_projection(spark, sf_dir):
     )
     actual = np.array([y[dow::7].mean() for dow in range(7)])
     assert np.allclose(recon, actual, atol=0.05 * max(1.0, abs(actual).max()))
+
+
+def test_conductance_matches_literal_reference(spark, sf_dir):
+    lp = {
+        r.nation_id: r.community
+        for r in all_queries()["graph_label_propagation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .count()
+        .toPandas()
+    )
+    und = {}
+    for r in e.itertuples():
+        key = (min(r.src, r.dst), max(r.src, r.dst))
+        und[key] = und.get(key, 0) + r.count
+    dense = {}
+    for (x, y), w in und.items():
+        dense.setdefault(x, []).append((y, w))
+        dense.setdefault(y, []).append((x, w))
+    kept = set()
+    for v, nbs in dense.items():
+        for nb, _w in sorted(nbs, key=lambda t: (-t[1], t[0]))[:3]:
+            kept.add((min(v, nb), max(v, nb)))
+    und = {k: und[k] for k in kept}
+    total = 2 * sum(und.values())
+    vol, cut, members = {}, {}, {}
+    for (a, b), w in und.items():
+        for v in (a, b):
+            cm = lp[v]
+            vol[cm] = vol.get(cm, 0) + w
+            members.setdefault(cm, set()).add(v)
+        if lp[a] != lp[b]:
+            cut[lp[a]] = cut.get(lp[a], 0) + w
+            cut[lp[b]] = cut.get(lp[b], 0) + w
+    got = {
+        r.community: r
+        for r in all_queries()["graph_conductance"].fn(spark, sf_dir).collect()
+    }
+    for cm, vw in vol.items():
+        den = min(vw, total - vw)
+        if den <= 0:
+            assert cm not in got
+            continue
+        r = got[cm]
+        assert r.n_members == len(members[cm])
+        assert r.vol_w == vw
+        assert r.cut_w == cut.get(cm, 0)
+        assert r.conductance_ppm == cut.get(cm, 0) * 1_000_000 // den
+    assert len(got) >= 2  # the backbone split is non-degenerate
+
+
+def test_control_chart_matches_pandas(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT) AS di",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+        .where("event_type = 'purchase' AND value IS NOT NULL")
+        .toPandas()
+    )
+    daily = ev.groupby("di")["cents"].sum().sort_index()
+    mr = daily.diff().abs().dropna()
+    center = daily.mean()
+    sigma = mr.mean() / 1.128
+    got = {
+        r.day_index: r
+        for r in all_queries()["ts_control_chart"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily.index)
+    for di, y in daily.items():
+        r = got[di]
+        assert r.y == y
+        assert abs(r.center - center) < 0.02
+        assert abs(r.lcl - (center - 3 * sigma)) < 0.02
+        assert abs(r.ucl - (center + 3 * sigma)) < 0.02
+        assert r.out_of_control == int(
+            y < center - 3 * sigma or y > center + 3 * sigma
+        )
