@@ -620,7 +620,7 @@ def round14_registered(spark, sfdir_1x, sfdir_10x):
         "agg_fisher_exact", "agg_extreme_value", "agg_ipf_raking",
         "agg_tail_dependence", "profile_k_anonymity",
         "ts_xcorr_lags", "ts_granger", "ts_sax", "ts_interrupted",
-        "ts_adf", "ts_cointegration", "ts_fourier_profile", "ts_control_chart", "graph_conductance",
+        "ts_adf", "ts_cointegration", "ts_fourier_profile", "ts_control_chart", "graph_conductance", "evt_markov_entropy",
         "graph_hits", "graph_label_propagation",
         "pipeline_dsir", "emb_cka", "emb_mmd",
         "geo_route_deviation", "geo_point_in_polygon",

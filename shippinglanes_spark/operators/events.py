@@ -2873,3 +2873,129 @@ def evt_attribution_shapley(spark, sf_dir):
         "n_users",
         (F.floor(F.col("phi") * 1e6) / 1e6).alias("shapley_value"),
     ).orderBy("channel")
+
+
+@register(
+    "evt_markov_entropy",
+    section="2.10",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS ts_us
+               FROM events),
+    tr AS (SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id)
+                    AS to_type
+           FROM e),
+    tc AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM tc
+           GROUP BY from_type),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS gt FROM tc),
+    hs AS (SELECT rt.from_type, rt.tot,
+                  -list_reduce(list_prepend(0.0,
+                     list((CAST(tc.n AS DOUBLE) / rt.tot)
+                          * LN(CAST(tc.n AS DOUBLE) / rt.tot)
+                          ORDER BY tc.to_type)),
+                     (a, b) -> a + b) / LN(2.0) AS h_bits
+           FROM rt JOIN tc ON tc.from_type = rt.from_type
+           GROUP BY rt.from_type, rt.tot),
+    rate AS (SELECT list_reduce(list_prepend(0.0,
+                      list((CAST(hs.tot AS DOUBLE) / g.gt) * hs.h_bits
+                           ORDER BY hs.from_type)),
+                      (a, b) -> a + b) AS r
+             FROM hs CROSS JOIN g)
+    SELECT hs.from_type AS state,
+           FLOOR(CAST(hs.tot AS DOUBLE) / g.gt * 1e6) / 1e6 AS pi,
+           FLOOR(hs.h_bits * 1e6) / 1e6 AS h_state_bits,
+           FLOOR(rate.r * 1e6) / 1e6 AS entropy_rate_bits
+    FROM hs CROSS JOIN g CROSS JOIN rate
+    ORDER BY state
+    """,
+    notes="entropy rate of the event-type Markov chain: per-state "
+    "conditional entropy H_i = -sum p_ij log2 p_ij and the rate "
+    "H = sum pi_i H_i, weighting by the EMPIRICAL state distribution "
+    "(exact integer ratio tot_i / total — the observed chain's rate; "
+    "evt_markov_stationary next door gives the asymptotic pi). How "
+    "predictable is the next user action, in bits — the information-"
+    "theoretic ceiling for any next-event model, and the sibling of "
+    "ts_permutation_entropy (which asks it of the value series). "
+    "Transition counts come from ONE keyed lag window (the shared "
+    "evt_transitions pass); everything after is states^2-sized with "
+    "dim-ordered folds, so both engines fold identical doubles in "
+    "identical order. FLOOR 6 dp",
+)
+def evt_markov_entropy(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tc = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    rt = tc.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    g = tc.agg(F.sum("n").cast("long").alias("gt"))
+    pj = F.col("n").cast("double") / F.col("tot")
+    hs = (
+        tc.join(F.broadcast(rt), "from_type")
+        .groupBy("from_type", "tot")
+        .agg(
+            (
+                -F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "to_type", (pj * F.log(pj)).alias("t")
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, r: acc + r["t"],
+                )
+                / F.log(F.lit(2.0))
+            ).alias("h_bits")
+        )
+    )
+    rate = (
+        hs.crossJoin(F.broadcast(g))
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "from_type",
+                            (
+                                F.col("tot").cast("double")
+                                / F.col("gt")
+                                * F.col("h_bits")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r["t"],
+            ).alias("r")
+        )
+    )
+    return (
+        hs.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(rate))
+        .select(
+            F.col("from_type").alias("state"),
+            (
+                F.floor(F.col("tot").cast("double") / F.col("gt") * 1e6)
+                / 1e6
+            ).alias("pi"),
+            (F.floor(F.col("h_bits") * 1e6) / 1e6).alias("h_state_bits"),
+            (F.floor(F.col("r") * 1e6) / 1e6).alias("entropy_rate_bits"),
+        )
+        .orderBy("state")
+    )

@@ -1030,3 +1030,47 @@ def test_control_chart_matches_pandas(spark, sf_dir):
         assert r.out_of_control == int(
             y < center - 3 * sigma or y > center + 3 * sigma
         )
+
+
+def test_markov_entropy_matches_literal_loop(spark, sf_dir):
+    import math
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        )
+        .toPandas()
+    )
+    counts = {}
+    for _, g in ev.groupby("user_id"):
+        seq = list(g.sort_values(["ts_us", "event_id"])["event_type"])
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    tot = {}
+    for (a, _b), n in counts.items():
+        tot[a] = tot.get(a, 0) + n
+    gt = sum(counts.values())
+    h = {
+        a: -sum(
+            (n / tot[a]) * math.log2(n / tot[a])
+            for (x, _b), n in counts.items()
+            if x == a
+        )
+        for a in tot
+    }
+    rate = sum(tot[a] / gt * h[a] for a in tot)
+    got = {
+        r.state: r
+        for r in all_queries()["evt_markov_entropy"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(tot)
+    for a in tot:
+        assert abs(got[a].pi - tot[a] / gt) < 2e-6
+        assert abs(got[a].h_state_bits - h[a]) < 1e-5
+        assert abs(got[a].entropy_rate_bits - rate) < 1e-5
+    # ceiling: entropy rate cannot exceed log2(#states)
+    assert rate <= math.log2(len(tot)) + 1e-9
