@@ -1,8 +1,12 @@
 """Benchmark the declared queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}. Keys match BASELINE.md's rows so
-the judge can compare directly.
+Prints ONE SHORT JSON line (last on stdout): {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {14 headliners}, "families_total":
+..., "families_isolated": {top-10}, "sf": ...}. Keys match BASELINE.md's
+rows so the judge can compare directly. The full per-query detail (the
+400+-entry families sweep, cold timings, errors) is written to
+bench_full.json next to this script — the driver's stdout capture keeps
+only a bounded tail, so the long form must live in a file.
 
 Two timings per headline query, on one warm SparkSession:
 
@@ -208,7 +212,41 @@ def main() -> None:
         out["family_errors"] = family_errors
     if headline_errors:
         out["headline_errors"] = headline_errors
-    print(json.dumps(out))
+
+    # Full per-query detail goes to a FILE; stdout gets one SHORT summary
+    # line LAST. The driver's artifact capture keeps only a bounded tail of
+    # stdout and parses the final JSON line — the 400+-entry families dict
+    # outgrew that capture in round 6 ("parsed": null), so the long form
+    # must never be the stdout line.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = None  # read-only checkout: summary line still stands
+
+    summary = {
+        "metric": "headline_suite_wall",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+        "cold_total": out["cold_total"],
+    }
+    if families:
+        summary["families_total"] = out["families_total"]
+        summary["families_n"] = len(families)
+        if isolate and "families_isolated" in out:
+            summary["families_isolated"] = out["families_isolated"]
+    if family_errors:
+        summary["family_errors_n"] = len(family_errors)
+    if headline_errors:
+        summary["headline_errors"] = headline_errors
+    if detail_path:
+        summary["detail"] = "bench_full.json"
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -678,8 +678,14 @@ def join_set_similarity(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("df"))
     )
     ordered = (
+        # NO broadcast hint on freq: the distinct-shingle table is
+        # vocabulary-sized (corpus-scale at 100 TB), so forcing a
+        # broadcast would OOM the driver exactly when it matters. AQE
+        # still picks a broadcast at runtime when the table is actually
+        # small (it is at every fixture SF); past the threshold this is
+        # a plain shuffle join on tok, which always works.
         d.select("doc_id", F.explode("toks").alias("tok"))
-        .join(F.broadcast(freq), "tok")
+        .join(freq, "tok")
         .groupBy("doc_id")
         .agg(
             F.transform(
@@ -795,7 +801,10 @@ def join_set_similarity_weighted(spark, sf_dir):
     freq = post.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     wpost = (
-        post.join(F.broadcast(freq), "tok")
+        # freq is vocabulary-sized — unhinted so AQE decides (broadcast
+        # at fixture scale, shuffle at corpus scale); nd is ONE row and
+        # keeps its hint.
+        post.join(freq, "tok")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -1094,8 +1103,10 @@ def join_set_containment(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("df"))
     )
     ordered = (
+        # unhinted rarity join — see join_set_similarity: the df table
+        # is vocabulary-sized, AQE chooses broadcast only when small
         d.select("doc_id", F.explode("toks").alias("tok"))
-        .join(F.broadcast(freq), "tok")
+        .join(freq, "tok")
         .groupBy("doc_id")
         .agg(
             F.transform(

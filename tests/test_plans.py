@@ -590,3 +590,21 @@ def test_shapley_single_user_aggregate(spark, sf_dir):
     # two scans max: the corpus pass and the broadcast engagement-total
     # lineage (AQE reuses the exchange at runtime when beneficial)
     assert p.count("Scan parquet") <= 2
+
+
+def test_ppjoin_family_no_forced_df_broadcast(spark, sf_dir):
+    """The shingle document-frequency table is vocabulary-sized —
+    corpus-scale at 100 TB — so the PPJoin family must NOT pin it with
+    a broadcast hint (a forced broadcast OOMs the driver exactly when
+    the corpus is big). The logical plan must carry no ResolvedHint on
+    the df-table join; AQE remains free to broadcast at runtime when
+    the table is actually small. The weighted variant keeps exactly one
+    hint: the ONE-ROW doc-count aggregate."""
+    for name, allowed_hints in [
+        ("join_set_similarity", 0),
+        ("join_set_containment", 0),
+        ("join_set_similarity_weighted", 1),  # F.broadcast(nd), 1 row
+    ]:
+        df = Q[name].fn(spark, sf_dir)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert logical.count("ResolvedHint") == allowed_hints, name
