@@ -358,3 +358,210 @@ def embedding_neardups(spark, emb: DataFrame) -> DataFrame:
 )
 def sim_ann_lsh(spark, sf_dir):
     return embedding_neardups(spark, table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Containment search over LSH candidates (LSH Ensemble, Zhu et al. VLDB'16)
+# ---------------------------------------------------------------------------
+
+_CONT_MAX_GAP = 6  # probe up to 2^(6+1) = 128x-larger host strata
+_CONT_R1_BANDS = N_HASHES  # r=1: every signature value is its own band
+_CONT_R2_BANDS = N_HASHES // 2
+
+
+def containment_lsh_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric-containment pairs (|Sa∩Sb|/|Sa| >= 0.8) generated
+    through SIZE-STRATIFIED MinHash-LSH — the LSH Ensemble design — and
+    verified exactly.
+
+    Why stratify: MinHash banding collides on symmetric JACCARD, and a
+    small document fully quoted inside one x times larger has Jaccard
+    only ~theta/(1+x) — it evades any banding tuned for near-dup
+    Jaccard. But the Jaccard a qualifying pair CAN'T go below is a
+    function of the two set sizes: J >= theta*na/(na + nb - theta*na).
+    So hosts are partitioned into power-of-two size strata, and each
+    probe chooses its banding PER HOST STRATUM from that exact-integer
+    bound — r=2 (16 bands, LSH threshold 0.25) while 3*na >= 2^(j+1),
+    r=1 (32 bands, threshold 1/32) for larger hosts, out to a
+    2^{MAX_GAP}x size gap (past that the implied Jaccard is so low
+    that sketch-based candidates are hopeless by construction — the
+    documented horizon of the method; join_set_containment's lossless
+    inverted index is the fallback when that tail matters).
+
+    Candidates verify with one exact in-array intersection, so every
+    reported pair is a TRUE containment pair; only recall is
+    probabilistic (planted-pair floors in tests/test_dedup.py). Hot
+    host buckets collapse identical-signature members to one
+    representative (the boilerplate-giant valve, as in
+    minhash_candidates) instead of dropping anyone.
+
+    Scale shape: keys per document are bounded (48 host keys, <=
+    strata x 32 probe keys); the join shuffles on (stratum, r, band,
+    bandhash) so cost tracks true sketch collisions, never n^2.
+    """
+    from .text import shingles_of_tokens
+
+    base = (
+        fan_out(docs.select(id_col, text_col))
+        .select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+        .select(
+            id_col,
+            F.array_distinct(
+                F.filter(
+                    shingles_of_tokens(F.col("__toks")), lambda s: s != ""
+                )
+            ).alias("s"),
+        )
+        .where(F.size("s") >= 1)
+        .select(id_col, "s", F.size("s").alias("n"))
+        .localCheckpoint()  # reused by signatures AND exact verification
+    )
+    mins = [
+        F.min(F.hash("shingle", F.lit(seed))).alias(f"h{seed}")
+        for seed in range(N_HASHES)
+    ]
+    sig = (
+        base.select(id_col, "n", F.explode("s").alias("shingle"))
+        .groupBy(id_col)
+        .agg(F.max("n").alias("n"), *mins)
+        .withColumn(
+            "st", F.expr("cast(floor(log2(cast(n as double))) as int)")
+        )
+        .localCheckpoint()  # feeds probe AND host key emission
+    )
+    # one-row stratum ceiling: probes never emit keys for strata no
+    # host occupies (a probe-row-count valve, not a correctness gate)
+    max_st = sig.agg(F.max("st").alias("max_st"))
+
+    key_t = "array<struct<j:int,r:int,b:int,bh:int>>"
+
+    # key arrays are built as SQL text (one F.expr each): composing
+    # ~1500 struct/hash Column objects through the Python API costs
+    # seconds of py4j round-trips per call; the SQL string is one call
+    def _r2_keys(j_sql: str) -> str:
+        return (
+            "array("
+            + ", ".join(
+                f"struct(cast({j_sql} as int) as j, 2 as r, {b} as b,"
+                f" hash(h{2 * b}, h{2 * b + 1}) as bh)"
+                for b in range(_CONT_R2_BANDS)
+            )
+            + ")"
+        )
+
+    def _r1_keys(j_sql: str) -> str:
+        return (
+            "array("
+            + ", ".join(
+                f"struct(cast({j_sql} as int) as j, 1 as r, {b} as b,"
+                f" hash(h{b}) as bh)"
+                for b in range(_CONT_R1_BANDS)
+            )
+            + ")"
+        )
+
+    # probe side: per admissible host stratum j, the banding implied by
+    # the exact-integer Jaccard floor. Admissible: the stratum can hold
+    # a host of size >= 0.8*na, i.e. 5*2^(j+1) > 4*na. r=2 while
+    # 3*na >= 2^(j+1) (J_min >= 0.25), else r=1.
+    gap_arrays = []
+    for g in range(-1, _CONT_MAX_GAP + 1):
+        top = f"shiftleft(cast(1 as bigint), st + {g} + 1)"
+        adm = f"5 * {top} > 4 * n AND st + {g} >= 0 AND st + {g} <= max_st"
+        gap_arrays.append(
+            f"CASE WHEN {adm} AND 3 * n >= {top}"
+            f" THEN {_r2_keys(f'st + {g}')}"
+            f" WHEN {adm} THEN {_r1_keys(f'st + {g}')}"
+            f" ELSE cast(array() as {key_t}) END"
+        )
+    probe = (
+        sig.crossJoin(F.broadcast(max_st))
+        .select(
+            F.col(id_col).alias("doc_in"),
+            F.col("n").alias("na"),
+            F.explode(
+                F.expr("concat(" + ", ".join(gap_arrays) + ")")
+            ).alias("k"),
+        )
+        .select("doc_in", "na", "k.j", "k.r", "k.b", "k.bh")
+    )
+
+    # host side: index into OWN stratum under both band widths. One
+    # bucket-collect groupBy (single shuffle) replaces window passes;
+    # hot buckets collapse identical-signature members to one
+    # representative (the boilerplate-giant valve) instead of dropping
+    # anyone.
+    full_sig_hash = F.expr(
+        "hash(" + ", ".join(f"h{i}" for i in range(N_HASHES)) + ")"
+    )
+    hostk = sig.select(
+        F.col(id_col).alias("doc_host"),
+        F.col("n").alias("nb"),
+        full_sig_hash.alias("sigh"),
+        F.explode(
+            F.expr(f"concat({_r2_keys('st')}, {_r1_keys('st')})")
+        ).alias("k"),
+    ).select("doc_host", "nb", "sigh", "k.j", "k.r", "k.b", "k.bh")
+    buckets = hostk.groupBy("j", "r", "b", "bh").agg(
+        F.array_sort(
+            F.collect_list(F.struct("sigh", "doc_host", "nb"))
+        ).alias("hs")
+    )
+    dedup_by_sig = F.filter(
+        F.col("hs"),
+        lambda x, i: (i == 0)
+        | (x["sigh"] != F.element_at(F.col("hs"), i)["sigh"]),
+    )
+    members = F.when(F.size("hs") <= MAX_BUCKET, F.col("hs")).otherwise(
+        dedup_by_sig
+    )
+    host = buckets.select(
+        "j", "r", "b", "bh", F.explode(members).alias("m")
+    ).select("j", "r", "b", "bh", "m.doc_host", "m.nb")
+
+    cand = (
+        probe.join(host, ["j", "r", "b", "bh"])
+        .where(
+            (F.col("doc_in") != F.col("doc_host"))
+            & (F.lit(5) * F.col("nb") >= F.lit(4) * F.col("na"))
+        )
+        .select("doc_in", "doc_host")
+        .distinct()
+    )
+    # exact verification: one in-array intersection per candidate
+    a = base.select(
+        F.col(id_col).alias("doc_in"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_host"), F.col("s").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(a, "doc_in")
+        .join(b, "doc_host")
+        .select("doc_in", "doc_host", inter.alias("i"), "na")
+        .where(F.col("i") * 5 >= 4 * F.col("na"))
+        .select(
+            "doc_in",
+            "doc_host",
+            F.expr("i * 1000000 div na").cast("long").alias("cont_ppm"),
+        )
+    )
+
+
+@register(
+    "join_containment_lsh",
+    section="2.9",
+    oracle=None,
+    notes="size-stratified LSH containment candidates (LSH Ensemble), "
+    "exact-verified; recall floors (planted slices at 2/4/8x size "
+    "ratios + agreement vs the lossless inverted-index join) in "
+    "tests/test_dedup.py. Same doc_id %% 3 slice as "
+    "join_set_containment so the two containment paths are directly "
+    "comparable on the same corpus",
+)
+def join_containment_lsh(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    return containment_lsh_candidates(docs)

@@ -660,13 +660,22 @@ def _semdedup_oracle() -> str:
     "CTEs + recursive-CTE transitive closure",
 )
 def pipeline_semdedup(spark, sf_dir):
+    """Registered fixture configuration of semdedup_pipeline (k, iters,
+    threshold fixed so the unrolled-CTE oracle can mirror them)."""
+    return semdedup_pipeline(spark, sf_dir)
+
+
+def semdedup_pipeline(
+    spark, sf_dir, k: int = _SD_K, iters: int = _SD_ITERS, thr: float = _SD_THR
+):
     """Cluster -> within-cluster pair graph -> components -> keep
     rule. The per-dim relation drives the Lloyd iterations (broadcast
     centroids, keyed distance aggregate per round); the pair stage
     joins cluster-partitioned quantized ARRAYS (zip_with dot, no
     explode); components reuse the pointer-jumped min-label CC. At
     100 TB you raise k so clusters stay bounded — the plan shape is
-    unchanged (SemDeDup's own scaling argument)."""
+    unchanged (SemDeDup's own scaling argument); scale_probe --r15-dials
+    measures exactly that (k scaled with the corpus at 100x)."""
     from .text import connected_components
 
     emb = table(spark, sf_dir, "embeddings")
@@ -679,11 +688,11 @@ def pipeline_semdedup(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    cent = q.where(F.col("vec_id") < _SD_K).select(
+    cent = q.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c")
     )
     assign = None
-    for i in range(_SD_ITERS):
+    for i in range(iters):
         d = (
             q.join(F.broadcast(cent), "dim")
             .groupBy("vec_id", "cid")
@@ -701,7 +710,7 @@ def pipeline_semdedup(spark, sf_dir):
         assign = (
             d.withColumn("rk", rk).where(F.col("rk") == 1).drop("rk")
         ).localCheckpoint()
-        if i < _SD_ITERS - 1:
+        if i < iters - 1:
             cent = (
                 assign.join(q, "vec_id")
                 .groupBy("cid", "dim")
@@ -728,11 +737,13 @@ def pipeline_semdedup(spark, sf_dir):
     ax = assign.select(F.col("vec_id").alias("id_a"), F.col("cid").alias("ca"))
     ay = assign.select(F.col("vec_id").alias("id_b"), F.col("cid").alias("cb"))
     side_a = ax.join(
-        F.broadcast(qe.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))), "id_a"
-    ).join(F.broadcast(nr.select(F.col("vec_id").alias("id_a"), F.col("nn").alias("na"))), "id_a")
+        # corpus-sized vector/norm tables: UNHINTED (AQE broadcasts
+        # when small; a forced hint OOMs exactly at scale)
+        qe.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(nr.select(F.col("vec_id").alias("id_a"), F.col("nn").alias("na")), "id_a")
     side_b = ay.join(
-        F.broadcast(qe.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))), "id_b"
-    ).join(F.broadcast(nr.select(F.col("vec_id").alias("id_b"), F.col("nn").alias("nb"))), "id_b")
+        qe.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b"
+    ).join(nr.select(F.col("vec_id").alias("id_b"), F.col("nn").alias("nb")), "id_b")
     cos = F.round(
         dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 4
     )
@@ -741,7 +752,7 @@ def pipeline_semdedup(spark, sf_dir):
             side_b,
             (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")),
         )
-        .where(cos >= _SD_THR)
+        .where(cos >= thr)
         .select("id_a", "id_b")
         # pin the pair set: CC's distributed branch re-checkpoints its
         # frontier, and checkpointing a plan that self-joins the SAME

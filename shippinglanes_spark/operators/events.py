@@ -2685,14 +2685,25 @@ _SHAP_W1 = 1.0 / 6.0  # |S| = 1
 _SHAP_W2 = 1.0 / 3.0  # |S| = 2
 
 
+_SHAP_ORDER = "vcs"  # canonical member order in coalition column names
+
+
+def _shapley_vname(*members: str) -> str:
+    """Canonical coalition column name: v + members in _SHAP_ORDER
+    (the p CTE names columns this way), so callers never post-edit
+    generated identifiers."""
+    return "v" + "".join(ch for ch in _SHAP_ORDER if ch in members)
+
+
 def _shapley_phi_sql(i: str, j: str, k: str) -> str:
     """phi_i over coalitions of {j, k}: sum of weighted marginal
     contributions v(S+i) - v(S)."""
     return (
-        f"{_SHAP_W0!r} * (v{i} - v0) "
-        f"+ {_SHAP_W1!r} * (v{i}{j} - v{j}) "
-        f"+ {_SHAP_W1!r} * (v{i}{k} - v{k}) "
-        f"+ {_SHAP_W2!r} * (vvcs - v{j}{k})"
+        f"{_SHAP_W0!r} * ({_shapley_vname(i)} - v0) "
+        f"+ {_SHAP_W1!r} * ({_shapley_vname(i, j)} - {_shapley_vname(j)}) "
+        f"+ {_SHAP_W1!r} * ({_shapley_vname(i, k)} - {_shapley_vname(k)}) "
+        f"+ {_SHAP_W2!r} * ({_shapley_vname(i, j, k)}"
+        f" - {_shapley_vname(j, k)})"
     )
 
 
@@ -2751,10 +2762,8 @@ def _shapley_phi_sql(i: str, j: str, k: str) -> str:
           FROM s),
     phi AS (SELECT n_users,
                    {_shapley_phi_sql('v', 'c', 's')} AS phi_view,
-                   {_shapley_phi_sql('c', 'v', 's')
-                    .replace('vcv', 'vvc').replace('vcs', 'vcs')} AS phi_click,
-                   {_shapley_phi_sql('s', 'v', 'c')
-                    .replace('vsv', 'vvs').replace('vsc', 'vcs')} AS phi_signup
+                   {_shapley_phi_sql('c', 'v', 's')} AS phi_click,
+                   {_shapley_phi_sql('s', 'v', 'c')} AS phi_signup
             FROM p)
     SELECT channel, n_users, FLOOR(phi * 1e6) / 1e6 AS shapley_value
     FROM (SELECT n_users, 'view' AS channel, phi_view AS phi FROM phi

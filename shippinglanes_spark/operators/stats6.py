@@ -468,6 +468,10 @@ _FISHER_RELTOL = 1.0000001
               CAST(COUNT(*) FILTER (NOT wkend AND cnt > m) AS BIGINT) AS c,
               CAST(COUNT(*) FILTER (NOT wkend AND cnt <= m) AS BIGINT) AS dd
             FROM dm CROSS JOIN med),
+    tabg AS (SELECT * FROM tab
+             WHERE CASE WHEN n < {_FISHER_SPINE} THEN TRUE
+                   ELSE error('fisher margin n exceeds log-factorial spine')
+                   END),
     lft AS (SELECT i,
                    SUM(CASE WHEN i = 0 THEN 0.0 ELSE LN(i) END)
                      OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
@@ -475,7 +479,7 @@ _FISHER_RELTOL = 1.0000001
             FROM range(0, {_FISHER_SPINE}) t(i)),
     lfa AS (SELECT list(lf ORDER BY i) AS arr FROM lft),
     ks AS (SELECT t.*, lfa.arr, k.k
-           FROM tab t CROSS JOIN lfa
+           FROM tabg t CROSS JOIN lfa
            CROSS JOIN range(0, {_FISHER_SPINE}) k(k)
            WHERE k.k >= GREATEST(0, t.c1 - t.r2)
              AND k.k <= LEAST(t.r1, t.c1)),
@@ -548,6 +552,14 @@ def agg_fisher_exact(spark, sf_dir):
         F.count(F.when(F.col("wkend") & ~hi, 1)).cast("long").alias("b"),
         F.count(F.when(~F.col("wkend") & hi, 1)).cast("long").alias("c"),
         F.count(F.when(~F.col("wkend") & ~hi, 1)).cast("long").alias("dd"),
+    ).where(
+        # margins past the spine must FAIL LOUDLY, not NULL silently:
+        # element_at past the array end would turn the p-value NULL.
+        # A filter (not a projected column) so pruning can't drop it.
+        F.assert_true(
+            F.col("n") < F.lit(_FISHER_SPINE),
+            F.lit("fisher margin n exceeds log-factorial spine"),
+        ).isNull()
     )
     # constant-size spine: the running sum is a single 4096-row task
     spine = spark.range(0, _FISHER_SPINE).select(F.col("id").alias("i"))

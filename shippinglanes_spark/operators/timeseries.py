@@ -2163,16 +2163,19 @@ def ts_sax(spark, sf_dir):
     )
 
 
+_ITS_CUT_DATE = "2024-01-16"  # single source for BOTH engines' cutpoint
+
+
 @register(
     "ts_interrupted",
     section="2.10",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
                            AS BIGINT) AS di,
                       CAST(COUNT(*) FILTER (event_type = 'purchase')
                            AS BIGINT) AS y
                FROM events GROUP BY 1),
-    cut AS (SELECT CAST(epoch_us(TIMESTAMP '2024-01-16') // 86400000000
+    cut AS (SELECT CAST(epoch_us(TIMESTAMP '{_ITS_CUT_DATE}') // 86400000000
                         AS BIGINT) AS c),
     t AS (SELECT di - c AS t, y, t >= 0 AS post
           FROM d CROSS JOIN cut),
@@ -2220,7 +2223,12 @@ def ts_sax(spark, sf_dir):
 )
 def ts_interrupted(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    cut_di = F.lit(19738).cast("long")  # 2024-01-16 as epoch day
+    # epoch day derived from the SAME date string the oracle embeds —
+    # the constant cannot drift between the two engines
+    cut_di = F.expr(
+        f"CAST(datediff(DATE '{_ITS_CUT_DATE}', DATE '1970-01-01')"
+        " AS BIGINT)"
+    )
     d = ev.groupBy(
         F.expr(
             "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"

@@ -325,3 +325,69 @@ def test_weighted_ppjoin_lossless_on_random_corpora(spark, tmp_path):
             .collect()
         }
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_containment_lsh_planted_slices(spark):
+    """Size-stratified containment LSH must recover small docs planted
+    as contiguous slices of hosts 2x/4x/8x their size (containment 1.0
+    but Jaccard only 1/2, 1/4, 1/8 — exactly the pairs plain near-dup
+    banding loses), and every reported pair must verify exactly."""
+    import random
+
+    from shippinglanes_spark.functions.minhash import (
+        containment_lsh_candidates,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(4000)]
+    rows = []
+    planted = []
+    doc_id = 0
+    # 30 hosts of ~160 tokens; for each, plant slices at ratios 2/4/8
+    for h in range(30):
+        host_toks = rng.sample(vocab, 160)
+        host_id = doc_id
+        rows.append((host_id, " ".join(host_toks)))
+        doc_id += 1
+        for ratio in (2, 4, 8):
+            k = 160 // ratio
+            start = rng.randrange(0, 160 - k)
+            rows.append((doc_id, " ".join(host_toks[start : start + k])))
+            planted.append((doc_id, host_id, ratio))
+            doc_id += 1
+    # background noise docs (distinct token sets)
+    for _ in range(40):
+        rows.append((doc_id, " ".join(rng.sample(vocab, 80))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_in, r.doc_host)
+        for r in containment_lsh_candidates(docs).collect()
+    }
+    by_ratio = {}
+    for small, host, ratio in planted:
+        by_ratio.setdefault(ratio, []).append((small, host) in got)
+    # per-ratio recall floors: exact containment slices collide with
+    # probability >= 1-(1-J)^32 under the stratum's banding
+    assert sum(by_ratio[2]) / len(by_ratio[2]) >= 0.95, by_ratio[2]
+    assert sum(by_ratio[4]) / len(by_ratio[4]) >= 0.95, by_ratio[4]
+    assert sum(by_ratio[8]) / len(by_ratio[8]) >= 0.85, by_ratio[8]
+
+
+def test_containment_lsh_agrees_with_lossless_join(spark, sf_dir):
+    """On the fixture corpus slice both containment paths share, the
+    LSH path must be a (high-recall, zero-false-positive) subset of the
+    lossless inverted-index join."""
+    from shippinglanes_spark.registry import all_queries
+
+    q = all_queries()
+    lsh = {
+        (r.doc_in, r.doc_host)
+        for r in q["join_containment_lsh"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_in, r.doc_host)
+        for r in q["join_set_containment"].fn(spark, sf_dir).collect()
+    }
+    assert not (lsh - exact), "verified LSH pairs must all be true pairs"
+    assert len(lsh & exact) >= 0.9 * len(exact)
