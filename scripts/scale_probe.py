@@ -301,8 +301,8 @@ def build_sfdir100(spark):
     ev = table(spark, SF, "events")
     ev100 = (
         ev.select("*", copies)
-        .withColumn("user_id", F.col("user_id") + F.col("c") * 1_000_000)
-        .withColumn("event_id", F.col("event_id") + F.col("c") * 100_000_000)
+        .withColumn("user_id", F.col("user_id") + F.col("c").cast("long") * 1_000_000)
+        .withColumn("event_id", F.col("event_id") + F.col("c").cast("long") * 100_000_000)
         .withColumn(
             "ts",
             F.timestamp_micros(
@@ -317,7 +317,7 @@ def build_sfdir100(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     emb100 = (
         emb.select("*", copies)
-        .withColumn("vec_id", F.col("vec_id") + F.col("c") * 10_000_000)
+        .withColumn("vec_id", F.col("vec_id") + F.col("c").cast("long") * 10_000_000)
         .drop("c")
     )
     emb100.repartition(64).write.mode("overwrite").parquet(
@@ -328,7 +328,7 @@ def build_sfdir100(spark):
     # the per-row replacement column suffixes every token with _s<copy>
     d = table(spark, SF, "documents")
     d100 = d.select("*", copies).select(
-        (F.col("doc_id") + F.col("c") * 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + F.col("c").cast("long") * 10_000_000).alias("doc_id"),
         "lang",
         "source",
         "n_chars",
@@ -344,7 +344,7 @@ def build_sfdir100(spark):
     c1 = table(spark, SF, "customer")
     c100 = (
         c1.select("*", copies)
-        .withColumn("c_custkey", F.col("c_custkey") + F.col("c") * 1_000_000)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("c").cast("long") * 1_000_000)
         .drop("c")
     )
     c100.repartition(16).write.mode("overwrite").parquet(
@@ -775,11 +775,39 @@ def round15_dials_100x(spark, sfdir_1x, sfdir_100x):
     return out
 
 
+def round16_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-7 additions: all four are one keyed daily/user rollup plus
+    a calendar- or decile-bounded tail — expect FLAT."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_calibration_bins",
+        "agg_capture_recapture",
+        "agg_sprt",
+        "ts_wma_crossover",
+        "join_entity_resolution",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r16" in sys.argv:
+        round16_registered(spark, SF, sfdir10)
+        return
     if "--r15" in sys.argv:
         sfdir100 = build_sfdir100(spark)
         round15_tail_100x(spark, SF, sfdir10, sfdir100)

@@ -1340,7 +1340,7 @@ def evt_cohort_matrix(spark, sf_dir):
     "are row-local comparisons — never an NTILE over all users (the "
     "global-window single-partition trap win_ntile_pct exists to "
     "avoid; here even the two-pass rank is unnecessary because only "
-    "the 4 edges are needed, not每 rank). Discrete percentiles are "
+    "the 4 edges are needed, not every rank). Discrete percentiles are "
     "actual data values, so the whole pipeline is integer-exact",
 )
 def evt_rfm_scores(spark, sf_dir):

@@ -1,0 +1,340 @@
+"""Round-7 statistics pack (SURVEY §2.4 extensions): model-evaluation
+and sequential-experimentation analytics.
+
+Cross-engine float discipline (FIXTURES.md): scores, log-likelihood
+increments, and estimator numerators are exact integers (milli/ppm
+units, literal integer weights, cross-multiplied comparisons); the only
+float arithmetic is a final division of exact group totals written
+identically in both engines, FLOORed at fixed precision.
+
+Scale notes (100 TB): every query is one or two keyed aggregates plus a
+bounded (decile-edge / calendar-day) broadcast relation; nothing joins
+at corpus width, nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+# linear score weights (milli-units) for the calibration query: a FIXED
+# engagement-score model, embedded identically in both engines — the
+# query certifies the calibration MACHINERY, not a trained model
+_CAL_W_VIEW = 100
+_CAL_W_CLICK = 300
+_CAL_W_SIGNUP = 500
+_CAL_BIAS = -2000
+_CAL_BINS = 10
+
+# capture-recapture windows (timestamp literals shared by both engines).
+# THREE-HOUR windows: the fixture users average ~2 events/day over a
+# 30-day span, so a 3 h window captures ~20% of them — day-sized
+# windows capture EVERYONE and the estimator degenerates to n (caught
+# by the round-7 value audit before registration)
+_CR_A_START = "2024-01-08 00:00:00"
+_CR_A_END = "2024-01-08 03:00:00"  # exclusive
+_CR_B_START = "2024-01-22 00:00:00"
+_CR_B_END = "2024-01-22 03:00:00"  # exclusive
+
+# SPRT spec: H0 p0=0.5 vs H1 p1=0.8 for the daily above-mean-volume
+# Bernoulli, alpha=beta=0.05. Per-observation log-likelihood increments
+# and the decision boundary ln((1-beta)/alpha) = ln(19) are exact
+# MICRO-unit integer literals (same value in both engines, so the
+# cumulative walk is an exact BIGINT prefix sum and the crossing day is
+# integer-decided). H1 is set a full 0.3 from H0 so a 30-day calendar
+# can actually cross a boundary (E[increment | p=0.5] ~ -0.22/day:
+# decision near day 13) — a 0.6-vs-0.5 test needs ~150 observations
+# and would return empty on the fixture span.
+_SPRT_LLR_POS = 470004  # round(ln(0.8/0.5) * 1e6)
+_SPRT_LLR_NEG = -916291  # round(ln(0.2/0.5) * 1e6)
+_SPRT_BOUND = 2944439  # round(ln(19) * 1e6)
+
+
+@register(
+    "agg_calibration_bins",
+    section="2.4",
+    oracle=f"""
+    WITH uc AS (SELECT user_id,
+                      CAST(COUNT(*) FILTER (event_type = 'view')
+                           AS BIGINT) AS nv,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS nc,
+                      CAST(COUNT(*) FILTER (event_type = 'signup')
+                           AS BIGINT) AS ns,
+                      CAST(MAX(CASE WHEN event_type = 'purchase'
+                                     AND CAST(ROUND(value * 100) AS BIGINT)
+                                         >= 20000
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY user_id),
+    s AS (SELECT user_id, y,
+                 CAST({_CAL_W_VIEW} * nv + {_CAL_W_CLICK} * nc
+                      + {_CAL_W_SIGNUP} * ns + {_CAL_BIAS} AS BIGINT) AS z
+          FROM uc),
+    e AS (SELECT [{", ".join(
+            f"percentile_disc({i / _CAL_BINS}) WITHIN GROUP (ORDER BY z)"
+            for i in range(1, _CAL_BINS)
+        )}] AS edges FROM s),
+    b AS (SELECT s.user_id, s.y, s.z,
+                 CAST(len(list_filter(e.edges, q -> q < s.z)) AS BIGINT)
+                   AS bin
+          FROM s CROSS JOIN e)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(MIN(z) AS BIGINT) AS z_min,
+           CAST(MAX(z) AS BIGINT) AS z_max,
+           FLOOR(CAST(SUM(z) AS DOUBLE) / COUNT(*) * 1e3) / 1e3
+             AS mean_score_milli,
+           FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+             AS event_rate
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    notes="decile calibration table for a fixed linear engagement score "
+    "against high-value-purchase outcome: the reliability-diagram "
+    "aggregation every trained ranking/quality model needs. Scores are "
+    "exact integer milli-units (literal weights); bin edges come from "
+    "ONE global percentile_disc aggregate broadcast back (the "
+    "evt_rfm_scores pattern — no NTILE over all users, no global "
+    "sort); bin assignment counts edges strictly below the score, so "
+    "ties land deterministically in the lower bin on both engines. "
+    "Corpus work = one user-keyed aggregate + one broadcast join",
+)
+def agg_calibration_bins(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    y = (F.col("event_type") == "purchase") & (
+        F.round(F.col("value") * 100).cast("long") >= 20000
+    )
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("nv"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("nc"),
+        F.count(F.when(F.col("event_type") == "signup", 1))
+        .cast("long")
+        .alias("ns"),
+        F.max(y.cast("long")).alias("y"),
+    )
+    s = uc.select(
+        "user_id",
+        "y",
+        (
+            F.lit(_CAL_W_VIEW) * F.col("nv")
+            + F.lit(_CAL_W_CLICK) * F.col("nc")
+            + F.lit(_CAL_W_SIGNUP) * F.col("ns")
+            + F.lit(_CAL_BIAS)
+        )
+        .cast("long")
+        .alias("z"),
+    )
+    qs = [i / _CAL_BINS for i in range(1, _CAL_BINS)]
+    edges = s.agg(
+        F.array_sort(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({q}) WITHIN GROUP (ORDER BY z)"
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("edges")
+    )
+    b = s.crossJoin(F.broadcast(edges)).select(
+        "y",
+        "z",
+        F.size(F.filter("edges", lambda q: q < F.col("z")))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+            (
+                F.floor(
+                    F.sum("z").cast("double") / F.count(F.lit(1)) * 1e3
+                )
+                / 1e3
+            ).alias("mean_score_milli"),
+            (
+                F.floor(
+                    F.sum("y").cast("double") / F.count(F.lit(1)) * 1e6
+                )
+                / 1e6
+            ).alias("event_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "agg_capture_recapture",
+    section="2.4",
+    oracle=f"""
+    WITH w AS (SELECT user_id,
+                      MAX(CASE WHEN ts >= TIMESTAMP '{_CR_A_START}'
+                                AND ts < TIMESTAMP '{_CR_A_END}'
+                               THEN 1 ELSE 0 END) AS in_a,
+                      MAX(CASE WHEN ts >= TIMESTAMP '{_CR_B_START}'
+                                AND ts < TIMESTAMP '{_CR_B_END}'
+                               THEN 1 ELSE 0 END) AS in_b
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+                 CAST(SUM(in_b) AS BIGINT) AS n2,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS m,
+                 CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM w)
+    SELECT n1, n2, m, n_true,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS chapman_estimate
+    FROM t
+    """,
+    notes="Chapman capture-recapture estimate of the active-user "
+    "population from two 3-day observation windows: N-hat = "
+    "(n1+1)(n2+1)/(m+1) - 1, every term an exact BIGINT (integer "
+    "division on exact counts — no float anywhere). The windows are "
+    "short enough that neither captures everyone (the "
+    "agg_hll_intersection partial-overlap lesson), so m < min(n1, n2) "
+    "and the estimator actually extrapolates; n_true is reported for "
+    "the bias readout. ONE user-keyed aggregate + one global reduce "
+    "at any scale; window literals derive from shared date strings",
+)
+def agg_capture_recapture(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def _in(win_start, win_end):
+        return F.max(
+            F.when(
+                (F.col("ts") >= F.lit(win_start).cast("timestamp"))
+                & (F.col("ts") < F.lit(win_end).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+
+    w = ev.groupBy("user_id").agg(
+        _in(_CR_A_START, _CR_A_END).alias("in_a"),
+        _in(_CR_B_START, _CR_B_END).alias("in_b"),
+    )
+    t = w.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+    )
+    return t.select(
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        (
+            F.expr("(n1 + 1) * (n2 + 1) div (m + 1)") - 1
+        )
+        .cast("long")
+        .alias("chapman_estimate"),
+    )
+
+
+@register(
+    "agg_sprt",
+    section="2.4",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(cnt) AS BIGINT) AS tot
+          FROM d),
+    x AS (SELECT di,
+                 CASE WHEN cnt * nd > tot THEN 1 ELSE 0 END AS hit
+          FROM d CROSS JOIN g),
+    walk AS (SELECT di, hit,
+                    CAST(SUM(CASE WHEN hit = 1 THEN {_SPRT_LLR_POS}
+                             ELSE {_SPRT_LLR_NEG} END)
+                      OVER (ORDER BY di) AS BIGINT) AS llr_micro
+             FROM x),
+    crossing AS (SELECT di, llr_micro,
+                        CASE WHEN llr_micro >= {_SPRT_BOUND} THEN 'accept_h1'
+                             WHEN llr_micro <= -{_SPRT_BOUND} THEN 'accept_h0'
+                        END AS decision,
+                        ROW_NUMBER() OVER (ORDER BY di) AS step
+                 FROM walk),
+    first_hit AS (SELECT * FROM crossing
+                  WHERE decision IS NOT NULL
+                  ORDER BY di LIMIT 1)
+    SELECT c.step AS n_observations, c.di AS decision_day,
+           c.llr_micro, c.decision
+    FROM first_hit c
+    """,
+    notes="sequential probability ratio test over the daily "
+    "above-mean-purchase-volume Bernoulli sequence (H0 p=0.5 vs H1 "
+    "p=0.6, alpha=beta=0.05): the cumulative log-likelihood-ratio "
+    "walk with Wald boundaries +-ln(19). Per-day increments and the "
+    "boundary are exact MICRO-unit integer literals (the bootstrap-CI "
+    "literal discipline), so the walk is an exact BIGINT prefix sum "
+    "and the first-crossing day is integer-decided — no float "
+    "comparison anywhere. The early-stopping companion to "
+    "agg_power_analysis (fixed-horizon) and evt_ab_srm (hygiene); "
+    "corpus work = one keyed daily rollup, the walk is "
+    "calendar-bounded",
+)
+def agg_sprt(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("cnt")
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("cnt").cast("long").alias("tot"),
+    )
+    x = d.crossJoin(F.broadcast(g)).select(
+        "di",
+        F.when(F.col("cnt") * F.col("nd") > F.col("tot"), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    wd = W.orderBy("di")
+    walk = x.select(
+        "di",
+        F.sum(
+            F.when(F.col("hit") == 1, _SPRT_LLR_POS).otherwise(
+                _SPRT_LLR_NEG
+            )
+        )
+        .over(wd.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("llr_micro"),
+        F.row_number().over(wd).alias("step"),
+    )
+    decision = (
+        F.when(F.col("llr_micro") >= _SPRT_BOUND, "accept_h1")
+        .when(F.col("llr_micro") <= -_SPRT_BOUND, "accept_h0")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        walk.select(
+            F.col("step").alias("n_observations"),
+            F.col("di").alias("decision_day"),
+            "llr_micro",
+            decision.alias("decision"),
+        )
+        .where(F.col("decision").isNotNull())
+        .orderBy("decision_day")
+        .limit(1)
+    )

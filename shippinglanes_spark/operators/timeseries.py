@@ -2844,3 +2844,137 @@ def ts_control_chart(spark, sf_dir):
         ),
         F.when(ooc, 1).otherwise(0).cast("long").alias("out_of_control"),
     ).orderBy("day_index")
+
+
+_WMA_FAST = 4  # dyadic-weight window lengths (2^-k weights)
+_WMA_SLOW = 8
+_WMA_FAST_DEN = (1 << _WMA_FAST) - 1  # sum of weights 2^(L-1-k)
+_WMA_SLOW_DEN = (1 << _WMA_SLOW) - 1
+
+
+def _wma_num_sql(col: str, length: int) -> str:
+    """Exact dyadic-weight moving-average NUMERATOR: sum of
+    lag(col, k) * 2^(length-1-k) — identical SQL text for both
+    engines' window grammar via per-lag terms."""
+    return " + ".join(
+        f"lag({col}, {k}) OVER (ORDER BY di) * {1 << (length - 1 - k)}"
+        if k > 0
+        else f"{col} * {1 << (length - 1 - k)}"
+        for k in range(length)
+    )
+
+
+@register(
+    "ts_wma_crossover",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) AS BIGINT) AS v
+               FROM events GROUP BY 1),
+    m AS (SELECT di, v,
+                 CAST({_wma_num_sql('v', _WMA_FAST)} AS BIGINT) AS fnum,
+                 CAST({_wma_num_sql('v', _WMA_SLOW)} AS BIGINT) AS snum,
+                 lag(v, {_WMA_SLOW - 1}) OVER (ORDER BY di) AS oldest
+          FROM d),
+    s AS (SELECT di, fnum, snum,
+                 CASE WHEN fnum * {_WMA_SLOW_DEN} > snum * {_WMA_FAST_DEN}
+                      THEN 1
+                      WHEN fnum * {_WMA_SLOW_DEN} < snum * {_WMA_FAST_DEN}
+                      THEN -1 ELSE 0 END AS sgn
+          FROM m WHERE oldest IS NOT NULL),
+    x AS (SELECT di, fnum, snum, sgn,
+                 lag(sgn) OVER (ORDER BY di) AS prev_sgn
+          FROM s)
+    SELECT di AS day_index,
+           CASE WHEN sgn > 0 THEN 'golden' ELSE 'death' END AS crossover,
+           CAST(fnum * 1000 // {_WMA_FAST_DEN} AS BIGINT) AS fast_milli,
+           CAST(snum * 1000 // {_WMA_SLOW_DEN} AS BIGINT) AS slow_milli
+    FROM x
+    WHERE prev_sgn IS NOT NULL AND sgn <> 0 AND prev_sgn <> sgn
+      AND prev_sgn <> 0
+    ORDER BY di
+    """,
+    notes=f"fast/slow moving-average crossover signal (the trading-"
+    f"style trend detector) on daily event volume, with DYADIC weights "
+    f"2^-k over {_WMA_FAST}- and {_WMA_SLOW}-day windows: both "
+    f"numerators are exact BIGINT lag-chain dot products, and the "
+    f"fast-vs-slow comparison cross-multiplies the exact denominators "
+    f"({_WMA_FAST_DEN} and {_WMA_SLOW_DEN}) — crossing days are "
+    f"INTEGER-decided, no float anywhere (the truncated-EWMA trick: "
+    f"halving weights make the weighted sum a bit-shift dot product). "
+    f"Only days with a full slow window emit; a crossover is a strict "
+    f"sign change. One keyed daily rollup; the lag chain is "
+    f"calendar-bounded",
+)
+def ts_wma_crossover(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    wd = Window.orderBy("di")
+
+    def num(length):
+        terms = [
+            (
+                F.lag("v", k).over(wd)
+                if k > 0
+                else F.col("v")
+            )
+            * F.lit(1 << (length - 1 - k))
+            for k in range(length)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
+
+    m = d.select(
+        "di",
+        num(_WMA_FAST).alias("fnum"),
+        num(_WMA_SLOW).alias("snum"),
+        F.lag("v", _WMA_SLOW - 1).over(wd).alias("oldest"),
+    )
+    sgn = (
+        F.when(
+            F.col("fnum") * _WMA_SLOW_DEN > F.col("snum") * _WMA_FAST_DEN, 1
+        )
+        .when(
+            F.col("fnum") * _WMA_SLOW_DEN < F.col("snum") * _WMA_FAST_DEN, -1
+        )
+        .otherwise(0)
+    )
+    s = m.where(F.col("oldest").isNotNull()).select(
+        "di", "fnum", "snum", sgn.alias("sgn")
+    )
+    x = s.select(
+        "di",
+        "fnum",
+        "snum",
+        "sgn",
+        F.lag("sgn").over(wd).alias("prev_sgn"),
+    )
+    return (
+        x.where(
+            F.col("prev_sgn").isNotNull()
+            & (F.col("sgn") != 0)
+            & (F.col("prev_sgn") != 0)
+            & (F.col("prev_sgn") != F.col("sgn"))
+        )
+        .select(
+            F.col("di").alias("day_index"),
+            F.when(F.col("sgn") > 0, "golden")
+            .otherwise("death")
+            .alias("crossover"),
+            F.expr(f"fnum * 1000 div {_WMA_FAST_DEN}")
+            .cast("long")
+            .alias("fast_milli"),
+            F.expr(f"snum * 1000 div {_WMA_SLOW_DEN}")
+            .cast("long")
+            .alias("slow_milli"),
+        )
+        .orderBy("day_index")
+    )

@@ -128,6 +128,7 @@ def _load_all() -> None:
         setops,
         sorting,
         stats6,
+        stats7,
         subqueries,
         timeseries,
         tpch,

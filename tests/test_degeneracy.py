@@ -105,6 +105,17 @@ DIVERSITY: dict[str, dict] = {
     },
     "agg_bh_fdr": {"min_rows": 2, "distinct": {"p_value": 2}},
     "geo_geohash": {"min_rows": 2, "distinct": {"cell5": 2}},
+    # round-7 additions: the capture windows must NOT catch everyone
+    # (day-sized windows did, caught pre-registration), the SPRT walk
+    # must actually reach a decision, calibration must spread users
+    # over bins, and a flat series emits no crossovers
+    "agg_capture_recapture": {
+        "min_rows": 1,
+        "check": lambda p: bool((p["m"] < p[["n1", "n2"]].min(axis=1)).all()),
+    },
+    "agg_sprt": {"min_rows": 1},
+    "agg_calibration_bins": {"min_rows": 5, "distinct": {"bin": 5}},
+    "ts_wma_crossover": {"min_rows": 2, "distinct": {"crossover": 2}},
 }
 
 

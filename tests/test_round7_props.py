@@ -1,0 +1,171 @@
+"""Brute-force references for the round-7 additions: each query's
+values recomputed with plain Python (exact ints / Fractions) from the
+raw parquet, independent of both engines' SQL."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from shippinglanes_spark.registry import all_queries
+
+Q = all_queries()
+
+
+@pytest.fixture(scope="module")
+def raw(sf_dir):
+    con = duckdb.connect()
+    ev = con.sql(
+        f"SELECT user_id, event_type, ts, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    con.close()
+    return ev
+
+
+def test_capture_recapture_matches_python(spark, sf_dir, raw):
+    import datetime
+
+    a0 = datetime.datetime(2024, 1, 8, 0, 0, 0)
+    a1 = datetime.datetime(2024, 1, 8, 3, 0, 0)
+    b0 = datetime.datetime(2024, 1, 22, 0, 0, 0)
+    b1 = datetime.datetime(2024, 1, 22, 3, 0, 0)
+    in_a, in_b, users = set(), set(), set()
+    for uid, _et, ts, _v in raw:
+        users.add(uid)
+        t = ts.replace(tzinfo=None)
+        if a0 <= t < a1:
+            in_a.add(uid)
+        if b0 <= t < b1:
+            in_b.add(uid)
+    n1, n2, m = len(in_a), len(in_b), len(in_a & in_b)
+    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    row = Q["agg_capture_recapture"].fn(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2, row.m, row.n_true) == (n1, n2, m, len(users))
+    assert row.chapman_estimate == chapman
+    # the estimator must extrapolate, not parrot (degeneracy guard)
+    assert m < min(n1, n2)
+
+
+def _daily_purchases(raw):
+    days = {}
+    for _uid, et, ts, _v in raw:
+        di = ts.date().toordinal() - 719163  # epoch day
+        days.setdefault(di, 0)
+        if et == "purchase":
+            days[di] += 1
+    return dict(sorted(days.items()))
+
+
+def test_sprt_matches_python_walk(spark, sf_dir, raw):
+    days = _daily_purchases(raw)
+    nd, tot = len(days), sum(days.values())
+    llr, expected = 0, None
+    for step, (di, cnt) in enumerate(sorted(days.items()), start=1):
+        llr += 470004 if cnt * nd > tot else -916291
+        if llr >= 2944439:
+            expected = (step, di, llr, "accept_h1")
+            break
+        if llr <= -2944439:
+            expected = (step, di, llr, "accept_h0")
+            break
+    rows = Q["agg_sprt"].fn(spark, sf_dir).collect()
+    assert expected is not None, "fixture walk must reach a decision"
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r.n_observations,
+        r.decision_day,
+        r.llr_micro,
+        r.decision,
+    ) == expected
+
+
+def test_wma_crossover_matches_python(spark, sf_dir, raw):
+    from collections import Counter
+
+    vols = Counter()
+    for _uid, _et, ts, _v in raw:
+        vols[ts.date().toordinal() - 719163] += 1
+    days = sorted(vols)
+    series = [vols[d] for d in days]
+    FAST, SLOW = 4, 8
+    FD, SD = (1 << FAST) - 1, (1 << SLOW) - 1
+    expected = []
+    prev_sgn = None
+    for i in range(SLOW - 1, len(series)):
+        fnum = sum(
+            series[i - k] * (1 << (FAST - 1 - k)) for k in range(FAST)
+        )
+        snum = sum(
+            series[i - k] * (1 << (SLOW - 1 - k)) for k in range(SLOW)
+        )
+        lhs, rhs = fnum * SD, snum * FD
+        sgn = 1 if lhs > rhs else (-1 if lhs < rhs else 0)
+        if (
+            prev_sgn is not None
+            and prev_sgn != 0
+            and sgn != 0
+            and sgn != prev_sgn
+        ):
+            expected.append(
+                (
+                    days[i],
+                    "golden" if sgn > 0 else "death",
+                    fnum * 1000 // FD,
+                    snum * 1000 // SD,
+                )
+            )
+        prev_sgn = sgn
+    got = [
+        (r.day_index, r.crossover, r.fast_milli, r.slow_milli)
+        for r in Q["ts_wma_crossover"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    assert len(expected) >= 2  # a flat series would emit nothing
+    assert {e[1] for e in expected} == {"golden", "death"}
+
+
+def test_calibration_bins_matches_python(spark, sf_dir, raw):
+    users = {}
+    for uid, et, _ts, v in raw:
+        u = users.setdefault(uid, {"nv": 0, "nc": 0, "ns": 0, "y": 0})
+        if et == "view":
+            u["nv"] += 1
+        elif et == "click":
+            u["nc"] += 1
+        elif et == "signup":
+            u["ns"] += 1
+        elif et == "purchase" and v is not None and round(v * 100) >= 20000:
+            u["y"] = 1
+    scored = sorted(
+        (
+            100 * u["nv"] + 300 * u["nc"] + 500 * u["ns"] - 2000,
+            u["y"],
+        )
+        for u in users.values()
+    )
+    zs = [z for z, _ in scored]
+    n = len(zs)
+    # percentile_disc(q): the value at 1-based rank ceil(q * n)
+    edges = sorted(zs[max(0, math.ceil(q / 10 * n) - 1)] for q in range(1, 10))
+    bins = {}
+    for z, y in scored:
+        b = sum(1 for e in edges if e < z)
+        agg = bins.setdefault(b, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += y
+        agg[2] += z
+    got = {
+        r.bin: (r.n_users, r.n_pos, r.event_rate)
+        for r in Q["agg_calibration_bins"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(bins)
+    for b, (cnt, pos, sz) in bins.items():
+        gu, gp, rate = got[b]
+        assert (gu, gp) == (cnt, pos), b
+        assert rate == math.floor(pos / cnt * 1e6) / 1e6, b
+    # calibration says nothing if every user lands in one bin
+    assert len(bins) >= 5
