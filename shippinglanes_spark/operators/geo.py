@@ -1323,3 +1323,240 @@ def geo_line_crossings(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_CPA_EPS_DEG = 0.5
+_CPA_EPS_US = 3_600_000_000  # meeting definition shared with geo_encounters
+_CPA_DEG_KM = 111.195  # mean meridian degree (planar small-patch approx)
+
+
+@register(
+    "geo_cpa",
+    section="2.10",
+    oracle=f"""
+    WITH {_FIXES_SQL},
+    seg AS (
+      SELECT user_id, ts_us, lat, lon,
+             LEAD(ts_us) OVER w AS t1,
+             LEAD(lat) OVER w AS lat1,
+             LEAD(lon) OVER w AS lon1
+      FROM fixes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sv AS (
+      SELECT user_id, ts_us, t1, lat, lon,
+             (lat1 - lat) / ((t1 - ts_us) / 3.6e9) AS vlat,
+             (lon1 - lon) / ((t1 - ts_us) / 3.6e9) AS vlon
+      FROM seg WHERE t1 IS NOT NULL AND t1 > ts_us),
+    meet AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b,
+             a.ts_us AS ta, a.t1 AS ea, a.lat AS la, a.lon AS oa,
+             a.vlat AS val, a.vlon AS vao,
+             b.ts_us AS tb, b.t1 AS eb, b.lat AS lb, b.lon AS ob,
+             b.vlat AS vbl, b.vlon AS vbo
+      FROM sv a JOIN sv b
+        ON a.user_id < b.user_id
+       AND ABS(a.lat - b.lat) <= {_CPA_EPS_DEG}
+       AND ABS(a.lon - b.lon) <= {_CPA_EPS_DEG}
+       AND ABS(a.ts_us - b.ts_us) <= {_CPA_EPS_US}
+       AND LEAST(a.t1, b.t1) > GREATEST(a.ts_us, b.ts_us)),
+    rel AS (
+      SELECT id_a, id_b,
+             GREATEST(ta, tb) AS s,
+             (LEAST(ea, eb) - GREATEST(ta, tb)) / 3.6e9 AS span_h,
+             (la + val * ((GREATEST(ta, tb) - ta) / 3.6e9))
+               - (lb + vbl * ((GREATEST(ta, tb) - tb) / 3.6e9)) AS dplat,
+             (oa + vao * ((GREATEST(ta, tb) - ta) / 3.6e9))
+               - (ob + vbo * ((GREATEST(ta, tb) - tb) / 3.6e9)) AS dplon,
+             val - vbl AS dvlat, vao - vbo AS dvlon
+      FROM meet),
+    cpa AS (
+      SELECT id_a, id_b, s, span_h, dplat, dplon, dvlat, dvlon,
+             CASE WHEN dvlat * dvlat + dvlon * dvlon = 0 THEN 0.0
+                  ELSE LEAST(span_h, GREATEST(0.0,
+                    -(dplat * dvlat + dplon * dvlon)
+                     / (dvlat * dvlat + dvlon * dvlon))) END AS tstar
+      FROM rel),
+    scored AS (
+      SELECT id_a, id_b,
+             FLOOR(SQRT(POWER(dplat + tstar * dvlat, 2)
+                        + POWER(dplon + tstar * dvlon, 2)) * 1e4) / 1e4
+               AS cpa_deg,
+             CAST(s + CAST(FLOOR(tstar * 3.6e9) AS BIGINT) AS BIGINT) AS t_cpa_us
+      FROM cpa),
+    best AS (
+      SELECT id_a, id_b, cpa_deg, t_cpa_us,
+             ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                ORDER BY cpa_deg, t_cpa_us) AS rn
+      FROM scored)
+    SELECT id_a, id_b, cpa_deg,
+           FLOOR(cpa_deg * {_CPA_DEG_KM} * 1e2) / 1e2 AS cpa_km,
+           t_cpa_us
+    FROM best WHERE rn = 1
+    ORDER BY id_a, id_b LIMIT 200
+    """,
+    notes="closest point of approach (CPA) — the AIS collision-risk "
+    "refinement: for every vessel pair the grid join already flags as "
+    "MEETING (fixes within 0.5 deg and 1 h, the geo_encounters "
+    "predicate), take the two motion segments starting at the meeting "
+    "fixes, model linear motion p(t) = p0 + v t on the overlap window, "
+    "and minimize |pa - pb| analytically: t* = clamp(-(dp.dv)/|dv|^2, "
+    "0, overlap). Candidates come from the encounter predicate (never "
+    "all segment pairs — at scale the same double-cell grid join "
+    "bounds them); per-pair the closest meeting wins with a "
+    "deterministic (cpa, t) tiebreak. All inputs are exact ints / the "
+    "shared synthetic projection doubles, and the CPA expression tree "
+    "is written identically in both engines (bit-identical doubles, "
+    "the evt_survival_km argument); outputs FLOOR 4dp (deg) / 2dp "
+    "(km). Per-pair minimum-CPA table, pair-ordered limit 200",
+)
+def geo_cpa(spark, sf_dir):
+    """The operator a collision-avoidance / near-miss-mining pipeline
+    runs after encounter detection. Planar small-patch approximation in
+    degree space (the meeting box is 0.5 deg wide, where flat geometry
+    is within ~0.3% of great-circle for CPA-scale distances)."""
+    fx = _fixes(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = fx.select(
+        "user_id",
+        "ts_us",
+        "lat",
+        "lon",
+        F.lead("ts_us").over(w).alias("t1"),
+        F.lead("lat").over(w).alias("lat1"),
+        F.lead("lon").over(w).alias("lon1"),
+    ).where(F.col("t1").isNotNull() & (F.col("t1") > F.col("ts_us")))
+    dt_h = (F.col("t1") - F.col("ts_us")) / F.lit(3.6e9)
+    sv = seg.select(
+        "user_id",
+        "ts_us",
+        "t1",
+        "lat",
+        "lon",
+        ((F.col("lat1") - F.col("lat")) / dt_h).alias("vlat"),
+        ((F.col("lon1") - F.col("lon")) / dt_h).alias("vlon"),
+    )
+
+    # meeting candidates via the double-cell spacetime grid (the
+    # geo_encounters skeleton): probes replicate to <=8 cells, homes
+    # stay put, exact residual filter reproduces the meeting predicate
+    def _cells(col, width):
+        q = col / width
+        return F.array_distinct(F.array(F.floor(q - 0.5), F.floor(q + 0.5)))
+
+    cols_b = [
+        F.col("user_id").alias("id_b"),
+        F.col("ts_us").alias("tb"),
+        F.col("t1").alias("eb"),
+        F.col("lat").alias("lb"),
+        F.col("lon").alias("ob"),
+        F.col("vlat").alias("vbl"),
+        F.col("vlon").alias("vbo"),
+    ]
+    home = sv.select(
+        *cols_b,
+        F.floor(F.col("lon") / (2 * _CPA_EPS_DEG)).alias("cx"),
+        F.floor(F.col("lat") / (2 * _CPA_EPS_DEG)).alias("cy"),
+        F.floor(F.col("ts_us") / (2 * _CPA_EPS_US)).alias("ct"),
+    )
+    probe = (
+        sv.select(
+            F.col("user_id").alias("id_a"),
+            F.col("ts_us").alias("ta"),
+            F.col("t1").alias("ea"),
+            F.col("lat").alias("la"),
+            F.col("lon").alias("oa"),
+            F.col("vlat").alias("val"),
+            F.col("vlon").alias("vao"),
+            F.explode(_cells(F.col("lon"), 2 * _CPA_EPS_DEG)).alias("cx"),
+            _cells(F.col("lat"), 2 * _CPA_EPS_DEG).alias("cys"),
+            _cells(F.col("ts_us"), 2.0 * _CPA_EPS_US).alias("cts"),
+        )
+        .select(
+            "id_a", "ta", "ea", "la", "oa", "val", "vao", "cx",
+            F.explode("cys").alias("cy"), "cts",
+        )
+        .select(
+            "id_a", "ta", "ea", "la", "oa", "val", "vao", "cx", "cy",
+            F.explode("cts").alias("ct"),
+        )
+    )
+    meet = probe.join(home, ["cx", "cy", "ct"]).where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= _CPA_EPS_DEG)
+        & (F.abs(F.col("oa") - F.col("ob")) <= _CPA_EPS_DEG)
+        & (F.abs(F.col("ta") - F.col("tb")) <= _CPA_EPS_US)
+        & (F.least("ea", "eb") > F.greatest("ta", "tb"))
+    )
+    s = F.greatest("ta", "tb")
+    span_h = (F.least("ea", "eb") - s) / F.lit(3.6e9)
+    dplat = (
+        F.col("la") + F.col("val") * ((s - F.col("ta")) / F.lit(3.6e9))
+    ) - (F.col("lb") + F.col("vbl") * ((s - F.col("tb")) / F.lit(3.6e9)))
+    dplon = (
+        F.col("oa") + F.col("vao") * ((s - F.col("ta")) / F.lit(3.6e9))
+    ) - (F.col("ob") + F.col("vbo") * ((s - F.col("tb")) / F.lit(3.6e9)))
+    dvlat = F.col("val") - F.col("vbl")
+    dvlon = F.col("vao") - F.col("vbo")
+    rel = meet.select(
+        "id_a",
+        "id_b",
+        s.alias("s"),
+        span_h.alias("span_h"),
+        dplat.alias("dplat"),
+        dplon.alias("dplon"),
+        dvlat.alias("dvlat"),
+        dvlon.alias("dvlon"),
+    )
+    dv2 = F.col("dvlat") * F.col("dvlat") + F.col("dvlon") * F.col("dvlon")
+    raw_t = -(
+        F.col("dplat") * F.col("dvlat") + F.col("dplon") * F.col("dvlon")
+    ) / dv2
+    tstar = F.when(dv2 == 0, F.lit(0.0)).otherwise(
+        F.least(F.col("span_h"), F.greatest(F.lit(0.0), raw_t))
+    )
+    cpa = rel.select("id_a", "id_b", "s", "span_h", "dplat", "dplon",
+                     "dvlat", "dvlon", tstar.alias("tstar"))
+    cpa_deg = (
+        F.floor(
+            F.sqrt(
+                F.pow(F.col("dplat") + F.col("tstar") * F.col("dvlat"), 2)
+                + F.pow(F.col("dplon") + F.col("tstar") * F.col("dvlon"), 2)
+            )
+            * 1e4
+        )
+        / 1e4
+    )
+    scored = cpa.select(
+        "id_a",
+        "id_b",
+        cpa_deg.alias("cpa_deg"),
+        (
+            F.col("s")
+            + F.floor(F.col("tstar") * F.lit(3.6e9)).cast("long")
+        )
+        .cast("long")
+        .alias("t_cpa_us"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id_a", "id_b").orderBy("cpa_deg", "t_cpa_us")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "id_a",
+            "id_b",
+            "cpa_deg",
+            (F.floor(F.col("cpa_deg") * _CPA_DEG_KM * 1e2) / 1e2).alias(
+                "cpa_km"
+            ),
+            "t_cpa_us",
+        )
+        # ordered by PAIR, not by cpa: on the synthetic lon = 2*lat
+        # line every crossing pair bottoms out at exactly 0.0 deg, so a
+        # closest-first top-k would be 50 identical zeros (the round-6
+        # degeneracy lesson) — the per-pair table keeps the value
+        # distribution visible
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )

@@ -116,6 +116,10 @@ DIVERSITY: dict[str, dict] = {
     "agg_sprt": {"min_rows": 1},
     "agg_calibration_bins": {"min_rows": 5, "distinct": {"bin": 5}},
     "ts_wma_crossover": {"min_rows": 2, "distinct": {"crossover": 2}},
+    # every crossing pair on the lon = 2*lat line bottoms out at 0.0 —
+    # a closest-first top-k was 50 identical zeros (caught and fixed
+    # pre-registration: the output is the per-pair table instead)
+    "geo_cpa": {"min_rows": 2, "distinct": {"cpa_deg": 2}},
 }
 
 

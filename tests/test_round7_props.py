@@ -169,3 +169,62 @@ def test_calibration_bins_matches_python(spark, sf_dir, raw):
         assert rate == math.floor(pos / cnt * 1e6) / 1e6, b
     # calibration says nothing if every user lands in one bin
     assert len(bins) >= 5
+
+
+def test_geo_cpa_matches_python(spark, sf_dir, raw):
+    """Pure-python CPA over brute-force meeting segment pairs."""
+    fixes = {}
+    for r in duckdb.sql(
+        f"SELECT user_id, event_id, epoch_us(ts), (value % 180) - 90,"
+        f" ((value * 2) % 360) - 180 FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall():
+        fixes.setdefault(r[0], []).append((r[2], r[1], r[3], r[4]))
+    segs = []
+    for uid, fs in fixes.items():
+        fs.sort(key=lambda x: (x[0], x[1]))
+        for (t0, _e0, la0, lo0), (t1, _e1, la1, lo1) in zip(fs, fs[1:]):
+            if t1 > t0:
+                dt = (t1 - t0) / 3.6e9
+                segs.append(
+                    (uid, t0, t1, la0, lo0, (la1 - la0) / dt, (lo1 - lo0) / dt)
+                )
+    best = {}
+    for i, a in enumerate(segs):
+        for b in segs[i + 1 :]:
+            if a[0] == b[0]:
+                continue
+            x, y = (a, b) if a[0] < b[0] else (b, a)
+            if (
+                abs(x[3] - y[3]) > 0.5
+                or abs(x[4] - y[4]) > 0.5
+                or abs(x[1] - y[1]) > 3_600_000_000
+                or min(x[2], y[2]) <= max(x[1], y[1])
+            ):
+                continue
+            s = max(x[1], y[1])
+            span = (min(x[2], y[2]) - s) / 3.6e9
+            dplat = (x[3] + x[5] * (s - x[1]) / 3.6e9) - (
+                y[3] + y[5] * (s - y[1]) / 3.6e9
+            )
+            dplon = (x[4] + x[6] * (s - x[1]) / 3.6e9) - (
+                y[4] + y[6] * (s - y[1]) / 3.6e9
+            )
+            dvlat, dvlon = x[5] - y[5], x[6] - y[6]
+            dv2 = dvlat * dvlat + dvlon * dvlon
+            t = 0.0 if dv2 == 0 else min(
+                span, max(0.0, -(dplat * dvlat + dplon * dvlon) / dv2)
+            )
+            d = math.floor(
+                math.hypot(dplat + t * dvlat, dplon + t * dvlon) * 1e4
+            ) / 1e4
+            key = (x[0], y[0])
+            cand = (d, int(s + math.floor(t * 3.6e9)))
+            if key not in best or cand < best[key]:
+                best[key] = cand
+    expected = sorted(best.items())[:200]
+    got = [
+        ((r.id_a, r.id_b), (r.cpa_deg, r.t_cpa_us))
+        for r in Q["geo_cpa"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
