@@ -557,7 +557,7 @@ def etl_cdc_apply(spark, sf_dir):
     )
 
 
-_SD_K = 4
+_SD_K = 8  # bounded mean cluster size; the corpus-scale dial (see SCALING.md)
 _SD_ITERS = 2
 _SD_DIMS = 64
 _SD_THR = 0.3

@@ -352,10 +352,12 @@ def test_permutation_entropy_matches_reference(spark, sf_dir):
 
 
 def test_semdedup_matches_numpy_reference(spark, sf_dir):
-    """Full numpy re-implementation: quantized Lloyd (2 iters, k=4,
+    """Full numpy re-implementation: quantized Lloyd (2 iters, k=_SD_K,
     first-k init), within-cluster cosine >= 0.3 pair graph, union-find
     components, keep the member farthest from its centroid."""
     import numpy as np
+
+    from shippinglanes_spark.functions.pipeline import _SD_K
 
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -366,7 +368,7 @@ def test_semdedup_matches_numpy_reference(spark, sf_dir):
     X = np.floor(np.stack(emb["embedding"].to_numpy()) * 1e6).astype(
         np.int64
     )
-    cent = X[np.argsort(ids)[:4]]
+    cent = X[np.argsort(ids)[:_SD_K]]
     for it in range(2):
         d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         cid = d2.argmin(axis=1)  # ties to lower cid via argmin
@@ -375,7 +377,7 @@ def test_semdedup_matches_numpy_reference(spark, sf_dir):
             cent = np.stack(
                 [
                     np.floor(X[cid == c].sum(axis=0) / (cid == c).sum())
-                    for c in range(4)
+                    for c in range(_SD_K)
                 ]
             ).astype(np.int64)
     Xf = X.astype(float)
