@@ -670,6 +670,10 @@ def join_set_similarity(spark, sf_dir):
     d = (
         base.where(F.size("w") >= 3)
         .select("doc_id", F.array_distinct(sh).alias("toks"))
+        # materialize the shingle table ONCE: the df build and the
+        # rarity-order join both consume it, and re-evaluating the
+        # interpreted shingle HOFs twice doubled the query (3.9->1.7 s)
+        .localCheckpoint()
     )
     # global rarity order: token -> (df, token) rank
     freq = (
@@ -849,9 +853,15 @@ def join_set_similarity_weighted(spark, sf_dir):
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # verification is O(|A| + |B|) native work per pair: array_intersect
+    # (codegen) finds the shared shingles, then a short fold looks each
+    # one up in A's token->weight MAP. The previous form filtered A's
+    # struct array by array_contains against B — an O(|A|*|B|)
+    # INTERPRETED nested HOF that dominated the query (4.9 -> 2.0 s).
     a = payload.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("ws").alias("wsa"),
+        F.map_from_entries("ws").alias("ma"),
+        F.transform("ws", lambda x: x["tok"]).alias("toksa"),
         F.col("tw").alias("twa"),
     )
     b = payload.select(
@@ -860,11 +870,9 @@ def join_set_similarity_weighted(spark, sf_dir):
         F.col("tw").alias("twb"),
     )
     iw = F.aggregate(
-        F.filter(
-            F.col("wsa"), lambda x: F.array_contains(F.col("toksb"), x["tok"])
-        ),
+        F.array_intersect("toksa", "toksb"),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x["wt"],
+        lambda acc, t: acc + F.element_at("ma", t),
     )
     return (
         cand.join(a, "doc_a")
@@ -1096,6 +1104,7 @@ def join_set_containment(spark, sf_dir):
     d = (
         base.where(F.size("w") >= 3)
         .select("doc_id", F.array_distinct(sh).alias("toks"))
+        .localCheckpoint()  # shared by df build, ordering, and verify
     )
     freq = (
         d.select(F.explode("toks").alias("tok"))
