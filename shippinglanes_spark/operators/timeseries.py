@@ -2978,3 +2978,216 @@ def ts_wma_crossover(spark, sf_dir):
         )
         .orderBy("day_index")
     )
+
+
+_MP_W = 7  # subsequence length (days)
+_MP_EXCL = 3  # trivial-match exclusion zone (~w/2)
+
+
+@register(
+    "ts_matrix_profile",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    o AS (SELECT di, y,
+                 CAST(ROW_NUMBER() OVER (ORDER BY di) AS BIGINT) AS k
+          FROM d),
+    seq AS (SELECT k, di,
+                   [{", ".join(
+                       f"lead(y, {t}) OVER (ORDER BY k)"
+                       for t in range(_MP_W)
+                   )}] AS v
+            FROM o
+            QUALIFY lead(y, {_MP_W - 1}) OVER (ORDER BY k) IS NOT NULL),
+    p AS (SELECT a.k AS ka, a.di AS da, b.k AS kb,
+                 CAST(list_sum(list_transform(range(1, {_MP_W} + 1),
+                       i -> (a.v[CAST(i AS INT)] - b.v[CAST(i AS INT)])
+                            * (a.v[CAST(i AS INT)] - b.v[CAST(i AS INT)])))
+                   AS BIGINT) AS d2
+          FROM seq a JOIN seq b ON ABS(a.k - b.k) > {_MP_EXCL}),
+    mp AS (SELECT ka, da, d2, kb,
+                  ROW_NUMBER() OVER (PARTITION BY ka
+                                     ORDER BY d2, kb) AS rn
+           FROM p)
+    SELECT ka AS pos, da AS day_index, d2 AS mp_sq, kb AS nn_pos
+    FROM mp WHERE rn = 1
+    ORDER BY pos
+    """,
+    notes=f"matrix profile of the daily purchase-count series "
+    f"(window {_MP_W} days, exclusion zone {_MP_EXCL}): for every "
+    f"subsequence, the squared Euclidean distance to its nearest "
+    f"non-trivial neighbor — the motif/discord primitive of the "
+    f"SCAMP/STOMP family. Subsequences are lead-chain integer arrays, "
+    f"distances exact BIGINT sums, nearest neighbor tiebroken by "
+    f"position, so not a float exists anywhere. The profile relation "
+    f"is calendar-bounded ((D-{_MP_W - 1})^2 pairs — ~13M at a decade "
+    f"of days, trivially partitioned); the only corpus work is the "
+    f"daily rollup. The minimum row is the top motif, the maximum the "
+    f"top discord",
+)
+def ts_matrix_profile(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y")
+    )
+    wd = Window.orderBy("di")
+    o = d.select("di", "y", F.row_number().over(wd).cast("long").alias("k"))
+    wk = Window.orderBy("k")
+    seq = o.select(
+        "k",
+        "di",
+        F.array(
+            *[F.lead("y", t).over(wk) for t in range(_MP_W)]
+        ).alias("v"),
+    ).where(F.element_at("v", _MP_W).isNotNull())
+    a = seq.select(
+        F.col("k").alias("ka"), F.col("di").alias("da"), F.col("v").alias("va")
+    )
+    b = seq.select(F.col("k").alias("kb"), F.col("v").alias("vb"))
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    p = a.join(b, F.abs(F.col("ka") - F.col("kb")) > _MP_EXCL).select(
+        "ka", "da", "kb", d2.alias("d2")
+    )
+    rn = F.row_number().over(Window.partitionBy("ka").orderBy("d2", "kb"))
+    return (
+        p.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ka").alias("pos"),
+            F.col("da").alias("day_index"),
+            F.col("d2").alias("mp_sq"),
+            F.col("kb").alias("nn_pos"),
+        )
+        .orderBy("pos")
+    )
+
+
+_DTW_INF = 10**15  # unreachable-cell sentinel; daily-count costs never near it
+
+
+@register(
+    "ts_dtw",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT event_type,
+                      CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, list(y ORDER BY di) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY event_type),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     a.v AS va, b.v AS vb, a.n AS na, b.n AS nb
+              FROM s a JOIN s b ON a.event_type < b.event_type),
+    dp AS (SELECT type_a, type_b, na, nb,
+                  list_reduce(
+                    list_prepend(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(vb, x -> CAST({_DTW_INF} AS BIGINT))),
+                      list_transform(va, a -> [a])),
+                    (prev, ax) -> list_reduce(
+                      list_prepend([CAST({_DTW_INF} AS BIGINT)],
+                                   list_transform(vb, x -> [x])),
+                      (cur, bx) -> list_append(cur,
+                        abs(ax[1] - bx[1])
+                        + least(prev[len(cur)], prev[len(cur) + 1],
+                                cur[len(cur)])))
+                  ) AS row
+           FROM pairs)
+    SELECT type_a, type_b, na AS n_a, nb AS n_b,
+           CAST(row[CAST(nb AS INT) + 1] AS BIGINT) AS dtw_cost
+    FROM dp ORDER BY type_a, type_b
+    """,
+    notes="dynamic time warping between every pair of event-type daily "
+    "volume series: the full Sakoe-Chiba-free DP, computed as a NESTED "
+    "ordered fold (outer over series A, inner building each DP row "
+    "left-to-right) — both engines evaluate the identical recurrence "
+    "in the identical order over exact BIGINT costs (|a-b| of daily "
+    "counts), so the warped distance is integer-exact with no float "
+    "anywhere; the unreachable-cell sentinel is a shared 1e15 "
+    "literal. The elastic-alignment companion to ts_xcorr_lags (rigid "
+    "shifts only); the DP is calendar-bounded (days^2 cells per pair, "
+    "pairs = event-type-squared metadata), the only corpus work is "
+    "one keyed daily rollup. The same nested-fold shape certifies "
+    "that deep higher-order lambda capture works on both engines — "
+    "measured and hand-verified on a 2x2 DP first",
+)
+def ts_dtw(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("di", "y"))),
+            lambda r: r["y"],
+        ).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = s.select(
+        F.col("event_type").alias("type_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = s.select(
+        F.col("event_type").alias("type_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    inf = F.lit(_DTW_INF).cast("long")
+    init = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform("vb", lambda _: inf),
+    )
+    row = F.aggregate(
+        "va",
+        init,
+        lambda prev, ax: F.aggregate(
+            "vb",
+            F.array(inf),
+            lambda cur, bx: F.concat(
+                cur,
+                F.array(
+                    F.abs(ax - bx)
+                    + F.least(
+                        F.element_at(prev, F.size(cur)),
+                        F.element_at(prev, F.size(cur) + 1),
+                        F.element_at(cur, F.size(cur)),
+                    )
+                ),
+            ),
+        ),
+    )
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.element_at(row, (F.col("nb") + 1).cast("int"))
+            .cast("long")
+            .alias("dtw_cost"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -120,6 +120,8 @@ DIVERSITY: dict[str, dict] = {
     # a closest-first top-k was 50 identical zeros (caught and fixed
     # pre-registration: the output is the per-pair table instead)
     "geo_cpa": {"min_rows": 2, "distinct": {"cpa_deg": 2}},
+    "ts_dtw": {"min_rows": 2, "distinct": {"dtw_cost": 2}},
+    "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},
 }
 
 

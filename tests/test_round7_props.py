@@ -228,3 +228,62 @@ def test_geo_cpa_matches_python(spark, sf_dir, raw):
         for r in Q["geo_cpa"].fn(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_dtw_matches_python_dp(spark, sf_dir, raw):
+    """Classic O(nm) python DP reproduces every pair's warped cost."""
+    from collections import Counter
+
+    series = {}
+    for _uid, et, ts, _v in raw:
+        series.setdefault(et, Counter())[
+            ts.date().toordinal() - 719163
+        ] += 1
+    seqs = {et: [c[d] for d in sorted(c)] for et, c in series.items()}
+
+    def dtw(a, b):
+        INF = 10**15
+        prev = [0] + [INF] * len(b)
+        for ai in a:
+            cur = [INF]
+            for j, bj in enumerate(b, start=1):
+                cur.append(abs(ai - bj) + min(prev[j - 1], prev[j], cur[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    expected = {
+        (ta, tb): dtw(seqs[ta], seqs[tb])
+        for ta in seqs
+        for tb in seqs
+        if ta < tb
+    }
+    got = {
+        (r.type_a, r.type_b): r.dtw_cost
+        for r in Q["ts_dtw"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(set(got.values())) >= 2  # distinct pairs, distinct costs
+
+
+def test_matrix_profile_matches_python(spark, sf_dir, raw):
+    days = _daily_purchases(raw)
+    ks = sorted(days)
+    y = [days[d] for d in ks]
+    W_, EX = 7, 3
+    subs = [y[i : i + W_] for i in range(len(y) - W_ + 1)]
+    expected = []
+    for i, a in enumerate(subs):
+        best = None
+        for j, b in enumerate(subs):
+            if abs(i - j) <= EX:
+                continue
+            d2 = sum((x - z) * (x - z) for x, z in zip(a, b))
+            cand = (d2, j + 1)
+            if best is None or cand < best:
+                best = cand
+        expected.append((i + 1, ks[i], best[0], best[1]))
+    got = [
+        (r.pos, r.day_index, r.mp_sq, r.nn_pos)
+        for r in Q["ts_matrix_profile"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
