@@ -338,3 +338,124 @@ def agg_sprt(spark, sf_dir):
         .orderBy("decision_day")
         .limit(1)
     )
+
+
+@register(
+    "profile_t_closeness",
+    section="2.12",
+    oracle="""
+    WITH r AS (SELECT c_nationkey AS n, c_mktsegment AS s,
+                      CAST(ROUND(c_acctbal) AS BIGINT) // 1000 AS band
+               FROM customer),
+    gb AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS g FROM r GROUP BY band),
+    gt AS (SELECT CAST(SUM(g) AS BIGINT) AS ng,
+                  CAST(COUNT(*) AS BIGINT) AS m
+           FROM gb),
+    gc AS (SELECT band,
+                  CAST(SUM(g) OVER (ORDER BY band) AS BIGINT) AS gcum
+           FROM gb),
+    cls AS (SELECT n, s, CAST(COUNT(*) AS BIGINT) AS nc
+            FROM r GROUP BY n, s),
+    cb AS (SELECT n, s, band, CAST(COUNT(*) AS BIGINT) AS c
+           FROM r GROUP BY n, s, band),
+    grid AS (SELECT cls.n, cls.s, cls.nc, gc.band, gc.gcum,
+                    COALESCE(cb.c, 0) AS c
+             FROM cls CROSS JOIN gc
+             LEFT JOIN cb ON cb.n = cls.n AND cb.s = cls.s
+                          AND cb.band = gc.band),
+    cum AS (SELECT n, s, nc, gcum,
+                   CAST(SUM(c) OVER (PARTITION BY n, s ORDER BY band)
+                        AS BIGINT) AS ccum
+            FROM grid),
+    emd AS (SELECT n, s, nc,
+                   CAST(SUM(ABS(ccum * (SELECT ng FROM gt)
+                                - gcum * nc)) AS BIGINT) AS num
+            FROM cum GROUP BY n, s, nc)
+    SELECT n AS nation_id, s AS segment, nc AS n_rows,
+           CAST(num * 1000000
+                // (((SELECT m FROM gt) - 1) * nc * (SELECT ng FROM gt))
+                AS BIGINT) AS t_ppm
+    FROM emd
+    ORDER BY t_ppm DESC, nation_id, segment
+    """,
+    notes="t-closeness audit — the third leg of the release-gate triad "
+    "next to profile_k_anonymity's k and l readouts: per QI class "
+    "(nation x segment), the earth-mover's distance between the "
+    "class's banded-account-balance distribution and the GLOBAL one, "
+    "under the standard ordered-distance ground metric (EMD = "
+    "sum |CDF_class - CDF_global| / (m-1) over the m value bands). "
+    "Both CDFs are rationals over exact counts, compared on the "
+    "common denominator nc*ng via cross-multiplied BIGINTs, so t_ppm "
+    "is integer-exact — a class whose balances skew from the "
+    "population leaks that skew even at high k and l. Corpus work = "
+    "two keyed aggregates; the class x band grid is QI-cardinality x "
+    "band-count metadata at any scale",
+)
+def profile_t_closeness(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    r = c.select(
+        F.col("c_nationkey").alias("n"),
+        F.col("c_mktsegment").alias("s"),
+        F.expr("CAST(ROUND(c_acctbal) AS BIGINT) div 1000").alias("band"),
+    )
+    gb = r.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    gt = gb.agg(
+        F.sum("g").cast("long").alias("ng"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    gc = gb.select(
+        "band",
+        F.sum("g")
+        .over(W.orderBy("band").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("gcum"),
+    )
+    cls = r.groupBy("n", "s").agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    cb = r.groupBy("n", "s", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gc))
+        .join(cb, ["n", "s", "band"], "left")
+        .select(
+            "n",
+            "s",
+            "nc",
+            "band",
+            "gcum",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    cum = grid.select(
+        "n",
+        "s",
+        "nc",
+        "gcum",
+        F.sum("c")
+        .over(
+            W.partitionBy("n", "s")
+            .orderBy("band")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("ccum"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(gt))
+        .groupBy("n", "s", "nc", "m", "ng")
+        .agg(
+            F.sum(
+                F.abs(F.col("ccum") * F.col("ng") - F.col("gcum") * F.col("nc"))
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    return emd.select(
+        F.col("n").alias("nation_id"),
+        F.col("s").alias("segment"),
+        F.col("nc").alias("n_rows"),
+        F.expr("CAST(num * 1000000 div ((m - 1) * nc * ng) AS BIGINT)").alias(
+            "t_ppm"
+        ),
+    ).orderBy(F.desc("t_ppm"), "nation_id", "segment")

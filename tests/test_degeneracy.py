@@ -122,6 +122,7 @@ DIVERSITY: dict[str, dict] = {
     "geo_cpa": {"min_rows": 2, "distinct": {"cpa_deg": 2}},
     "ts_dtw": {"min_rows": 2, "distinct": {"dtw_cost": 2}},
     "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},
+    "profile_t_closeness": {"min_rows": 2, "distinct": {"t_ppm": 2}},
 }
 
 

@@ -287,3 +287,39 @@ def test_matrix_profile_matches_python(spark, sf_dir, raw):
         for r in Q["ts_matrix_profile"].fn(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_t_closeness_matches_python(spark, sf_dir):
+    import collections
+
+    # banding itself is cross-engine-verified by the oracle hash; the
+    # python reference checks the EMD arithmetic, so it takes the band
+    # from SQL (python // floors negatives where SQL div truncates)
+    rows = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment,"
+        f" CAST(ROUND(c_acctbal) AS BIGINT) // 1000"
+        f" FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+    gband = collections.Counter()
+    cband = collections.defaultdict(collections.Counter)
+    for n, s, b in rows:
+        gband[b] += 1
+        cband[(n, s)][b] += 1
+    bands = sorted(gband)
+    ng, m = sum(gband.values()), len(bands)
+    expected = {}
+    for cls, cnts in cband.items():
+        nc = sum(cnts.values())
+        gcum = ccum = num = 0
+        for b in bands:
+            gcum += gband[b]
+            ccum += cnts.get(b, 0)
+            num += abs(ccum * ng - gcum * nc)
+        expected[cls] = (nc, num * 1000000 // ((m - 1) * nc * ng))
+    got = {
+        (r.nation_id, r.segment): (r.n_rows, r.t_ppm)
+        for r in Q["profile_t_closeness"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the audit must separate classes, not report one constant
+    assert len({v[1] for v in got.values()}) >= 2
