@@ -1474,3 +1474,145 @@ def text_js_divergence(spark, sf_dir):
             (F.col("kla") + F.col("klb")) / (2 * math.log(2.0)), 4
         ).alias("jsd_bits"),
     )
+
+
+_BD_TOP = 50  # most-frequent-terms basis (Burrows' classic 30-150 band)
+_BD_Q = 1_000_000  # relative-frequency quantization (exact integer sums)
+
+
+@register(
+    "text_burrows_delta",
+    section="2.8",
+    oracle=f"""
+    WITH tok AS (SELECT source,
+                        unnest(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS tok
+                 FROM documents),
+    top AS (SELECT tok FROM (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY tok
+              ORDER BY c DESC, tok LIMIT {_BD_TOP})),
+    tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
+            FROM tok GROUP BY source),
+    cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok JOIN top USING (tok) GROUP BY source, tok),
+    grid AS (SELECT tot.source, top.tok,
+                    CAST(COALESCE(cnt.c, 0) * {_BD_Q} // tot.tot
+                         AS BIGINT) AS q
+             FROM tot CROSS JOIN top
+             LEFT JOIN cnt ON cnt.source = tot.source
+                          AND cnt.tok = top.tok),
+    st AS (SELECT tok,
+                  CAST(COUNT(*) AS BIGINT) AS ns,
+                  CAST(SUM(q) AS BIGINT) AS sq,
+                  CAST(SUM(q * q) AS BIGINT) AS sqq
+           FROM grid GROUP BY tok),
+    z AS (SELECT g.source, g.tok,
+                 CAST(ROUND((g.q - CAST(st.sq AS DOUBLE) / st.ns)
+                            / SQRT(CAST(st.sqq AS DOUBLE) / st.ns
+                                   - (CAST(st.sq AS DOUBLE) / st.ns)
+                                     * (CAST(st.sq AS DOUBLE) / st.ns))
+                            * 1e4) AS BIGINT) AS zq
+          FROM grid g JOIN st USING (tok)
+          WHERE st.sqq * st.ns > st.sq * st.sq),
+    pair AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_terms,
+                    CAST(SUM(ABS(a.zq - b.zq)) AS BIGINT) AS sd
+             FROM z a JOIN z b
+               ON a.tok = b.tok AND a.source < b.source
+             GROUP BY 1, 2)
+    SELECT source_a, source_b, n_terms,
+           FLOOR(CAST(sd AS DOUBLE) / n_terms / 1e4 * 1e4) / 1e4 AS delta
+    FROM pair ORDER BY source_a, source_b
+    """,
+    notes=f"Burrows' Delta stylometry between every pair of sources: "
+    f"mean absolute difference of z-scored relative frequencies over "
+    f"the corpus's top-{_BD_TOP} terms — THE authorship/style-drift "
+    f"distance of computational philology, here reading on which "
+    f"sources write alike. Relative frequencies quantize to exact "
+    f"1e-6 integers (so the per-term mean/variance moments are exact "
+    f"BIGINT sums, order-free); the z-scores are one identical "
+    f"double expression over those exact moments ROUNDed at 1e-4, "
+    f"and the pairwise distance is again an exact integer sum. "
+    f"Zero-variance terms drop via the exact integer cross-multiply "
+    f"sqq*ns > sq*sq. Corpus work = one token explode + two keyed "
+    f"aggregates; the source x term grid and the pair relation are "
+    f"metadata-sized at any scale",
+)
+def text_burrows_delta(spark, sf_dir):
+    from ..core import fan_out
+
+    d = table(spark, sf_dir, "documents")
+    tok = fan_out(d.select("source", "text")).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_BD_TOP)
+        .select("tok")
+    )
+    tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tot")
+    )
+    cnt = (
+        tok.join(F.broadcast(top), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(top))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr(f"coalesce(c, 0) * {_BD_Q} div tot")
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    st = grid.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    mu = F.col("sq").cast("double") / F.col("ns")
+    var = F.col("sqq").cast("double") / F.col("ns") - mu * mu
+    z = (
+        grid.join(st, "tok")
+        .where(F.col("sqq") * F.col("ns") > F.col("sq") * F.col("sq"))
+        .select(
+            "source",
+            "tok",
+            F.round((F.col("q") - mu) / F.sqrt(var) * 1e4)
+            .cast("long")
+            .alias("zq"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "tok", F.col("zq").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "tok", F.col("zq").alias("zb")
+    )
+    pair = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.abs(F.col("za") - F.col("zb")))
+            .cast("long")
+            .alias("sd"),
+        )
+    )
+    return pair.select(
+        "source_a",
+        "source_b",
+        "n_terms",
+        (
+            F.floor(F.col("sd").cast("double") / F.col("n_terms") / 1e4 * 1e4)
+            / 1e4
+        ).alias("delta"),
+    ).orderBy("source_a", "source_b")

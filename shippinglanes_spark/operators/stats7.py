@@ -459,3 +459,94 @@ def profile_t_closeness(spark, sf_dir):
             "t_ppm"
         ),
     ).orderBy(F.desc("t_ppm"), "nation_id", "segment")
+
+
+from .aggregation import _PW_ZA, _PW_ZB  # shared spec literals (invnorm)
+
+
+@register(
+    "agg_mde",
+    section="2.4",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      ('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)),
+                                      1, 13))::BIGINT % 2 AS arm,
+                      CAST(MAX(CASE WHEN event_type = 'purchase'
+                                     AND CAST(ROUND(value * 100) AS BIGINT)
+                                         >= 20000
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS conv
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_control,
+                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                      AS BIGINT) AS x_control,
+                 CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_treat
+          FROM u),
+    p AS (SELECT n_control, x_control, n_treat,
+                 CAST(x_control AS DOUBLE) / n_control AS p0,
+                 CASE WHEN n_control < n_treat THEN n_control
+                      ELSE n_treat END AS n_arm
+          FROM t)
+    SELECT n_control, x_control, n_treat,
+           FLOOR(p0 * 1e6) / 1e6 AS baseline_rate,
+           FLOOR(({_PW_ZA!r} + {_PW_ZB!r})
+                 * SQRT(2.0 * p0 * (1 - p0) / n_arm) * 1e6) / 1e6
+             AS mde_abs,
+           FLOOR(({_PW_ZA!r} + {_PW_ZB!r})
+                 * SQRT(2.0 * p0 * (1 - p0) / n_arm) / p0 * 1e6) / 1e6
+             AS mde_rel
+    FROM p
+    """,
+    notes="minimum detectable effect — the inverse of "
+    "agg_power_analysis: given the experiment's ACTUAL arm sizes "
+    "(the content-addressed md5 50/50 split evt_ab_srm audits) and "
+    "the control's high-value conversion baseline, the smallest "
+    "absolute and relative lift detectable at alpha=0.05 two-sided "
+    "with 80% power: MDE = (z_a + z_b) sqrt(2 p(1-p) / n). Same "
+    "shared invnorm literals, single divisions of exact counts, sqrt "
+    "is correctly-rounded IEEE, FLOOR 6dp — one user-keyed aggregate "
+    "+ one 1-row reduce at any scale. Together with "
+    "agg_power_analysis (n given effect), agg_sprt (sequential "
+    "stopping) and evt_ab_srm (split hygiene), the experiment-design "
+    "loop is closed",
+)
+def agg_mde(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm:"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    conv = (F.col("event_type") == "purchase") & (
+        F.round(F.col("value") * 100).cast("long") >= 20000
+    )
+    u = (
+        ev.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(F.max(conv.cast("long")).cast("long").alias("conv"))
+        .select("user_id", "conv", arm.alias("arm"))
+    )
+    t = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("n_control"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x_control"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("n_treat"),
+    )
+    p0 = F.col("x_control").cast("double") / F.col("n_control")
+    n_arm = F.least("n_control", "n_treat").cast("double")
+    mde = (_PW_ZA + _PW_ZB) * F.sqrt(2.0 * p0 * (1 - p0) / n_arm)
+    return t.select(
+        "n_control",
+        "x_control",
+        "n_treat",
+        (F.floor(p0 * 1e6) / 1e6).alias("baseline_rate"),
+        (F.floor(mde * 1e6) / 1e6).alias("mde_abs"),
+        (F.floor(mde / p0 * 1e6) / 1e6).alias("mde_rel"),
+    )

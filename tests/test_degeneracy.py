@@ -123,6 +123,13 @@ DIVERSITY: dict[str, dict] = {
     "ts_dtw": {"min_rows": 2, "distinct": {"dtw_cost": 2}},
     "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},
     "profile_t_closeness": {"min_rows": 2, "distinct": {"t_ppm": 2}},
+    "text_burrows_delta": {"min_rows": 2, "distinct": {"delta": 2}},
+    "agg_mde": {
+        "min_rows": 1,
+        "check": lambda p: bool(
+            ((p["baseline_rate"] > 0) & (p["baseline_rate"] < 1)).all()
+        ),
+    },
 }
 
 

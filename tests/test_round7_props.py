@@ -323,3 +323,79 @@ def test_t_closeness_matches_python(spark, sf_dir):
     assert got == expected
     # the audit must separate classes, not report one constant
     assert len({v[1] for v in got.values()}) >= 2
+
+
+def test_mde_matches_python(spark, sf_dir, raw):
+    import hashlib
+
+    users = {}
+    for uid, et, _ts, v in raw:
+        u = users.setdefault(uid, [None, 0])
+        if u[0] is None:
+            h = hashlib.md5(f"srm:{uid}".encode()).hexdigest()[:13]
+            u[0] = int(h, 16) % 2
+        if et == "purchase" and v is not None and round(v * 100) >= 20000:
+            u[1] = 1
+    n0 = sum(1 for a, _c in users.values() if a == 0)
+    x0 = sum(c for a, c in users.values() if a == 0)
+    n1 = sum(1 for a, _c in users.values() if a == 1)
+    p0 = x0 / n0
+    za, zb = 1.959963984540054, 0.8416212335729143
+    mde = (za + zb) * math.sqrt(2.0 * p0 * (1 - p0) / min(n0, n1))
+    r = Q["agg_mde"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_control, r.x_control, r.n_treat) == (n0, x0, n1)
+    assert r.mde_abs == math.floor(mde * 1e6) / 1e6
+    assert r.mde_rel == math.floor(mde / p0 * 1e6) / 1e6
+    assert 0 < r.baseline_rate < 1  # degenerate arms would break MDE
+
+
+def test_burrows_delta_matches_python(spark, sf_dir):
+    import collections
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    per_src = collections.defaultdict(collections.Counter)
+    glob = collections.Counter()
+    for src, text in rows:
+        for t in text.split(" "):
+            if t:
+                per_src[src][t] += 1
+                glob[t] += 1
+    top = [t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:50]]
+    tots = {s: sum(c.values()) for s, c in per_src.items()}
+    q = {
+        (s, t): per_src[s].get(t, 0) * 1_000_000 // tots[s]
+        for s in per_src
+        for t in top
+    }
+    srcs = sorted(per_src)
+    ns = len(srcs)
+    zq = {}
+    kept_terms = []
+    for t in top:
+        vals = [q[(s, t)] for s in srcs]
+        sq, sqq = sum(vals), sum(v * v for v in vals)
+        if sqq * ns <= sq * sq:
+            continue  # zero variance
+        kept_terms.append(t)
+        mu = sq / ns
+        sd = math.sqrt(sqq / ns - mu * mu)
+        for s, v in zip(srcs, vals):
+            # round-half-away like both engines' ROUND
+            x = (v - mu) / sd * 1e4
+            zq[(s, t)] = int(math.copysign(math.floor(abs(x) + 0.5), x))
+    expected = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            sd = sum(abs(zq[(a, t)] - zq[(b, t)]) for t in kept_terms)
+            expected[(a, b)] = (
+                len(kept_terms),
+                math.floor(sd / len(kept_terms) / 1e4 * 1e4) / 1e4,
+            )
+    got = {
+        (r.source_a, r.source_b): (r.n_terms, r.delta)
+        for r in Q["text_burrows_delta"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len({v[1] for v in got.values()}) >= 2
