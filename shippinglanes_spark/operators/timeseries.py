@@ -3191,3 +3191,129 @@ def ts_dtw(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "evt_causal_impact",
+    section="2.6",
+    oracle=f"""
+    WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) FILTER (event_type = 'view')
+                           AS BIGINT) AS x,
+                      CAST(COUNT(*) FILTER (event_type = 'purchase')
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    cut AS (SELECT CAST(epoch_us(TIMESTAMP '{_ITS_CUT_DATE}')
+                        // 86400000000 AS BIGINT) AS c),
+    pre AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM d CROSS JOIN cut WHERE di < c),
+    fit AS (SELECT n,
+                   (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     AS b,
+                   (CAST(sy AS DOUBLE)
+                    - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * sx) / n AS a
+            FROM pre),
+    postraw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_post,
+                       CAST(SUM(y) AS BIGINT) AS actual,
+                       CAST(SUM(x) AS BIGINT) AS sx_post
+                FROM d CROSS JOIN cut WHERE di >= c),
+    post AS (SELECT n_post, actual,
+                    fit.a * n_post + fit.b * sx_post AS predicted
+             FROM postraw CROSS JOIN fit)
+    SELECT fit.n AS n_pre, post.n_post,
+           FLOOR(fit.a * 1e4) / 1e4 AS intercept,
+           FLOOR(fit.b * 1e6) / 1e6 AS slope,
+           post.actual AS actual_post,
+           FLOOR(post.predicted * 1e4) / 1e4 AS predicted_post,
+           FLOOR((post.actual - post.predicted) * 1e4) / 1e4
+             AS cumulative_effect,
+           FLOOR((post.actual / post.predicted - 1) * 1e6) / 1e6
+             AS relative_lift
+    FROM fit CROSS JOIN post
+    """,
+    notes="causal-impact counterfactual around the shared "
+    "2024-01-16 cutpoint: fit purchases ~ views on the PRE period "
+    "(closed-form OLS from five exact BIGINT daily sums), project the "
+    "counterfactual over the post period from the CONTROL series "
+    "(views), and report cumulative and relative lift of actual vs "
+    "predicted — the control-series sibling of ts_interrupted (which "
+    "extrapolates the treated series' own trend) and evt_did (which "
+    "needs a treated/control GROUP split). The post-period predicted "
+    "sum uses the algebraic identity SUM(a + b*x) = a*n + b*SUM(x), "
+    "so it is one identical double expression over EXACT integer "
+    "sums — no row-order float accumulation anywhere (the house "
+    "discipline). One keyed daily rollup is the only corpus work",
+)
+def evt_causal_impact(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    cut = F.expr(
+        f"CAST(datediff(DATE '{_ITS_CUT_DATE}', DATE '1970-01-01')"
+        " AS BIGINT)"
+    )
+    d = d.withColumn("c", cut)
+    pre = d.where(F.col("di") < F.col("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    b = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")
+    fit = pre.select(F.col("n"), a.alias("a"), b.alias("b"))
+    postraw = d.where(F.col("di") >= F.col("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_post"),
+        F.sum("y").cast("long").alias("actual"),
+        F.sum("x").cast("long").alias("sx_post"),
+    )
+    post = postraw.crossJoin(F.broadcast(fit)).select(
+        F.col("n").alias("n_pre"),
+        "n_post",
+        "a",
+        "b",
+        "actual",
+        (
+            F.col("a") * F.col("n_post") + F.col("b") * F.col("sx_post")
+        ).alias("predicted"),
+    )
+    return post.select(
+        F.col("n_pre"),
+        "n_post",
+        (F.floor(F.col("a") * 1e4) / 1e4).alias("intercept"),
+        (F.floor(F.col("b") * 1e6) / 1e6).alias("slope"),
+        F.col("actual").alias("actual_post"),
+        (F.floor(F.col("predicted") * 1e4) / 1e4).alias("predicted_post"),
+        (
+            F.floor((F.col("actual") - F.col("predicted")) * 1e4) / 1e4
+        ).alias("cumulative_effect"),
+        (
+            F.floor((F.col("actual") / F.col("predicted") - 1) * 1e6) / 1e6
+        ).alias("relative_lift"),
+    )

@@ -124,6 +124,10 @@ DIVERSITY: dict[str, dict] = {
     "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},
     "profile_t_closeness": {"min_rows": 2, "distinct": {"t_ppm": 2}},
     "text_burrows_delta": {"min_rows": 2, "distinct": {"delta": 2}},
+    "evt_causal_impact": {
+        "min_rows": 1,
+        "check": lambda p: bool((p["predicted_post"] > 0).all()),
+    },
     "agg_mde": {
         "min_rows": 1,
         "check": lambda p: bool(

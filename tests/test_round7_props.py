@@ -399,3 +399,36 @@ def test_burrows_delta_matches_python(spark, sf_dir):
     }
     assert got == expected
     assert len({v[1] for v in got.values()}) >= 2
+
+
+def test_causal_impact_matches_python(spark, sf_dir, raw):
+    from collections import Counter
+
+    xs, ys = Counter(), Counter()
+    for _uid, et, ts, _v in raw:
+        di = ts.date().toordinal() - 719163
+        if et == "view":
+            xs[di] += 1
+        elif et == "purchase":
+            ys[di] += 1
+    days = sorted(set(xs) | set(ys))
+    import datetime
+
+    cut = datetime.date(2024, 1, 16).toordinal() - 719163
+    pre = [(xs[d], ys[d]) for d in days if d < cut]
+    post = [(xs[d], ys[d]) for d in days if d >= cut]
+    n = len(pre)
+    sx = sum(x for x, _ in pre)
+    sy = sum(y for _, y in pre)
+    sxx = sum(x * x for x, _ in pre)
+    sxy = sum(x * y for x, y in pre)
+    b = (n * float(sxy) - float(sx) * sy) / (n * float(sxx) - float(sx) * sx)
+    a = (float(sy) - b * sx) / n
+    n_post = len(post)
+    actual = sum(y for _, y in post)
+    predicted = a * n_post + b * sum(x for x, _ in post)
+    r = Q["evt_causal_impact"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_pre, r.n_post, r.actual_post) == (n, n_post, actual)
+    assert r.predicted_post == math.floor(predicted * 1e4) / 1e4
+    assert r.cumulative_effect == math.floor((actual - predicted) * 1e4) / 1e4
+    assert r.relative_lift == math.floor((actual / predicted - 1) * 1e6) / 1e6
