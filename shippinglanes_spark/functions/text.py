@@ -1616,3 +1616,64 @@ def text_burrows_delta(spark, sf_dir):
             / 1e4
         ).alias("delta"),
     ).orderBy("source_a", "source_b")
+
+
+@register(
+    "text_hapax_ratio",
+    section="2.8",
+    oracle="""
+    WITH tok AS (SELECT source,
+                        unnest(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS tok
+                 FROM documents),
+    tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, tok)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS hapax,
+           CAST(COUNT(*) FILTER (c = 2) AS BIGINT) AS dis,
+           CAST(COUNT(*) FILTER (c = 1) * 1000000 // COUNT(*) AS BIGINT)
+             AS hapax_ppm,
+           CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm
+    FROM tf GROUP BY source ORDER BY source
+    """,
+    notes="vocabulary-richness profile per source: hapax legomena "
+    "(once-seen terms) and dis legomena (twice-seen) counts, the "
+    "hapax share of the vocabulary, and the type-token ratio — the "
+    "classic lexical-richness readouts (a templated/spammy source "
+    "has few hapaxes and a low TTR; natural text runs ~40-60% "
+    "hapaxes). Everything is exact integer counts and integer ppm "
+    "divisions; the distinct-(source, term) relation is the same "
+    "vocabulary-sized table every text query builds — one explode + "
+    "two keyed aggregates, no floats at all. The frequency-spectrum "
+    "companion to text_zipf_fit (rank curve) and text_burrows_delta "
+    "(style distance)",
+)
+def text_hapax_ratio(spark, sf_dir):
+    from ..core import fan_out
+
+    d = table(spark, sf_dir, "documents")
+    tok = fan_out(d.select("source", "text")).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("hapax"),
+            F.count(F.when(F.col("c") == 2, 1)).cast("long").alias("dis"),
+            F.expr(
+                "CAST(count(CASE WHEN c = 1 THEN 1 END) * 1000000"
+                " div count(1) AS BIGINT)"
+            ).alias("hapax_ppm"),
+            F.expr(
+                "CAST(count(1) * 1000000 div sum(c) AS BIGINT)"
+            ).alias("ttr_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -550,3 +550,73 @@ def agg_mde(spark, sf_dir):
         (F.floor(mde * 1e6) / 1e6).alias("mde_abs"),
         (F.floor(mde / p0 * 1e6) / 1e6).alias("mde_rel"),
     )
+
+
+@register(
+    "agg_atkinson",
+    section="2.4",
+    oracle="""
+    WITH u AS (SELECT event_type,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                           AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL
+               GROUP BY event_type, user_id),
+    q AS (SELECT event_type, x,
+                 CAST(FLOOR(SQRT(CAST(x AS DOUBLE)) * 1e6) AS BIGINT) AS r
+          FROM u WHERE x > 0),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(r) AS BIGINT) AS sr
+          FROM q GROUP BY event_type)
+    SELECT event_type, n AS n_users,
+           FLOOR((1 - (CAST(sr AS DOUBLE) / n / 1e6)
+                      * (CAST(sr AS DOUBLE) / n / 1e6)
+                      / (CAST(sx AS DOUBLE) / n)) * 1e6) / 1e6
+             AS atkinson_half
+    FROM s ORDER BY event_type
+    """,
+    notes="Atkinson inequality index (epsilon = 1/2) of per-user spend "
+    "within each event type: A = 1 - (mean sqrt x)^2 / mean x — the "
+    "welfare-theoretic member of the inequality family next to "
+    "agg_gini (rank-based) and agg_theil (entropy-based). sqrt is "
+    "correctly-rounded IEEE on both engines, and each user's sqrt is "
+    "FLOOR-quantized to a 1e-6 integer BEFORE summing, so the corpus "
+    "sums are exact BIGINTs (order-free) and the final expression is "
+    "one identical scalar tree. epsilon = 1/2 is chosen exactly "
+    "because x^(1-eps) = sqrt — any other epsilon routes through "
+    "pow(), which is NOT correctly rounded (the round-4 temperature-"
+    "mix lesson). One keyed aggregate at any scale",
+)
+def agg_atkinson(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    q = u.where(F.col("x") > 0).select(
+        "event_type",
+        "x",
+        F.floor(F.sqrt(F.col("x").cast("double")) * 1e6)
+        .cast("long")
+        .alias("r"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("r").cast("long").alias("sr"),
+    )
+    mean_sqrt = F.col("sr").cast("double") / F.col("n") / 1e6
+    mean_x = F.col("sx").cast("double") / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        (F.floor((1 - mean_sqrt * mean_sqrt / mean_x) * 1e6) / 1e6).alias(
+            "atkinson_half"
+        ),
+    ).orderBy("event_type")

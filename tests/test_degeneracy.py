@@ -121,6 +121,8 @@ DIVERSITY: dict[str, dict] = {
     # pre-registration: the output is the per-pair table instead)
     "geo_cpa": {"min_rows": 2, "distinct": {"cpa_deg": 2}},
     "ts_dtw": {"min_rows": 2, "distinct": {"dtw_cost": 2}},
+    "agg_atkinson": {"min_rows": 2, "distinct": {"atkinson_half": 2}},
+    "text_hapax_ratio": {"min_rows": 2, "distinct": {"hapax_ppm": 2}},
     "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},
     "profile_t_closeness": {"min_rows": 2, "distinct": {"t_ppm": 2}},
     "text_burrows_delta": {"min_rows": 2, "distinct": {"delta": 2}},

@@ -432,3 +432,51 @@ def test_causal_impact_matches_python(spark, sf_dir, raw):
     assert r.predicted_post == math.floor(predicted * 1e4) / 1e4
     assert r.cumulative_effect == math.floor((actual - predicted) * 1e4) / 1e4
     assert r.relative_lift == math.floor((actual / predicted - 1) * 1e6) / 1e6
+
+
+def test_atkinson_matches_python(spark, sf_dir, raw):
+    import collections
+
+    spend = collections.defaultdict(lambda: collections.defaultdict(int))
+    for uid, et, _ts, v in raw:
+        if v is not None:
+            spend[et][uid] += round(v * 100)
+    expected = {}
+    for et, users in spend.items():
+        xs = [x for x in users.values() if x > 0]
+        n = len(xs)
+        sr = sum(math.floor(math.sqrt(x) * 1e6) for x in xs)
+        msq = sr / n / 1e6
+        a = 1 - msq * msq / (sum(xs) / n)
+        expected[et] = (n, math.floor(a * 1e6) / 1e6)
+    got = {
+        r.event_type: (r.n_users, r.atkinson_half)
+        for r in Q["agg_atkinson"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(0 <= v[1] < 1 for v in got.values())
+
+
+def test_hapax_matches_python(spark, sf_dir):
+    import collections
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    per = collections.defaultdict(collections.Counter)
+    for src, text in rows:
+        for t in text.split(" "):
+            if t:
+                per[src][t] += 1
+    expected = {}
+    for src, c in per.items():
+        vocab, ntok = len(c), sum(c.values())
+        h1 = sum(1 for v in c.values() if v == 1)
+        h2 = sum(1 for v in c.values() if v == 2)
+        expected[src] = (vocab, ntok, h1, h2, h1 * 1000000 // vocab,
+                         vocab * 1000000 // ntok)
+    got = {
+        r.source: (r.vocab, r.n_tokens, r.hapax, r.dis, r.hapax_ppm, r.ttr_ppm)
+        for r in Q["text_hapax_ratio"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
