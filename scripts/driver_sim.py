@@ -28,10 +28,29 @@ import __spark_entry__ as E
 import duckdb
 import pandas as pd
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"]
+
+
+def _fresh_con():
+    """A bounded, spill-capable DuckDB connection. One long-lived
+    connection accumulates buffer-pool state across a 450-query sf0.1
+    sweep until allocation fails (observed: two oracle OOMs then a
+    segfault at the 2026-08-15 close); recycling the connection every N
+    oracles is the real fix (it stops the accumulation), the 48 GB cap
+    + spill directory are the backstop. Do NOT set the cap low: under
+    24 GB the 4-way-join oracles go external and spill tens of GB. The
+    real driver compares at sf0.01, far below any of this."""
+    c = duckdb.connect()
+    c.sql("SET memory_limit='48GB'")
+    c.sql("SET temp_directory='/tmp/duck_sim_spill'")
+    for t in _TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+_CON_RECYCLE = 40  # oracles per connection
+con = _fresh_con()
 
 r = E.entry(spark).collect()
 assert len(r) > 0
@@ -61,12 +80,17 @@ if only:
     qs = {k: v for k, v in qs.items() if k in names}
 fail = []
 n_hash = n_rows_only = 0
+n_oracle_runs = 0
 for name, fn in qs.items():
     try:
         spdf = fn(spark, SF).toPandas()
         if name not in oracles:
             n_rows_only += 1
             continue
+        if n_oracle_runs and n_oracle_runs % _CON_RECYCLE == 0:
+            con.close()
+            con = _fresh_con()
+        n_oracle_runs += 1
         opdf = con.sql(oracles[name]).df()
         ok = (len(spdf) == len(opdf)
               and sorted(spdf.columns) == sorted(opdf.columns)
