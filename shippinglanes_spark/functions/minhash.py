@@ -509,10 +509,14 @@ def containment_lsh_candidates(
             F.collect_list(F.struct("sigh", "doc_host", "nb"))
         ).alias("hs")
     )
+    # Explicit when/otherwise rather than `(i == 0) | ...`: under Spark 4's
+    # ANSI mode element_at(array, 0) raises, so the i==0 branch must never
+    # evaluate the element_at — don't rely on Or short-circuit semantics.
     dedup_by_sig = F.filter(
         F.col("hs"),
-        lambda x, i: (i == 0)
-        | (x["sigh"] != F.element_at(F.col("hs"), i)["sigh"]),
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x["sigh"] != F.element_at(F.col("hs"), i)["sigh"]
+        ),
     )
     members = F.when(F.size("hs") <= MAX_BUCKET, F.col("hs")).otherwise(
         dedup_by_sig

@@ -198,7 +198,7 @@ def agg_calibration_bins(spark, sf_dir):
     FROM t
     """,
     notes="Chapman capture-recapture estimate of the active-user "
-    "population from two 3-day observation windows: N-hat = "
+    "population from two 3-hour observation windows: N-hat = "
     "(n1+1)(n2+1)/(m+1) - 1, every term an exact BIGINT (integer "
     "division on exact counts — no float anywhere). The windows are "
     "short enough that neither captures everyone (the "
@@ -277,7 +277,7 @@ def agg_capture_recapture(spark, sf_dir):
     """,
     notes="sequential probability ratio test over the daily "
     "above-mean-purchase-volume Bernoulli sequence (H0 p=0.5 vs H1 "
-    "p=0.6, alpha=beta=0.05): the cumulative log-likelihood-ratio "
+    "p=0.8, alpha=beta=0.05): the cumulative log-likelihood-ratio "
     "walk with Wald boundaries +-ln(19). Per-day increments and the "
     "boundary are exact MICRO-unit integer literals (the bootstrap-CI "
     "literal discipline), so the walk is an exact BIGINT prefix sum "

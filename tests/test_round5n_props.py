@@ -374,6 +374,15 @@ def test_semdedup_matches_numpy_reference(spark, sf_dir):
         cid = d2.argmin(axis=1)  # ties to lower cid via argmin
         dist = d2[np.arange(len(X)), cid]
         if it < 1:
+            # Guard the fixture assumption loudly: the Spark pipeline drops an
+            # empty Lloyd cluster from the groupBy while this reference would
+            # divide by zero — if the fixture or _SD_K ever makes a cluster
+            # empty, fail with a clear message instead of NaN centroids.
+            assert all((cid == c).any() for c in range(_SD_K)), (
+                "empty Lloyd cluster in numpy semdedup reference; "
+                "fixture/_SD_K changed — reference and Spark semantics "
+                "diverge here (Spark drops empty clusters)"
+            )
             cent = np.stack(
                 [
                     np.floor(X[cid == c].sum(axis=0) / (cid == c).sum())
