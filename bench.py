@@ -70,6 +70,34 @@ HEADLINE = {
 # streaming-sink queries can't be timed by toPandas(); everything else is
 STREAM_SKIP = set()
 
+# Committed previous-round family-timing snapshot: the regression gate's
+# reference. Refresh at round close with SPARK_GRAFT_BENCH_SNAPSHOT=1.
+REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_ref.json"
+)
+
+
+def find_regressions(
+    families: dict[str, float],
+    ref: dict[str, float],
+    threshold: float = 1.5,
+    floor: float = 0.5,
+    k: int = 5,
+) -> dict[str, float]:
+    """Worst-k in-sweep regressions vs the committed previous-round
+    reference: flagged when now > threshold*prev AND now >= floor sec.
+    The absolute floor keeps the ~25-40 ms Spark job-floor queries from
+    flagging on scheduler jitter; new queries (absent from ref) can't
+    regress by definition and are skipped."""
+    regs = {
+        name: round(now / prev, 2)
+        for name, now in families.items()
+        for prev in (ref.get(name),)
+        if prev and prev > 0 and now >= floor and now > prev * threshold
+    }
+    worst = sorted(regs, key=regs.get, reverse=True)[:k]
+    return {n: regs[n] for n in worst}
+
 
 def _isolated_child(names_csv: str) -> None:
     """Time the given queries on ONE fresh session (a subprocess, so the
@@ -101,13 +129,19 @@ def _isolated_child(names_csv: str) -> None:
     print(json.dumps(out))
 
 
-def _isolate_slowest(families: dict[str, float], k: int = 10) -> dict[str, float]:
+def _isolate_slowest(
+    families: dict[str, float], k: int = 10, extra: list[str] | None = None
+) -> dict[str, float]:
     """Re-run the k slowest sweep queries in one fresh subprocess JVM
     (quiet heap, no sweep GC/JIT interference; one JVM for all k keeps
-    the bench's wall-clock bounded)."""
+    the bench's wall-clock bounded). `extra` names (regression-gate
+    candidates) join the batch so their flags get a clean-JVM number."""
     import subprocess
 
     slowest = sorted(families, key=families.get, reverse=True)[:k]
+    for name in extra or []:
+        if name not in slowest:
+            slowest.append(name)
     try:
         r = subprocess.run(
             [
@@ -206,8 +240,47 @@ def main() -> None:
     if families:
         out["families"] = families
         out["families_total"] = round(sum(families.values()), 3)
+        # Regression gate: diff in-sweep timings against the committed
+        # previous-round snapshot. In-sweep numbers can inflate 3-10x from
+        # sweep-JVM GC/JIT interference, so flagged candidates ride along
+        # in the isolation batch and the reported ratio uses the clean-JVM
+        # number when available (isolated-now vs in-sweep-prev biases the
+        # ratio DOWN, i.e. survivors are real regressions, not noise).
+        ref: dict = {}
+        try:
+            with open(REF_PATH) as f:
+                ref = json.load(f)
+        except (OSError, ValueError):
+            pass
+        candidates = find_regressions(families, ref.get("families", {}))
         if isolate:
-            out["families_isolated"] = _isolate_slowest(families)
+            out["families_isolated"] = _isolate_slowest(
+                families, extra=list(candidates)
+            )
+            iso = out["families_isolated"]
+            confirmed = {}
+            for n, sweep_ratio in candidates.items():
+                clean = iso.get(n, -1.0)
+                if clean <= 0:  # isolation failed: keep the in-sweep flag
+                    confirmed[n] = sweep_ratio
+                    continue
+                ratio = round(clean / ref["families"][n], 2)
+                if ratio > 1.5 and clean >= 0.5:
+                    confirmed[n] = ratio
+            candidates = confirmed
+        out["regressions"] = candidates
+        out["regressions_ref_round"] = ref.get("round")
+        if os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT") == "1":
+            snap_round = int(os.environ.get("SPARK_GRAFT_BENCH_ROUND", "0")) or (
+                (ref.get("round") or 0) + 1
+            )
+            with open(REF_PATH, "w") as f:
+                json.dump(
+                    {"round": snap_round, "sf": out["sf"], "families": families},
+                    f,
+                    indent=1,
+                    sort_keys=True,
+                )
     if family_errors:
         out["family_errors"] = family_errors
     if headline_errors:
@@ -246,14 +319,26 @@ def summarize(out: dict, have_detail: bool) -> dict:
         summary["families_total"] = out["families_total"]
         summary["families_n"] = len(out["families"])
         if "families_isolated" in out:
-            summary["families_isolated"] = out["families_isolated"]
+            # the summary carries only the 10-slowest slice (insertion
+            # order); regression candidates appended to the isolation
+            # batch surface via their "regressions" ratio, with raw
+            # isolated times in the detail file
+            summary["families_isolated"] = dict(
+                list(out["families_isolated"].items())[:10]
+            )
+        # the regression gate's verdict rides the short line: at most 5
+        # {name: ratio} entries (find_regressions caps k), always present
+        # when a sweep ran so "no regressions" is an explicit {}
+        summary["regressions"] = out.get("regressions", {})
+        if out.get("regressions_ref_round") is not None:
+            summary["regressions_ref_round"] = out["regressions_ref_round"]
     if "family_errors" in out:
         summary["family_errors_n"] = len(out["family_errors"])
     if "headline_errors" in out:
         # bodies truncated: even 14 failing headliners must not push
         # the line past the tail capture (full text is in the detail)
         summary["headline_errors"] = {
-            k: v[:60] for k, v in out["headline_errors"].items()
+            k: v[:40] for k, v in out["headline_errors"].items()
         }
     if have_detail:
         summary["detail"] = "bench_full.json"

@@ -300,14 +300,26 @@ def graph_weighted_path(spark, sf_dir):
     "graph_link_prediction",
     section="2.9",
     oracle="""
-    WITH e AS (
-      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+    -- Pre-aggregated edge build (round-8): the old single 4-way join
+    -- peaked DuckDB's hash tables at tens of GB at sf0.1 during the
+    -- full-registry ritual. Collapsing lineitem to (orderkey, supplier
+    -- nation, count) BEFORE the orders/customer side joins in is
+    -- value-identical — each orderkey maps to exactly one customer
+    -- nation, so regrouping the SUM reproduces the per-(src,dst) COUNT
+    -- and the src<>dst filter commutes — but keeps every intermediate
+    -- near orders-sized.
+    WITH ls AS (
+      SELECT l.l_orderkey AS okey, s.s_nationkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS w
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE c.c_nationkey <> s.s_nationkey
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    oc AS (
+      SELECT o.o_orderkey AS okey, c.c_nationkey AS src
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    e AS (
+      SELECT oc.src, ls.dst, CAST(SUM(ls.w) AS BIGINT) AS w
+      FROM ls JOIN oc ON ls.okey = oc.okey
+      WHERE oc.src <> ls.dst
       GROUP BY 1, 2),
     tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
                    CAST(COUNT(*) AS BIGINT) AS ne FROM e),

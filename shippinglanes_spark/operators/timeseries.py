@@ -3078,6 +3078,98 @@ def ts_matrix_profile(spark, sf_dir):
 
 
 _DTW_INF = 10**15  # unreachable-cell sentinel; daily-count costs never near it
+_DTW_BAND = 7  # Sakoe-Chiba half-width (days) for the banded variant
+
+
+def _dtw_pairs(spark, sf_dir):
+    """Every event-type pair with its ordered daily-count series: the
+    shared front half of the exact and banded DTW queries. One keyed
+    daily rollup (the only corpus-sized work), then a type×type metadata
+    self-join — a handful of rows at any scale."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("di"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("di", "y"))),
+            lambda r: r["y"],
+        ).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = s.select(
+        F.col("event_type").alias("type_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = s.select(
+        F.col("event_type").alias("type_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    return a.join(b, F.col("type_a") < F.col("type_b"))
+
+
+def _dtw_banded_cost(w):
+    """Sakoe-Chiba-banded DTW cost column over (va, vb, nb): the DP row
+    is the band SLICE [max(1, i-w), min(nb, i+w)] — days·w cells total,
+    not days² with a mask, so the banded variant is the genuine scale
+    path (w fixed => linear in calendar days). The fold state is a
+    struct {lo, row}: the previous row's slice plus its left edge, so
+    neighbor lookups are O(1) null-safe F.get's (NULL => out-of-band =>
+    the shared INF sentinel). In-band cells cap at INF (F.least) so
+    unreachable cells are EXACTLY the sentinel — the DuckDB oracle masks
+    a full DP the same way, making banded results integer-identical."""
+    inf = F.lit(_DTW_INF).cast("long")
+    wl = F.lit(w).cast("long")
+
+    def step(prev, it):
+        i, a = it["i"], it["a"]
+        lo = F.greatest(F.lit(1).cast("long"), i - wl)
+        hi = F.least(F.col("nb"), i + wl)
+
+        def cell(cur, j):
+            b = F.element_at(F.col("vb"), j.cast("int"))
+            d_diag = F.coalesce(
+                F.get(prev["row"], (j - 1 - prev["lo"]).cast("int")), inf
+            )
+            d_up = F.coalesce(
+                F.get(prev["row"], (j - prev["lo"]).cast("int")), inf
+            )
+            d_left = F.coalesce(F.get(cur, (j - 1 - lo).cast("int")), inf)
+            return F.concat(
+                cur,
+                F.array(
+                    F.least(inf, F.abs(a - b) + F.least(d_diag, d_up, d_left))
+                ),
+            )
+
+        # empty band (|na-nb| > w tails): sequence(lo>hi) would count DOWN
+        # in Spark, so guard to an empty row instead
+        js = F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+            F.slice(F.sequence(F.lit(1).cast("long"), F.lit(1).cast("long")), 1, 0)
+        )
+        row = F.aggregate(
+            js, F.slice(F.array(inf), 1, 0), cell
+        )
+        return F.struct(lo.alias("lo"), row.alias("row"))
+
+    items = F.transform(
+        F.col("va"),
+        lambda x, i: F.struct((i + 1).cast("long").alias("i"), x.alias("a")),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("lo"),
+        F.array(F.lit(0).cast("long")).alias("row"),
+    )
+    state = F.aggregate(items, zero, step)
+    return F.coalesce(
+        F.get(state["row"], (F.col("nb") - state["lo"]).cast("int")), inf
+    )
 
 
 @register(
@@ -3129,32 +3221,7 @@ _DTW_INF = 10**15  # unreachable-cell sentinel; daily-count costs never near it
     "measured and hand-verified on a 2x2 DP first",
 )
 def ts_dtw(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type",
-        F.expr(
-            "CAST(unix_micros(CAST(date_trunc('day', ts) AS TIMESTAMP))"
-            " div 86400000000 AS BIGINT)"
-        ).alias("di"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
-    s = d.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("di", "y"))),
-            lambda r: r["y"],
-        ).alias("v"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    a = s.select(
-        F.col("event_type").alias("type_a"),
-        F.col("v").alias("va"),
-        F.col("n").alias("na"),
-    )
-    b = s.select(
-        F.col("event_type").alias("type_b"),
-        F.col("v").alias("vb"),
-        F.col("n").alias("nb"),
-    )
-    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    pairs = _dtw_pairs(spark, sf_dir)
     inf = F.lit(_DTW_INF).cast("long")
     init = F.concat(
         F.array(F.lit(0).cast("long")),
@@ -3188,6 +3255,74 @@ def ts_dtw(spark, sf_dir):
             F.element_at(row, (F.col("nb") + 1).cast("int"))
             .cast("long")
             .alias("dtw_cost"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "ts_dtw_banded",
+    section="2.10",
+    oracle=f"""
+    WITH d AS (SELECT event_type,
+                      CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                           AS BIGINT) AS di,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, list(y ORDER BY di) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY event_type),
+    pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     a.v AS va, b.v AS vb, a.n AS na, b.n AS nb
+              FROM s a JOIN s b ON a.event_type < b.event_type),
+    dp AS (SELECT type_a, type_b, na, nb,
+                  list_reduce(
+                    list_prepend(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(vb, x -> CAST({_DTW_INF} AS BIGINT))),
+                      list_transform(va, a -> [a])),
+                    (prev, ax, i) -> list_reduce(
+                      list_prepend([CAST({_DTW_INF} AS BIGINT)],
+                                   list_transform(vb, x -> [x])),
+                      (cur, bx, j) -> list_append(cur,
+                        CASE WHEN abs(i - j) > {_DTW_BAND}
+                             THEN CAST({_DTW_INF} AS BIGINT)
+                        ELSE least(CAST({_DTW_INF} AS BIGINT),
+                                   abs(ax[1] - bx[1])
+                                   + least(prev[len(cur)],
+                                           prev[len(cur) + 1],
+                                           cur[len(cur)]))
+                        END))
+                  ) AS row
+           FROM pairs)
+    SELECT type_a, type_b, na AS n_a, nb AS n_b,
+           CAST(row[CAST(nb AS INT) + 1] AS BIGINT) AS dtw_cost
+    FROM dp ORDER BY type_a, type_b
+    """,
+    notes=f"Sakoe-Chiba-banded DTW (|i-j| <= {_DTW_BAND} days) between "
+    f"every pair of event-type daily volume series: the scale dial the "
+    f"exact ts_dtw names — per-pair work drops from days^2 to "
+    f"days*{2 * _DTW_BAND + 1}, linear in the calendar at fixed band. "
+    f"The engine folds over the band SLICE (state = struct of the "
+    f"previous row's slice + its left edge; O(1) null-safe F.get "
+    f"neighbor lookups, NULL => out-of-band => the shared 1e15 "
+    f"sentinel); the oracle masks the full DP with the identical CASE, "
+    f"which is cell-for-cell the same recurrence, so costs stay "
+    f"integer-exact across engines. In-band cells cap at the sentinel "
+    f"(least) so unreachable cells are EXACTLY equal, not "
+    f"sentinel-plus-noise. Banded cost >= exact cost by construction "
+    f"and equals it once the band covers the warping "
+    f"(tests/test_round8_dtw_band.py pins both on the fixture)",
+)
+def ts_dtw_banded(spark, sf_dir):
+    pairs = _dtw_pairs(spark, sf_dir)
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            _dtw_banded_cost(_DTW_BAND).cast("long").alias("dtw_cost"),
         )
         .orderBy("type_a", "type_b")
     )

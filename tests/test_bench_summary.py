@@ -31,8 +31,14 @@ def _fake_out(n_families: int) -> dict:
         "sf": 0.1,
         "families": families,
         "families_total": 99999.999,
-        "families_isolated": dict(list(families.items())[:10]),
+        # isolation batch = 10 slowest + up to 5 regression candidates
+        "families_isolated": dict(list(families.items())[:15]),
         "family_errors": {f"broken_query_{i}": "x" * 300 for i in range(25)},
+        # regression gate: at most 5 entries (find_regressions caps k)
+        "regressions": {
+            f"some_quite_long_query_name_{i:04d}": 123.45 for i in range(5)
+        },
+        "regressions_ref_round": 7,
     }
 
 
@@ -48,9 +54,11 @@ def test_summary_carries_the_numbers_the_judge_reads():
     assert set(s["queries"]) == set(HEADLINE)
     assert s["families_n"] == 446
     assert s["families_total"] == 99999.999
-    assert len(s["families_isolated"]) == 10
+    assert len(s["families_isolated"]) == 10  # 10-slowest slice of the 15-entry batch
     assert s["family_errors_n"] == 25  # count, never the 300-char bodies
     assert s["detail"] == "bench_full.json"
+    assert len(s["regressions"]) == 5  # gate verdict rides the short line
+    assert s["regressions_ref_round"] == 7
 
 
 def test_headline_errors_pass_through_but_errors_stay_counted():
@@ -59,6 +67,40 @@ def test_headline_errors_pass_through_but_errors_stay_counted():
     s = summarize(out, have_detail=False)
     assert s["headline_errors"] == {"win_rank": "AnalysisException: boom"}
     assert "detail" not in s
+
+
+def test_find_regressions_gate_semantics():
+    from bench import find_regressions
+
+    ref = {"a": 1.0, "b": 2.0, "c": 0.04, "d": 1.0, "zero": 0.0}
+    now = {
+        "a": 1.6,      # >1.5x and >=0.5s -> flagged
+        "b": 2.9,      # 1.45x -> under threshold, not flagged
+        "c": 0.2,      # 5x but under the 0.5s absolute floor -> not flagged
+        "d": 0.9,      # faster than 1.5x -> not flagged
+        "new_query": 99.0,  # absent from ref -> can't regress
+        "zero": 9.0,   # prev==0 guard -> not flagged
+    }
+    assert find_regressions(now, ref) == {"a": 1.6}
+    # worst-k cap: 7 regressions in, only the 5 worst ratios out
+    ref7 = {f"q{i}": 1.0 for i in range(7)}
+    now7 = {f"q{i}": 2.0 + i for i in range(7)}
+    out = find_regressions(now7, ref7)
+    assert len(out) == 5
+    assert set(out) == {"q2", "q3", "q4", "q5", "q6"}  # worst ratios
+    # empty reference (first round with the gate): nothing flags
+    assert find_regressions(now7, {}) == {}
+
+
+def test_summary_regressions_field_explicit_when_sweep_ran():
+    out = _fake_out(50)
+    out["regressions"] = {}  # sweep ran, nothing regressed
+    s = summarize(out, have_detail=True)
+    assert s["regressions"] == {}  # explicit empty, not missing
+    # headline-only run (no sweep): no families key -> no regressions key
+    out2 = {k: v for k, v in _fake_out(0).items() if "famil" not in k and "regress" not in k}
+    s2 = summarize(out2, have_detail=True)
+    assert "regressions" not in s2
 
 
 def test_summary_bounded_even_when_every_headliner_fails():
