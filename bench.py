@@ -25,6 +25,12 @@ not per-data work: at 100x the data it amortizes to noise, and a real
 deployment reuses plans exactly as the steady-state mode does (cached
 DataFrames / prepared views).
 
+Steady-state floor: ONE Spark action on this box costs ~35-50 ms with
+zero data (range(1), measured by scripts/floor_probe.py — see the
+BASELINE.md round-8 note). The four sub-60-ms headliners persistently
+>2x vs DuckDB sit AT that floor; fused rewrites were measured no
+faster. Settled — don't re-litigate per-round.
+
 "families" times every declared query once (cold, single run) so
 regressions outside the 14 headliners stay visible round over round.
 

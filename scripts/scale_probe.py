@@ -800,6 +800,43 @@ def round16_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round16_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
+    """VERDICT r7 item 4: the round-7 additions pushed to 100x — the
+    same rigor the r15 tail set got. All are events-driven; at 100x the
+    calendar spans ~9.6 years (100 copies x 35-day shift), so the
+    calendar-bounded shapes (matrix profile, DTW) get their honest
+    long-calendar test. ts_dtw_banded rides along as the round-8 dial
+    demonstration: the band makes DTW calendar-LINEAR (days*w), so it
+    runs at 100x where exact ts_dtw (days^2: ~12M cells/pair at 3.5k
+    days) is run at 10x only — the measured before/after of the dial."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_calibration_bins",
+        "agg_capture_recapture",
+        "agg_sprt",
+        "ts_wma_crossover",
+        "geo_cpa",
+        "ts_matrix_profile",
+        "ts_dtw_banded",
+    ]
+    out = {}
+    for label, sfdir in (
+        ("1x", sfdir_1x),
+        ("10x", sfdir_10x),
+        ("100x", sfdir_100x),
+    ):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
@@ -807,6 +844,10 @@ def main() -> None:
     sfdir10 = build_sfdir(spark)
     if "--r16" in sys.argv:
         round16_registered(spark, SF, sfdir10)
+        return
+    if "--r16-100x" in sys.argv:
+        sfdir100 = build_sfdir100(spark)
+        round16_100x(spark, SF, sfdir10, sfdir100)
         return
     if "--r15" in sys.argv:
         sfdir100 = build_sfdir100(spark)
