@@ -837,11 +837,42 @@ def round16_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
     return out
 
 
+def round17_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-8 pack: rankings are nation-partition-local windows over
+    one customer/orders rollup; HHI/Lorenz/trimmed-mean are keyed
+    aggregates plus metadata-sized tails; Page-Hinkley is one daily
+    rollup. Expect FLAT to mildly growing (the fact rollups)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "rank_ndcg",
+        "rank_mrr",
+        "agg_hhi",
+        "agg_lorenz",
+        "agg_trimmed_mean",
+        "ts_page_hinkley",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r17" in sys.argv:
+        round17_registered(spark, SF, sfdir10)
+        return
     if "--r16" in sys.argv:
         round16_registered(spark, SF, sfdir10)
         return

@@ -129,6 +129,7 @@ def _load_all() -> None:
         sorting,
         stats6,
         stats7,
+        stats8,
         subqueries,
         timeseries,
         tpch,

@@ -135,6 +135,31 @@ DIVERSITY: dict[str, dict] = {
         "distinct": {"dtw_cost": 2},
         "check": lambda p: bool((p["dtw_cost"] < 10**15).any()),
     },
+    # round-8 pack: rankings must separate nations (not all-perfect /
+    # all-miss), concentration and distribution outputs must vary,
+    # the PH walk must move, Lorenz must reach exactly 100% and show
+    # actual inequality below the top decile
+    "rank_ndcg": {
+        "min_rows": 2,
+        "distinct": {"ndcg_ppm": 2},
+        "check": lambda p: bool((p["ndcg_ppm"] < 1000000).any()),
+    },
+    "rank_mrr": {
+        "min_rows": 2,
+        "distinct": {"rr_micro": 2},
+        "check": lambda p: bool((p["first_hit_rank"] > 0).any()),
+    },
+    "agg_hhi": {"min_rows": 2, "distinct": {"hhi_e12": 2}},
+    "agg_lorenz": {
+        "min_rows": 10,
+        "distinct": {"cum_bal_ppm": 10},
+        "check": lambda p: bool(
+            p["cum_bal_ppm"].iloc[-1] == 1000000
+            and (p["cum_bal_ppm"][:-1] < p["cum_cust_ppm"][:-1]).all()
+        ),
+    },
+    "agg_trimmed_mean": {"min_rows": 2, "distinct": {"mean_micro": 2}},
+    "ts_page_hinkley": {"min_rows": 2, "distinct": {"m_scaled": 2}},
     "agg_atkinson": {"min_rows": 2, "distinct": {"atkinson_half": 2}},
     "text_hapax_ratio": {"min_rows": 2, "distinct": {"hapax_ppm": 2}},
     "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},

@@ -1,0 +1,221 @@
+"""Brute-force references for the round-8 additions (rank_ndcg,
+rank_mrr, agg_hhi, agg_lorenz, agg_trimmed_mean, ts_page_hinkley):
+each query's values recomputed with plain Python exact ints from the
+raw parquet, independent of both engines' SQL."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from shippinglanes_spark.operators.stats8 import (
+    _MRR_PRICE,
+    _MRR_PRIORITY,
+    _NDCG_DISC,
+    _NDCG_K,
+    _NDCG_REL_CAP,
+    _PH_LAMBDA,
+    _TRIM_DEN,
+)
+from shippinglanes_spark.registry import all_queries
+
+Q = all_queries()
+
+
+@pytest.fixture(scope="module")
+def raw(sf_dir):
+    con = duckdb.connect()
+    cust = con.sql(
+        f"SELECT c_custkey, c_nationkey, c_acctbal FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+    orders = con.sql(
+        f"SELECT o_custkey, o_totalprice, o_orderpriority, o_orderkey "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    li = con.sql(
+        f"SELECT l.l_suppkey, n.n_regionkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') l "
+        f"JOIN read_parquet('{sf_dir}/supplier.parquet') s "
+        f"  ON l.l_suppkey = s.s_suppkey "
+        f"JOIN read_parquet('{sf_dir}/nation.parquet') n "
+        f"  ON s.s_nationkey = n.n_nationkey"
+    ).fetchall()
+    ev = con.sql(
+        f"SELECT event_type, ts FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    con.close()
+    return {"cust": cust, "orders": orders, "li": li, "ev": ev}
+
+
+def _cents(v: float) -> int:
+    # 2-dp doubles: v*100 is within 1e-9 of an integer, so any
+    # round-to-nearest mode agrees (the engines use ROUND)
+    return int(round(v * 100))
+
+
+def _rel_by_cust(raw):
+    cnt = {}
+    for ck, _p, _pri, _ok in raw["orders"]:
+        cnt[ck] = cnt.get(ck, 0) + 1
+    return {
+        ck: min(cnt.get(ck, 0), _NDCG_REL_CAP)
+        for ck, _n, _b in raw["cust"]
+    }
+
+
+def test_ndcg_matches_python(spark, sf_dir, raw):
+    rel = _rel_by_cust(raw)
+    by_nation = {}
+    for ck, nk, bal in raw["cust"]:
+        by_nation.setdefault(nk, []).append((ck, bal, rel[ck]))
+    expected = {}
+    for nk, rows in by_nation.items():
+        sys_order = sorted(rows, key=lambda r: (-r[1], r[0]))[:_NDCG_K]
+        ideal_order = sorted(rows, key=lambda r: (-r[2], r[0]))[:_NDCG_K]
+        dcg = sum(
+            r[2] * _NDCG_DISC[i] for i, r in enumerate(sys_order)
+        )
+        idcg = sum(
+            r[2] * _NDCG_DISC[i] for i, r in enumerate(ideal_order)
+        )
+        if idcg > 0:
+            expected[nk] = (dcg, idcg, dcg * 1000000 // idcg)
+    got = {
+        r.nation_id: (r.dcg_micro, r.idcg_micro, r.ndcg_ppm)
+        for r in Q["rank_ndcg"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # metric sanity: nDCG <= 1 always, and not all nations perfect
+    assert all(v[2] <= 1000000 for v in got.values())
+
+
+def test_mrr_matches_python(spark, sf_dir, raw):
+    hit = {
+        ck
+        for ck, p, pri, _ok in raw["orders"]
+        if p > _MRR_PRICE and pri == _MRR_PRIORITY
+    }
+    by_nation = {}
+    for ck, nk, bal in raw["cust"]:
+        by_nation.setdefault(nk, []).append((ck, bal))
+    expected = {}
+    for nk, rows in by_nation.items():
+        ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+        first = next(
+            (i + 1 for i, (ck, _b) in enumerate(ranked) if ck in hit), 0
+        )
+        expected[nk] = (first, 1000000 // first if first else 0)
+    got = {
+        r.nation_id: (r.first_hit_rank, r.rr_micro)
+        for r in Q["rank_mrr"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_hhi_matches_python(spark, sf_dir, raw):
+    cnt = {}
+    for sk, rk in raw["li"]:
+        cnt[(rk, sk)] = cnt.get((rk, sk), 0) + 1
+    tot, nsup = {}, {}
+    for (rk, _sk), c in cnt.items():
+        tot[rk] = tot.get(rk, 0) + c
+        nsup[rk] = nsup.get(rk, 0) + 1
+    expected = {}
+    for (rk, _sk), c in cnt.items():
+        share = c * 1000000 // tot[rk]
+        expected[rk] = expected.get(rk, 0) + share * share
+    got = {
+        r.region_id: (r.n_suppliers, r.hhi_e12)
+        for r in Q["agg_hhi"].fn(spark, sf_dir).collect()
+    }
+    assert got == {rk: (nsup[rk], h) for rk, h in expected.items()}
+    # a share-sum-squared lives in (1e12/n, 1e12]
+    for rk, (n, h) in got.items():
+        assert h <= 10**12 and h * n >= 10**12 * 0.9
+
+
+def _ntile(rows: list, k: int) -> list[list]:
+    """NTILE semantics (both engines): first n%k buckets get one extra."""
+    n = len(rows)
+    base, extra = divmod(n, k)
+    out, i = [], 0
+    for b in range(k):
+        size = base + (1 if b < extra else 0)
+        out.append(rows[i : i + size])
+        i += size
+    return out
+
+
+def test_lorenz_matches_python(spark, sf_dir, raw):
+    pos = sorted(
+        (_cents(b), ck) for ck, _n, b in raw["cust"] if b > 0
+    )
+    buckets = _ntile(pos, 10)
+    tn, tb = len(pos), sum(c for c, _ in pos)
+    cum_c = cum_b = 0
+    expected = []
+    for d, bucket in enumerate(buckets, start=1):
+        cum_c += len(bucket)
+        cum_b += sum(c for c, _ in bucket)
+        expected.append(
+            (d, len(bucket), cum_c * 1000000 // tn, cum_b * 1000000 // tb)
+        )
+    got = [
+        (r.decile, r.n_cust, r.cum_cust_ppm, r.cum_bal_ppm)
+        for r in Q["agg_lorenz"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # Lorenz shape: cumulative balance share must lag population share
+    # strictly below the top decile (inequality exists in the fixture)
+    assert all(b < c for _d, _n, c, b in got[:-1])
+    assert got[-1][2] == got[-1][3] == 1000000
+
+
+def test_trimmed_mean_matches_python(spark, sf_dir, raw):
+    by_pri = {}
+    for _ck, p, pri, ok in raw["orders"]:
+        by_pri.setdefault(pri, []).append((p, ok))
+    expected = {}
+    for pri, rows in by_pri.items():
+        rows.sort()
+        k = len(rows) // _TRIM_DEN
+        kept = rows[k : len(rows) - k]
+        s = sum(_cents(p) for p, _ok in kept)
+        expected[pri] = (len(kept), s, s * 10000 // len(kept))
+    got = {
+        r.o_orderpriority: (r.n_kept, r.sum_cents, r.mean_micro)
+        for r in Q["agg_trimmed_mean"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # trimming must actually trim (10% tails exist at every SF)
+    assert all(
+        got[p][0] < len(by_pri[p]) for p in got
+    )
+
+
+def test_page_hinkley_matches_python(spark, sf_dir, raw):
+    cut = 19738  # 2024-01-16 as epoch day (shared literal's day index)
+    days = {}
+    for et, ts in raw["ev"]:
+        if et == "purchase":
+            di = ts.date().toordinal() - 719163
+            days[di] = days.get(di, 0) + 1
+    pre = {d: x for d, x in days.items() if d < cut}
+    ps, pd = sum(pre.values()), len(pre)
+    m = 0
+    mn = None  # running min over OBSERVED walk values only (no 0 seed)
+    expected = []
+    for di in sorted(d for d in days if d >= cut):
+        m += pd * days[di] - ps
+        mn = m if mn is None else min(mn, m)
+        ph = m - mn
+        expected.append((di, days[di], m, ph, ph > _PH_LAMBDA * pd))
+    got = [
+        (r.day_index, r.purchases, r.m_scaled, r.ph_scaled, r.alarm)
+        for r in Q["ts_page_hinkley"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # the walk must move (not a constant series)
+    assert len({m for _d, _x, m, _p, _a in got}) >= 2
