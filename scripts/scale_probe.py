@@ -852,6 +852,8 @@ def round17_registered(spark, sfdir_1x, sfdir_10x):
         "agg_lorenz",
         "agg_trimmed_mean",
         "ts_page_hinkley",
+        "evt_seq_support",
+        "graph_connected_components",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

@@ -2023,3 +2023,150 @@ def graph_conductance(spark, sf_dir):
         )
         .orderBy("community")
     )
+
+
+@register(
+    "graph_connected_components",
+    section="2.9",
+    oracle="""
+    WITH ls AS (
+      SELECT l.l_orderkey AS okey, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    oc AS (
+      SELECT o.o_orderkey AS okey, c.c_nationkey AS src
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    e AS (
+      SELECT oc.src, ls.dst, CAST(SUM(ls.w) AS BIGINT) AS w
+      FROM ls JOIN oc ON ls.okey = oc.okey
+      WHERE oc.src <> ls.dst
+      GROUP BY 1, 2),
+    u AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                 CAST(SUM(w) AS BIGINT) AS w
+          FROM e GROUP BY 1, 2),
+    topk AS (SELECT a, b FROM (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY w DESC, a, b) AS rn
+        FROM u) WHERE rn <= 30),
+    nations AS (SELECT DISTINCT src AS v FROM e
+                UNION SELECT DISTINCT dst FROM e),
+    nbr AS (SELECT a AS v, b AS n FROM topk
+            UNION ALL SELECT b, a FROM topk),
+    -- reachability closure, NOT per-node label relaxation: a recursive
+    -- CTE's working table holds only the PREVIOUS iteration's new rows,
+    -- so a node whose label is already locally minimal drops out and
+    -- never hears about smaller labels arriving later (bug caught
+    -- during round-8 development — the relaxation form returned
+    -- impossible singleton components). Accumulating (v, reachable
+    -- label) pairs is immune: rows propagate hop by hop regardless of
+    -- any per-node state, and MIN per v over the closure IS the
+    -- component minimum.
+    lab AS (WITH RECURSIVE cc(v, lbl) AS (
+        SELECT v, v FROM nations
+        UNION
+        SELECT nbr.v, c.lbl FROM nbr JOIN cc c ON c.v = nbr.n)
+      SELECT v, MIN(lbl) AS lbl FROM cc GROUP BY v)
+    SELECT lab.v AS nation_id, CAST(lab.lbl AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY lab.lbl) AS BIGINT)
+             AS comp_size
+    FROM lab ORDER BY nation_id
+    """,
+    notes="connected components over the 30 strongest undirected trade "
+    "lanes (symmetrized weights, w-desc (a,b)-asc tiebreak): min-label "
+    "propagation to convergence, labels = the smallest nation id in "
+    "each component, isolated nations legitimately form their own "
+    "singletons — the trade-bloc detector. The global top-K edge rule "
+    "fragments at every SF (13/12/12 components at the three "
+    "fixtures) where a weight-threshold backbone saturates to one "
+    "component past sf0.001 and the mutual-top-partner rule leaves 24 "
+    "singletons (both shapes probed and rejected during design). "
+    "Engine iterates label relaxation with localCheckpoint per round "
+    "(graph-sized frames, diameter-bounded trips); oracle is a "
+    "recursive reachability closure (see the inline comment for why "
+    "NOT label relaxation). All exact integers",
+)
+def graph_connected_components(spark, sf_dir):
+    """Trade blocs via min-label propagation on the top-30-lane graph.
+    The edge build reuses the pre-aggregated shape of
+    graph_link_prediction (lineitem collapses to orderkey x supplier
+    nation BEFORE the orders/customer join); the top-K pick is one
+    ROW_NUMBER over the ~|V|^2-row symmetrized edge list (metadata-
+    sized at any corpus scale). The label loop is driver-paced but
+    every frame is GRAPH-sized (<= 25 rows here; |V| rows in
+    general): at billion-edge scale the same loop runs with the
+    alternating large-star/small-star optimization — the
+    per-iteration plan (join edges to labels, min per vertex) is
+    unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    ls = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_orderkey").alias("okey"),
+                 F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("okey"), F.col("c_nationkey").alias("src")
+    )
+    e = (
+        ls.join(oc, "okey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    u = (
+        e.groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.orderBy(F.col("w").desc(), F.col("a"), F.col("b"))
+    )
+    topk = u.withColumn("rn", rn).where(F.col("rn") <= 30).select("a", "b")
+    nations = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    nbr = topk.select(F.col("a").alias("v"), F.col("b").alias("n")).unionByName(
+        topk.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    ).localCheckpoint()
+    lab = nations.select("v", F.col("v").alias("lbl")).localCheckpoint()
+    while True:
+        from_nbrs = (
+            nbr.join(lab.withColumnRenamed("v", "n"), "n")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_lab = (
+            lab.join(from_nbrs, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    "lbl", F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.withColumnRenamed("lbl", "lbl2")
+            .join(lab, "v")
+            .where(F.col("lbl2") != F.col("lbl"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    wsize = _W.partitionBy("lbl")
+    return lab.select(
+        F.col("v").alias("nation_id"),
+        F.col("lbl").cast("long").alias("component"),
+        F.count(F.lit(1)).over(wsize).cast("long").alias("comp_size"),
+    ).orderBy("nation_id")

@@ -526,3 +526,77 @@ def ts_page_hinkley(spark, sf_dir):
         )
         .orderBy("day_index")
     )
+
+
+# total-user denominator note: support is over users with ANY event
+@register(
+    "evt_seq_support",
+    section="2.10",
+    oracle="""
+    WITH day AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08'
+        AND ts < TIMESTAMP '2024-01-09'),
+    u AS (
+      SELECT user_id, event_type,
+             CAST(MIN(us) AS BIGINT) AS f,
+             CAST(MAX(us) AS BIGINT) AS l
+      FROM day GROUP BY 1, 2),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM day),
+    sup AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM u a JOIN u b ON a.user_id = b.user_id AND a.f < b.l
+      GROUP BY 1, 2)
+    SELECT s.type_a, s.type_b, s.n_users,
+           CAST(s.n_users * 1000000 // t.n AS BIGINT) AS support_ppm
+    FROM sup s CROSS JOIN tot t
+    ORDER BY s.type_a, s.type_b
+    """,
+    notes="order-preserving sequential-pattern support (PrefixSpan's "
+    "length-2 layer) over ONE day's sessions (2024-01-08): for every "
+    "ordered event-type pair (a, b) — including a=b, the repeat "
+    "pattern — the number of that day's users whose events contain "
+    "some a BEFORE some b, as first-occurrence(a) < last-occurrence(b) "
+    "(exactly the exists-subsequence condition for k=2). The day slice "
+    "is the informative window: over the full 30-day history every "
+    "active user exhibits every pair and support collapses to 1e6 ppm "
+    "uniformly (caught by this round's degeneracy contract "
+    "pre-commit). One user-type-keyed min/max rollup, then a "
+    "user-co-keyed self-join with bounded 5x5 fanout; support in "
+    "integer ppm of the day's active users. The subsequence companion "
+    "to evt_transitions (consecutive bigrams) and evt_assoc_rules "
+    "(unordered baskets)",
+)
+def evt_seq_support(spark, sf_dir):
+    from ..core import epoch_us
+
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-09").cast("timestamp"))
+    )
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.min(epoch_us("ts")).cast("long").alias("f"),
+        F.max(epoch_us("ts")).cast("long").alias("l"),
+    )
+    tot = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"), "f")
+    b = u.select("user_id", F.col("event_type").alias("type_b"), "l")
+    sup = (
+        a.join(b, "user_id")
+        .where(F.col("f") < F.col("l"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return (
+        sup.join(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            F.expr("CAST(n_users * 1000000 div n AS BIGINT)").alias(
+                "support_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -160,6 +160,19 @@ DIVERSITY: dict[str, dict] = {
     },
     "agg_trimmed_mean": {"min_rows": 2, "distinct": {"mean_micro": 2}},
     "ts_page_hinkley": {"min_rows": 2, "distinct": {"m_scaled": 2}},
+    # round-8 pack 2: sequence support must not be the full 25-pair
+    # grid at 1e6 ppm (everyone-does-everything collapse); the top-30
+    # trade lanes must fragment into >1 component with a real bloc
+    "evt_seq_support": {
+        "min_rows": 4,
+        "distinct": {"support_ppm": 2},
+        "check": lambda p: bool((p["support_ppm"] < 1000000).any()),
+    },
+    "graph_connected_components": {
+        "min_rows": 5,
+        "distinct": {"component": 2},
+        "check": lambda p: bool((p["comp_size"] > 1).any()),
+    },
     "agg_atkinson": {"min_rows": 2, "distinct": {"atkinson_half": 2}},
     "text_hapax_ratio": {"min_rows": 2, "distinct": {"hapax_ppm": 2}},
     "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},

@@ -219,3 +219,110 @@ def test_page_hinkley_matches_python(spark, sf_dir, raw):
     assert got == expected
     # the walk must move (not a constant series)
     assert len({m for _d, _x, m, _p, _a in got}) >= 2
+
+
+def test_seq_support_matches_python(spark, sf_dir):
+    # raw["ev"] lacks user_id, so this test reads its own slice
+    first, last, users = {}, {}, set()
+    con = duckdb.connect()
+    ev = con.sql(
+        f"SELECT user_id, event_type, epoch_us(ts) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE ts >= TIMESTAMP '2024-01-08' "
+        f"AND ts < TIMESTAMP '2024-01-09'"
+    ).fetchall()
+    con.close()
+    for uid, et, us in ev:
+        users.add(uid)
+        k = (uid, et)
+        first[k] = min(first.get(k, us), us)
+        last[k] = max(last.get(k, us), us)
+    types = sorted({et for _u, et, _t in ev})
+    expected = {}
+    for a in types:
+        for b in types:
+            n = sum(
+                1
+                for uid in users
+                if (uid, a) in first
+                and (uid, b) in last
+                and first[(uid, a)] < last[(uid, b)]
+            )
+            if n:
+                expected[(a, b)] = (n, n * 1000000 // len(users))
+    got = {
+        (r.type_a, r.type_b): (r.n_users, r.support_ppm)
+        for r in Q["evt_seq_support"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the day slice keeps support informative: never uniformly 1e6
+    assert any(v[1] < 1000000 for v in got.values())
+
+
+def _unionfind_components(edges, nodes):
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label convention: component id = smallest member
+    lbl = {v: find(v) for v in nodes}
+    # path-compress to the true min via a second sweep
+    changed = True
+    while changed:
+        changed = False
+        for v in nodes:
+            if lbl[lbl[v]] < lbl[v]:
+                lbl[v] = lbl[lbl[v]]
+                changed = True
+    return lbl
+
+
+def test_connected_components_matches_unionfind(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rows = con.sql("""
+        WITH ls AS (SELECT l.l_orderkey okey, s.s_nationkey dst,
+                           CAST(COUNT(*) AS BIGINT) w
+                    FROM lineitem l JOIN supplier s
+                      ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2),
+        oc AS (SELECT o.o_orderkey okey, c.c_nationkey src
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT oc.src, ls.dst, CAST(SUM(ls.w) AS BIGINT) w
+        FROM ls JOIN oc USING (okey) WHERE oc.src <> ls.dst GROUP BY 1, 2
+    """).fetchall()
+    con.close()
+    und = {}
+    nodes = set()
+    for s, d, w in rows:
+        nodes.update((s, d))
+        k = (min(s, d), max(s, d))
+        und[k] = und.get(k, 0) + w
+    top30 = [
+        k
+        for k, _w in sorted(und.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    ]
+    lbl = _unionfind_components(top30, nodes)
+    sizes = {}
+    for v in nodes:
+        sizes[lbl[v]] = sizes.get(lbl[v], 0) + 1
+    got = {
+        r.nation_id: (r.component, r.comp_size)
+        for r in Q["graph_connected_components"].fn(spark, sf_dir).collect()
+    }
+    assert got == {v: (lbl[v], sizes[lbl[v]]) for v in nodes}
+    # non-degenerate at every fixture: >1 component, one of size > 1
+    assert len(sizes) > 1 and max(sizes.values()) > 1
