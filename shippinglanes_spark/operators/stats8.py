@@ -142,6 +142,9 @@ def rank_ndcg(spark, sf_dir):
             "c_acctbal",
             "rel",
         )
+        # rel feeds BOTH rankings; without this the customer/orders
+        # join runs twice (two fact scans at 100 TB)
+        .localCheckpoint()
     )
     w_sys = W.partitionBy("nation_id").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
@@ -294,6 +297,9 @@ def agg_hhi(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_regionkey").alias("region_id"), "l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # supplier-count-sized and read twice (totals + share join):
+        # checkpoint so the lineitem rollup runs once
+        .localCheckpoint()
     )
     tot = m.groupBy("region_id").agg(
         F.sum("cnt").cast("long").alias("tot"),
@@ -357,7 +363,7 @@ def agg_lorenz(spark, sf_dir):
     g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_cust"),
         F.sum("bal_cents").cast("long").alias("bal"),
-    )
+    ).localCheckpoint()  # 10 rows, read twice (totals + cumulative)
     tot = g.agg(
         F.sum("bal").cast("long").alias("tb"),
         F.sum("n_cust").cast("long").alias("tn"),
@@ -499,7 +505,7 @@ def ts_page_hinkley(spark, sf_dir):
         f"CAST(unix_micros(CAST('{_PH_CUT_DATE}' AS TIMESTAMP))"
         " div 86400000000 AS BIGINT)"
     )
-    d = d.withColumn("c", cut_di)
+    d = d.withColumn("c", cut_di).localCheckpoint()  # ~30 rows, read twice
     pre = d.where(F.col("di") < F.col("c")).agg(
         F.sum("x").cast("long").alias("ps"),
         F.count(F.lit(1)).cast("long").alias("pd"),
@@ -578,7 +584,7 @@ def evt_seq_support(spark, sf_dir):
     u = ev.groupBy("user_id", "event_type").agg(
         F.min(epoch_us("ts")).cast("long").alias("f"),
         F.max(epoch_us("ts")).cast("long").alias("l"),
-    )
+    ).localCheckpoint()  # user-type-sized, read twice (both join sides)
     tot = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
     a = u.select("user_id", F.col("event_type").alias("type_a"), "f")
     b = u.select("user_id", F.col("event_type").alias("type_b"), "l")
