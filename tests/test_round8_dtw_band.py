@@ -119,3 +119,23 @@ def test_band_monotone_in_w(spark):
 
 def test_registered_band_literal_is_the_documented_one():
     assert _DTW_BAND == 7  # oracle SQL and notes embed this literal
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_series = st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None)
+@given(va=_series, vb=_series, w=st.integers(min_value=0, max_value=9))
+def test_banded_fold_hypothesis(spark, va, vb, w):
+    """Random series and band widths: the Spark fold IS the banded DP.
+    Also pins the two structural invariants: banded >= exact (band can
+    only remove paths) and full-width band == exact."""
+    got = _banded_on(spark, [(va, vb)], w)[0]
+    assert got == _py_banded_dtw(va, vb, w)
+    exact = _py_banded_dtw(va, vb, max(len(va), len(vb)))
+    assert got >= exact
+    wide = _banded_on(spark, [(va, vb)], max(len(va), len(vb)))[0]
+    assert wide == exact
