@@ -854,6 +854,8 @@ def round17_registered(spark, sfdir_1x, sfdir_10x):
         "ts_page_hinkley",
         "evt_seq_support",
         "graph_connected_components",
+        "pipeline_tokenizer_fertility",
+        "text_marker_dominance",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

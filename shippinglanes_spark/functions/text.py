@@ -1677,3 +1677,145 @@ def text_hapax_ratio(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_tokenizer_fertility",
+    section="2.9",
+    oracle="""
+    WITH d AS (
+      SELECT lang, source,
+             CAST(len(text) AS BIGINT) AS chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS words,
+             CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS toks
+      FROM documents)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(words) AS BIGINT) AS sum_words,
+           CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+           CAST(SUM(chars) * 1000 // SUM(toks) AS BIGINT)
+             AS chars_per_token_milli,
+           CAST(SUM(toks) * 1000 // SUM(words) AS BIGINT)
+             AS tokens_per_word_milli
+    FROM d GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    notes="tokenizer fertility per (lang, source): chars-per-token and "
+    "tokens-per-word in exact MILLI units (integer division of BIGINT "
+    "corpus sums) under the shared BPE-ish alnum-run tokenizer — the "
+    "per-language cost model every multilingual token-budget plan "
+    "needs (a language with high chars/token is cheap to store, "
+    "expensive to train). One corpus pass, one tiny keyed aggregate; "
+    "the group relation is vocabulary-of-(lang x source)-sized at any "
+    "scale",
+)
+def pipeline_tokenizer_fertility(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    toks = F.filter(F.split("text", "[^a-z0-9]+"), lambda x: x != "")
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.size(words).cast("long").alias("words"),
+        F.size(toks).cast("long").alias("toks"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("sum_chars"),
+            F.sum("words").cast("long").alias("sum_words"),
+            F.sum("toks").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sum_chars",
+            "sum_words",
+            "sum_tokens",
+            F.expr(
+                "CAST(sum_chars * 1000 div sum_tokens AS BIGINT)"
+            ).alias("chars_per_token_milli"),
+            F.expr(
+                "CAST(sum_tokens * 1000 div sum_words AS BIGINT)"
+            ).alias("tokens_per_word_milli"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "text_marker_dominance",
+    section="2.9",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+                  AS BIGINT) AS c0,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'data'))
+                  AS BIGINT) AS c1,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'table'))
+                  AS BIGINT) AS c2,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'join'))
+                  AS BIGINT) AS c3,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'window'))
+                  AS BIGINT) AS c4
+      FROM documents)
+    SELECT doc_id,
+           CAST(CAST(c0 > 0 AS INT) + CAST(c1 > 0 AS INT)
+                + CAST(c2 > 0 AS INT) + CAST(c3 > 0 AS INT)
+                + CAST(c4 > 0 AS INT) AS BIGINT) AS n_langs_present,
+           CAST(c0 + c1 + c2 + c3 + c4 AS BIGINT) AS total_markers,
+           CAST(GREATEST(c0, c1, c2, c3, c4) * 1000000
+                // (c0 + c1 + c2 + c3 + c4) AS BIGINT)
+             AS dominant_share_ppm
+    FROM c WHERE c0 + c1 + c2 + c3 + c4 > 0
+    ORDER BY doc_id
+    """,
+    notes="code-switch / language-mixedness profile per document from "
+    "the text_langid marker counts: how many marker languages appear "
+    "at all, and the dominant marker's share in integer ppm — the "
+    "mixed-language document filter a multilingual curation pipeline "
+    "runs before per-language routing (a doc whose dominant share is "
+    "~1/k is marker soup, not prose in any one language). Shares are "
+    "exact integer divisions of exact counts; docs with zero markers "
+    "drop (no denominator). Zero-shuffle: one projection pass",
+)
+def text_marker_dominance(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def _cnt(marker):
+        # closure, NOT a default-arg lambda: a two-arg lambda makes
+        # F.filter pass (element, index) — the text_langid pitfall
+        return F.size(F.filter(toks, lambda x: x == marker)).cast("long")
+
+    counts = [
+        _cnt(marker).alias(f"c{i}")
+        for i, (marker, _) in enumerate(_LANG_MARKERS)
+    ]
+    c = d.select("doc_id", *counts)
+    cs = [F.col(f"c{i}") for i in range(len(_LANG_MARKERS))]
+    total = cs[0] + cs[1] + cs[2] + cs[3] + cs[4]
+    present = sum(
+        (ci > 0).cast("long") for ci in cs[1:]
+    ) + (cs[0] > 0).cast("long")
+    return (
+        c.withColumn("total_markers", total.cast("long"))
+        .where(F.col("total_markers") > 0)
+        .select(
+            "doc_id",
+            present.cast("long").alias("n_langs_present"),
+            "total_markers",
+            F.expr(
+                "CAST(greatest(c0, c1, c2, c3, c4) * 1000000"
+                " div (c0 + c1 + c2 + c3 + c4) AS BIGINT)"
+            ).alias("dominant_share_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -173,6 +173,17 @@ DIVERSITY: dict[str, dict] = {
         "distinct": {"component": 2},
         "check": lambda p: bool((p["comp_size"] > 1).any()),
     },
+    # round-8 pack 3: fertility must separate (lang, source) cells;
+    # dominance must not report every doc as pure single-language
+    "pipeline_tokenizer_fertility": {
+        "min_rows": 2,
+        "distinct": {"chars_per_token_milli": 2},
+    },
+    "text_marker_dominance": {
+        "min_rows": 5,
+        "distinct": {"dominant_share_ppm": 3},
+        "check": lambda p: bool((p["n_langs_present"] > 1).any()),
+    },
     "agg_atkinson": {"min_rows": 2, "distinct": {"atkinson_half": 2}},
     "text_hapax_ratio": {"min_rows": 2, "distinct": {"hapax_ppm": 2}},
     "ts_matrix_profile": {"min_rows": 2, "distinct": {"mp_sq": 2}},

@@ -326,3 +326,66 @@ def test_connected_components_matches_unionfind(spark, sf_dir):
     assert got == {v: (lbl[v], sizes[lbl[v]]) for v in nodes}
     # non-degenerate at every fixture: >1 component, one of size > 1
     assert len(sizes) > 1 and max(sizes.values()) > 1
+
+
+def test_tokenizer_fertility_matches_python(spark, sf_dir):
+    import re
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT lang, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    agg = {}
+    for lang, source, text in docs:
+        words = [w for w in text.split(" ") if w]
+        toks = [t for t in re.split(r"[^a-z0-9]+", text) if t]
+        k = (lang, source)
+        n, ch, wd, tk = agg.get(k, (0, 0, 0, 0))
+        agg[k] = (n + 1, ch + len(text), wd + len(words), tk + len(toks))
+    expected = {
+        k: (n, ch, wd, tk, ch * 1000 // tk, tk * 1000 // wd)
+        for k, (n, ch, wd, tk) in agg.items()
+    }
+    got = {
+        (r.lang, r.source): (
+            r.n_docs,
+            r.sum_chars,
+            r.sum_words,
+            r.sum_tokens,
+            r.chars_per_token_milli,
+            r.tokens_per_word_milli,
+        )
+        for r in Q["pipeline_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # fertility sanity: >=1 token per word is impossible to exceed by
+    # much under an alnum-run tokenizer on space-separated text
+    assert all(1000 <= v[5] <= 2000 for v in got.values())
+
+
+def test_marker_dominance_matches_python(spark, sf_dir):
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    markers = ["the", "data", "table", "join", "window"]
+    expected = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        cs = [sum(1 for w in ws if w == m) for m in markers]
+        tot = sum(cs)
+        if tot:
+            expected[doc_id] = (
+                sum(1 for c in cs if c > 0),
+                tot,
+                max(cs) * 1000000 // tot,
+            )
+    got = {
+        r.doc_id: (r.n_langs_present, r.total_markers, r.dominant_share_ppm)
+        for r in Q["text_marker_dominance"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
