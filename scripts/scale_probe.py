@@ -869,11 +869,42 @@ def round17_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round18_registered(spark, sfdir_1x, sfdir_10x):
+    """Round-8 pack 2: Wilcoxon/MAP/effect-size are one or two keyed
+    fact rollups + nation/region-local windows; Kalman is a per-type
+    calendar-bounded fold; MaxSim is a FIXED query workload (bounded id
+    range) against a growing candidate corpus, so its cost is
+    queries x corpus — linear in data. Expect FLAT to mildly growing."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_wilcoxon_signed_rank",
+        "rank_map",
+        "agg_effect_size",
+        "ts_kalman_level",
+        "sim_maxsim",
+    ]
+    out = {}
+    for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-probe", shuffle_partitions=32)
     build(spark)
     build_docs(spark)
     sfdir10 = build_sfdir(spark)
+    if "--r18" in sys.argv:
+        round18_registered(spark, SF, sfdir10)
+        return
     if "--r17" in sys.argv:
         round17_registered(spark, SF, sfdir10)
         return

@@ -685,3 +685,148 @@ def sim_mmr_rerank(spark, sf_dir):
     return probes.select("vec_id", "embedding").mapInPandas(
         mmr, schema="vec_id long, rnk long, sel_id long, rel double"
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_maxsim — ColBERT-style late-interaction retrieval
+# ---------------------------------------------------------------------------
+
+_MS_QMOD = 125  # query set: vec_id % _MS_QMOD == 0 ...
+_MS_QMAX = 100_000  # ... below this id bound: the query WORKLOAD is
+# fixed (a bounded id range covers every fixture SF), only the
+# CANDIDATE corpus grows with data — so MaxSim cost is queries x
+# corpus, linear in data, matching how late interaction deploys
+# (a bounded query stream against a growing index)
+_MS_CHUNKS = 4  # 64-d embedding read as 4 "token vectors"...
+_MS_DIM = 16  # ...of 16 dims each
+_MS_TOPK = 3
+
+
+@register(
+    "sim_maxsim",
+    section="2.9",
+    oracle=f"""
+    WITH tok AS (
+      SELECT vec_id, label, u.t AS t,
+             list_transform(
+               embedding[(u.t * {_MS_DIM} + 1):(u.t * {_MS_DIM} + {_MS_DIM})],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS tv
+      FROM embeddings, (SELECT UNNEST([0, 1, 2, 3]) AS t) u),
+    q AS (SELECT * FROM tok
+          WHERE vec_id % {_MS_QMOD} = 0 AND vec_id < {_MS_QMAX}),
+    c AS (SELECT * FROM tok
+          WHERE vec_id % {_MS_QMOD} <> 0 OR vec_id >= {_MS_QMAX}),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.t AS qt,
+             MAX(CAST(list_inner_product(q.tv, c.tv) AS BIGINT)) AS mx
+      FROM q JOIN c ON q.label = c.label
+      GROUP BY 1, 2, 3),
+    score AS (
+      SELECT query_id, cand_id, CAST(SUM(mx) AS BIGINT) AS maxsim
+      FROM dots GROUP BY 1, 2),
+    rk AS (
+      SELECT query_id, cand_id, maxsim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim DESC, cand_id)
+                  AS BIGINT) AS rank
+      FROM score)
+    SELECT query_id, rank, cand_id, maxsim
+    FROM rk WHERE rank <= {_MS_TOPK}
+    ORDER BY query_id, rank
+    """,
+    notes=f"ColBERT-style late-interaction retrieval: each 64-d "
+    f"embedding is read as {_MS_CHUNKS} 'token vectors' of {_MS_DIM} "
+    f"dims, micro-quantized (FLOOR(x*1e6) — float32->double is exact, "
+    f"the multiply is one shared IEEE op), and the MaxSim score is "
+    f"sum over QUERY tokens of max over CANDIDATE tokens of the "
+    f"integer dot product — exact BIGINTs end to end (|x|<=5e5 micro "
+    f"units keeps a 16-dot under 4e12, the 4-term sum under 2e13). "
+    f"Queries are vec_id % {_MS_QMOD} == 0; candidates the same "
+    f"coarse label (rerank-within-bucket, exactly how late "
+    f"interaction deploys behind an ANN candidate generator); top-"
+    f"{_MS_TOPK} per query, ties by cand_id. The multi-vector member "
+    f"of the §2.9 ladder: sim_knn scores one dot per pair, MaxSim "
+    f"scores token alignments",
+)
+def sim_maxsim(spark, sf_dir):
+    """Broadcast the (tiny) query token tensors; each candidate
+    partition scores its rows against every same-label query in one
+    vectorized int64 einsum and emits only its LOCAL top-k per query
+    (partial top-k, the TakeOrderedAndProject discipline), so the
+    global window ranks k x partitions rows per query, never the
+    corpus. At 100 TB the candidate side streams map-side; only the
+    query tensor set must fit in a broadcast."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qrows = e.where(
+        ((F.col("vec_id") % _MS_QMOD) == 0) & (F.col("vec_id") < _MS_QMAX)
+    ).toPandas()
+
+    def tensor(v):
+        arr = np.asarray(v, dtype=np.float64)
+        return np.floor(arr * 1e6).astype(np.int64).reshape(_MS_CHUNKS, _MS_DIM)
+
+    by_label: dict = {}
+    for _, row in qrows.iterrows():
+        by_label.setdefault(int(row["label"]), []).append(
+            (int(row["vec_id"]), tensor(row["embedding"]))
+        )
+    bq = spark.sparkContext.broadcast(by_label)
+    topk = _MS_TOPK
+    qmod = _MS_QMOD
+    qmax = _MS_QMAX
+    chunks, dim = _MS_CHUNKS, _MS_DIM
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        queries = bq.value
+        for pdf in batches:
+            out_q, out_c, out_s = [], [], []
+            labels = pdf["label"].astype(int)
+            for lab in labels.unique():
+                qs = queries.get(int(lab))
+                if not qs:
+                    continue
+                sub = pdf[labels == lab]
+                cids = np.asarray(sub["vec_id"], dtype=np.int64)
+                keep = (cids % qmod != 0) | (cids >= qmax)
+                if not keep.any():
+                    continue
+                cids = cids[keep]
+                mats = np.stack(
+                    [
+                        np.floor(np.asarray(v, dtype=np.float64) * 1e6)
+                        .astype(np.int64)
+                        .reshape(chunks, dim)
+                        for v in sub["embedding"][keep]
+                    ]
+                )
+                for qid, qt in qs:
+                    # dots[c, i, j] = qt[i] . mats[c, j]
+                    dots = np.einsum("ik,cjk->cij", qt, mats)
+                    scores = dots.max(axis=2).sum(axis=1)
+                    order = np.lexsort((cids, -scores))[:topk]
+                    out_q.extend([qid] * len(order))
+                    out_c.extend(cids[order].tolist())
+                    out_s.extend(scores[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "maxsim": out_s}
+            )
+
+    from pyspark.sql import Window
+
+    partial = e.mapInPandas(
+        score, schema="query_id long, cand_id long, maxsim long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("cand_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", "cand_id", "maxsim")
+        .orderBy("query_id", "rank")
+    )

@@ -130,6 +130,7 @@ def _load_all() -> None:
         stats6,
         stats7,
         stats8,
+        stats9,
         subqueries,
         timeseries,
         tpch,

@@ -12,7 +12,7 @@ gets a minimum-diversity contract that a planted degenerate variant
 would fail.
 
 Round-8 extension (VERDICT r7 item 7): FULL-registry coverage. Every
-declared query is now under either a targeted DIVERSITY contract (32),
+declared query is now under either a targeted DIVERSITY contract (49),
 a reasoned UNIVERSAL_EXEMPT entry (8, each verified non-degenerate at
 a higher SF), or the universal no-collapse floor (everything else:
 non-empty, and multi-row frames must not be constant). New-query
@@ -198,6 +198,31 @@ DIVERSITY: dict[str, dict] = {
         "check": lambda p: bool(
             ((p["baseline_rate"] > 0) & (p["baseline_rate"] < 1)).all()
         ),
+    },
+    # round-8 pack 4: the signed-rank z must spread AND change sign
+    # across nations (an all-positive z says the pairing is trivial);
+    # MAP must produce partial precision (not all-0 / all-perfect);
+    # effect sizes must separate regions; the Kalman LEVEL must
+    # separate event types (p_var legitimately converges to the shared
+    # Riccati fixed point — level is the informative column); MaxSim
+    # must fill all TOPK ranks with varying scores
+    "agg_wilcoxon_signed_rank": {
+        "min_rows": 10,
+        "distinct": {"z": 5},
+        "check": lambda p: bool((p["z"] > 0).any() and (p["z"] < 0).any()),
+    },
+    "rank_map": {
+        "min_rows": 10,
+        "distinct": {"ap_micro": 5},
+        "check": lambda p: bool(
+            ((p["ap_micro"] > 0) & (p["ap_micro"] < 1000000)).any()
+        ),
+    },
+    "agg_effect_size": {"min_rows": 5, "distinct": {"cohens_d": 5}},
+    "ts_kalman_level": {"min_rows": 5, "distinct": {"level": 5}},
+    "sim_maxsim": {
+        "min_rows": 6,
+        "distinct": {"maxsim": 6, "rank": 3},
     },
 }
 

@@ -1,0 +1,251 @@
+"""Brute-force references for the round-8 pack 2 additions
+(agg_wilcoxon_signed_rank, rank_map, agg_effect_size, ts_kalman_level,
+sim_maxsim): each query's values recomputed with plain Python / numpy
+from the raw parquet, independent of both engines' SQL."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from shippinglanes_spark.functions.similarity import (
+    _MS_CHUNKS,
+    _MS_DIM,
+    _MS_QMAX,
+    _MS_QMOD,
+    _MS_TOPK,
+)
+from shippinglanes_spark.operators.stats9 import (
+    _ES_EXPEDITED,
+    _KF_Q,
+    _KF_R,
+    _MAP_K,
+    _MAP_PRICE,
+    _MAP_PRIORITY,
+    _WSR_CUT,
+)
+from shippinglanes_spark.registry import all_queries
+
+Q = all_queries()
+
+
+@pytest.fixture(scope="module")
+def raw(sf_dir):
+    con = duckdb.connect()
+    cust = con.sql(
+        f"SELECT c_custkey, c_nationkey, c_acctbal FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+    orders = con.sql(
+        f"SELECT o_custkey, o_totalprice, o_orderpriority, o_orderdate "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    ev = con.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    emb = con.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return {"cust": cust, "orders": orders, "ev": ev, "emb": emb}
+
+
+def test_wilcoxon_matches_python(spark, sf_dir, raw):
+    from datetime import datetime
+
+    cut = datetime.fromisoformat(_WSR_CUT)
+    pre: dict[int, int] = {}
+    post: dict[int, int] = {}
+    seen_pre: set[int] = set()
+    seen_post: set[int] = set()
+    for ck, price, _pri, od in raw["orders"]:
+        cents = int(round(price * 100))
+        if od < cut:
+            pre[ck] = pre.get(ck, 0) + cents
+            seen_pre.add(ck)
+        else:
+            post[ck] = post.get(ck, 0) + cents
+            seen_post.add(ck)
+    nation = {ck: nk for ck, nk, _b in raw["cust"]}
+    by_nation: dict[int, list[int]] = {}
+    for ck in seen_pre & seen_post:
+        d = post[ck] - pre[ck]
+        if d != 0:
+            by_nation.setdefault(nation[ck], []).append(d)
+    expected = {}
+    for nk, ds in by_nation.items():
+        ads = sorted(abs(d) for d in ds)
+        # doubled average rank per |d| value (handles ties exactly)
+        r2 = {}
+        for v in set(ads):
+            lo = ads.index(v) + 1  # min rank (1-based)
+            t = ads.count(v)
+            r2[v] = 2 * lo + t - 1
+        n = len(ds)
+        w2p = sum(r2[abs(d)] for d in ds if d > 0)
+        tie3 = sum(ads.count(v) ** 3 - ads.count(v) for v in set(ads))
+        num = w2p - n * (n + 1) / 2
+        var48 = 2 * n * (n + 1) * (2 * n + 1) - tie3
+        z = math.floor(num / (2 * math.sqrt(var48 / 48)) * 1e6) / 1e6
+        expected[nk] = (n, w2p, z)
+    got = {
+        r.nation_id: (r.n_pairs, r.w2_plus, r.z)
+        for r in Q["agg_wilcoxon_signed_rank"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    zs = [v[2] for v in expected.values()]
+    assert len(set(zs)) >= 3, "z should vary across nations"
+
+
+def test_rank_map_matches_python(spark, sf_dir, raw):
+    rel_cust = {
+        ck
+        for ck, price, pri, _od in raw["orders"]
+        if price > _MAP_PRICE and pri == _MAP_PRIORITY
+    }
+    by_nation: dict[int, list[tuple[int, float]]] = {}
+    for ck, nk, bal in raw["cust"]:
+        by_nation.setdefault(nk, []).append((ck, bal))
+    expected = {}
+    for nk, rows in by_nation.items():
+        ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+        n_rel = sum(1 for ck, _b in ranked if ck in rel_cust)
+        cum = 0
+        term = 0
+        topk_hits = 0
+        for k, (ck, _b) in enumerate(ranked, start=1):
+            if ck in rel_cust:
+                cum += 1
+                if k <= _MAP_K:
+                    topk_hits += 1
+                    term += cum * 1000000 // k
+        ap = 0 if n_rel == 0 else term // min(n_rel, _MAP_K)
+        expected[nk] = (n_rel, topk_hits, ap)
+    got = {
+        r.nation_id: (r.n_rel, r.n_rel_topk, r.ap_micro)
+        for r in Q["rank_map"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(0 < v[2] < 1000000 for v in expected.values())
+
+
+def test_effect_size_matches_python(spark, sf_dir, raw):
+    con = duckdb.connect()
+    region = dict(
+        con.sql(
+            f"SELECT c.c_custkey, n.n_regionkey FROM "
+            f"read_parquet('{sf_dir}/customer.parquet') c JOIN "
+            f"read_parquet('{sf_dir}/nation.parquet') n "
+            f"ON c.c_nationkey = n.n_nationkey"
+        ).fetchall()
+    )
+    con.close()
+    mom: dict[int, list[int]] = {}
+    for ck, price, pri, _od in raw["orders"]:
+        rid = region[ck]
+        v = int(round(price))
+        m = mom.setdefault(rid, [0, 0, 0, 0, 0, 0])
+        if pri in _ES_EXPEDITED:
+            m[0] += 1
+            m[1] += v
+            m[2] += v * v
+        else:
+            m[3] += 1
+            m[4] += v
+            m[5] += v * v
+    expected = {}
+    for rid, (n1, s1, ss1, n2, s2, ss2) in mom.items():
+        md = s1 / n1 - s2 / n2
+        sp2 = ((ss1 - (s1 / n1) * s1) + (ss2 - (s2 / n2) * s2)) / (
+            n1 + n2 - 2
+        )
+        d = md / math.sqrt(sp2)
+        g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+        expected[rid] = (
+            n1,
+            n2,
+            math.floor(d * 1e6) / 1e6,
+            math.floor(g * 1e6) / 1e6,
+        )
+    got = {
+        r.region_id: (r.n1, r.n2, r.cohens_d, r.hedges_g)
+        for r in Q["agg_effect_size"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # |g| < |d| always (the small-sample correction shrinks)
+    for _n1, _n2, d, g in expected.values():
+        assert abs(g) <= abs(d)
+
+
+def test_kalman_matches_python(spark, sf_dir, raw):
+    q, rr = float(_KF_Q), float(_KF_R)
+    series: dict[str, list[tuple]] = {}
+    for et, day, cnt in raw["ev"]:
+        series.setdefault(et, []).append((day, cnt))
+    expected = {}
+    for et, rows in series.items():
+        ys = [float(c) for _d, c in sorted(rows)]
+        x, p = ys[0], 0.0
+        for y in ys[1:]:
+            k = (p + q) / ((p + q) + rr)
+            x = x + k * (y - x)
+            p = (1.0 - k) * (p + q)
+        expected[et] = (
+            len(ys),
+            round(x, 6),
+            round(p, 6),
+            round((p + q) / ((p + q) + rr), 6),
+        )
+    got = {
+        r.event_type: (r.n_days, r.level, r.p_var, r.next_gain)
+        for r in Q["ts_kalman_level"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the Riccati recursion converges: steady-state gain in (0, 1),
+    # and P must sit at its fixed point P* = (1-K*)(P*+Q) after 30 days
+    for _n, _lvl, p, gain in expected.values():
+        assert 0.0 < gain < 1.0
+        assert abs((1 - gain) * (p + q) - p) < 1e-3
+
+
+def _ms_tensor(vec):
+    arr = np.asarray(vec, dtype=np.float64)
+    return (
+        np.floor(arr * 1e6).astype(np.int64).reshape(_MS_CHUNKS, _MS_DIM)
+    )
+
+
+def test_maxsim_matches_numpy(spark, sf_dir, raw):
+    emb = [(int(v), int(lab), _ms_tensor(e)) for v, lab, e in raw["emb"]]
+    queries = [
+        r for r in emb if r[0] % _MS_QMOD == 0 and r[0] < _MS_QMAX
+    ]
+    cands = [r for r in emb if r[0] % _MS_QMOD != 0 or r[0] >= _MS_QMAX]
+    expected = []
+    for qid, qlab, qt in sorted(queries):
+        scored = []
+        for cid, clab, ct in cands:
+            if clab != qlab:
+                continue
+            dots = qt @ ct.T  # (chunks, chunks) int64
+            scored.append((int(dots.max(axis=1).sum()), cid))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (sc, cid) in enumerate(scored[:_MS_TOPK], start=1):
+            expected.append((qid, rank, cid, sc))
+    got = [
+        (r.query_id, r.rank, r.cand_id, r.maxsim)
+        for r in Q["sim_maxsim"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # late interaction upper-bounds any single-token score: MaxSim of a
+    # vector against itself is the sum of its per-chunk self-dots
+    by_q = {}
+    for qid, rank, cid, sc in expected:
+        by_q.setdefault(qid, []).append(sc)
+    for qid, scores in by_q.items():
+        assert scores == sorted(scores, reverse=True)
