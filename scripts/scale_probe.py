@@ -884,6 +884,10 @@ def round18_registered(spark, sfdir_1x, sfdir_10x):
         "agg_effect_size",
         "ts_kalman_level",
         "sim_maxsim",
+        "agg_friedman",
+        "agg_tost_equivalence",
+        "rank_rbo",
+        "pipeline_topp_sources",
     ]
     out = {}
     for label, sfdir in (("1x", sfdir_1x), ("10x", sfdir_10x)):

@@ -453,3 +453,334 @@ def ts_kalman_level(spark, sf_dir):
             (st.getItem(1) + q) / ((st.getItem(1) + q) + rr), 6
         ).alias("next_gain"),
     )
+
+
+# Friedman: blocks = calendar days, treatments = the 5 event types,
+# response = daily event count. 31 tied (day, count) pairs exist at
+# sf0.001, so the tie-corrected denominator is genuinely exercised.
+_FR_K = 5
+
+# TOST equivalence margin (whole dollars) and one-sided z critical
+# value (alpha = 0.05). The margin is sized so fixture classes split
+# between equivalent / not-equivalent instead of all passing.
+_TOST_MARGIN = 30000
+_TOST_CRIT = "1.645"
+_TOST_BASE = "5-LOW"
+
+# RBO (rank-biased overlap, Webber et al. 2010) at depth 10 with
+# p = 1/2: RBO = sum_d overlap_d / (d * 2^d). The per-depth NANO-unit
+# coefficients C[d] = 1e9 div (d * 2^d) and their suffix sums
+# S[m] = sum_{d>=m} C[d] are LITERAL integer tables (the rank_ndcg
+# discount-table trick), so a common member at ranks (ra, rb)
+# contributes exactly S[max(ra, rb)] and the whole score is a BIGINT
+# sum. Identical rankings score sum(d * C[d]) ~ 0.999e9; a single
+# shared top item scores S[1] ~ 0.693e9 (= ln 2, the p=1/2 series).
+_RBO_K = 10
+_RBO_C = tuple(10**9 // (d * 2**d) for d in range(1, _RBO_K + 1))
+_RBO_S = tuple(sum(_RBO_C[m - 1 :]) for m in range(1, _RBO_K + 1))
+
+
+@register(
+    "agg_friedman",
+    section="2.4",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT day, event_type,
+             2 * RANK() OVER (PARTITION BY day ORDER BY c)
+               + COUNT(*) OVER (PARTITION BY day, c) - 1 AS r2,
+             COUNT(*) OVER (PARTITION BY day, c) AS t
+      FROM d),
+    blocks AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+                      CAST(SUM(t * t - 1) AS BIGINT) AS ties
+               FROM r),
+    sums AS (
+      SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum
+      FROM r GROUP BY event_type),
+    q AS (
+      SELECT b.n, b.ties,
+             CAST(SUM(s.r2_sum * s.r2_sum) AS BIGINT) AS sr2
+      FROM sums s CROSS JOIN blocks b GROUP BY b.n, b.ties),
+    stat AS (
+      SELECT n,
+             CAST(3 * sr2 AS DOUBLE) / (n * {_FR_K} * ({_FR_K} + 1))
+               - 3 * n * ({_FR_K} + 1) AS q_raw,
+             1 - CAST(ties AS DOUBLE)
+                 / (n * {_FR_K} * ({_FR_K} * {_FR_K} - 1)) AS denom
+      FROM q)
+    SELECT s.event_type, s.r2_sum,
+           CAST(s.r2_sum * 1000 // (2 * t.n) AS BIGINT) AS mean_rank_milli,
+           FLOOR(t.q_raw * 1e6) / 1e6 AS q_stat,
+           FLOOR(t.q_raw / t.denom * 1e6) / 1e6 AS q_tie_corrected
+    FROM sums s CROSS JOIN stat t
+    ORDER BY s.event_type
+    """,
+    notes=f"Friedman test (k = {_FR_K} event types as treatments, "
+    f"calendar days as blocks, daily counts as the response): within "
+    f"each day the types are ranked with the DOUBLED-average-rank "
+    f"trick (2*min_rank + ties - 1 — the agg_wilcoxon_signed_rank "
+    f"identity), so per-type rank sums, their squares and the tie "
+    f"term sum(t^3-t) are exact BIGINTs; Q = 3*sum(R2_j^2)/(n k(k+1)) "
+    f"- 3n(k+1) (the doubled-rank algebra folds the classic 12/4) and "
+    f"the tie-corrected Q divide once each in an identical expression "
+    f"tree, floored 6 dp. Completes the nonparametric design grid: "
+    f"Mann-Whitney (2 independent), Kruskal-Wallis (k independent), "
+    f"Wilcoxon (2 paired), Friedman (k paired). Each treatment row "
+    f"carries its rank sum + the global verdict. One daily rollup; "
+    f"ranks are day-partition-local over {_FR_K} rows",
+)
+def agg_friedman(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wd = W.partitionBy("day").orderBy("c")
+    wt = W.partitionBy("day", "c")
+    r = d.select(
+        "day",
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(wd) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("long").alias("r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("t"),
+    ).localCheckpoint()  # day x type sized, read twice (blocks + sums)
+    blocks = r.agg(
+        F.countDistinct("day").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") - 1).cast("long").alias("ties"),
+    )
+    sums = r.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2_sum")
+    ).localCheckpoint()  # k rows, read twice (sr2 + output join)
+    q = sums.join(F.broadcast(blocks)).groupBy("n", "ties").agg(
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("long").alias("sr2")
+    )
+    k = _FR_K
+    q_raw = (F.lit(3) * F.col("sr2")).cast("double") / (
+        F.col("n") * k * (k + 1)
+    ) - 3 * F.col("n") * (k + 1)
+    denom = 1 - F.col("ties").cast("double") / (
+        F.col("n") * k * (k * k - 1)
+    )
+    stat = q.select(
+        "n", q_raw.alias("q_raw"), denom.alias("denom")
+    )
+    return (
+        sums.join(F.broadcast(stat))
+        .select(
+            "event_type",
+            "r2_sum",
+            F.expr("CAST(r2_sum * 1000 div (2 * n) AS BIGINT)").alias(
+                "mean_rank_milli"
+            ),
+            (F.floor(F.col("q_raw") * 1e6) / 1e6).alias("q_stat"),
+            (F.floor(F.col("q_raw") / F.col("denom") * 1e6) / 1e6).alias(
+                "q_tie_corrected"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_tost_equivalence",
+    section="2.4",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS v
+      FROM orders),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(SUM(v) AS BIGINT) AS s2,
+             CAST(SUM(v * v) AS BIGINT) AS ss2
+      FROM x WHERE pri = '{_TOST_BASE}'),
+    grp AS (
+      SELECT pri, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS ss1
+      FROM x WHERE pri <> '{_TOST_BASE}' GROUP BY pri),
+    f AS (
+      SELECT g.pri, g.n1, b.n2,
+             CAST(g.s1 AS DOUBLE) / g.n1 - CAST(b.s2 AS DOUBLE) / b.n2
+               AS md,
+             sqrt((g.ss1 - (CAST(g.s1 AS DOUBLE) / g.n1) * g.s1)
+                  / (g.n1 - 1) / g.n1
+                  + (b.ss2 - (CAST(b.s2 AS DOUBLE) / b.n2) * b.s2)
+                    / (b.n2 - 1) / b.n2) AS se
+      FROM grp g CROSS JOIN base b)
+    SELECT pri, n1, n2,
+           FLOOR((md + {_TOST_MARGIN}) / se * 1e6) / 1e6 AS t_lower,
+           FLOOR((md - {_TOST_MARGIN}) / se * 1e6) / 1e6 AS t_upper,
+           (md + {_TOST_MARGIN}) / se > {_TOST_CRIT}
+             AND (md - {_TOST_MARGIN}) / se < -{_TOST_CRIT} AS equivalent
+    FROM f
+    ORDER BY pri
+    """,
+    notes=f"TOST equivalence test (two one-sided tests, Welch SE) of "
+    f"each priority class's mean order value against the "
+    f"'{_TOST_BASE}' baseline, margin +/-{_TOST_MARGIN} dollars: the "
+    f"six integer moments per pair are the agg_ttest_welch recipe, "
+    f"t_lower/t_upper one identical float chain each (floored 6 dp), "
+    f"and the equivalence verdict compares the RAW bit-identical "
+    f"doubles against the literal z critical value {_TOST_CRIT} — so "
+    f"the boolean cannot disagree across engines. The EQUIVALENCE "
+    f"member of the experimentation family: t-tests ask 'different?', "
+    f"TOST asks 'same within a margin?' — the question a launch "
+    f"review actually asks about a neutral metric. One map-side "
+    f"moment pass, priority-count-sized thereafter",
+)
+def agg_tost_equivalence(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    base = x.where(F.col("pri") == _TOST_BASE).agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.sum("v").cast("long").alias("s2"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss2"),
+    )
+    grp = x.where(F.col("pri") != _TOST_BASE).groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss1"),
+    )
+    md = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
+        "double"
+    ) / F.col("n2")
+    se = F.sqrt(
+        (
+            F.col("ss1")
+            - (F.col("s1").cast("double") / F.col("n1")) * F.col("s1")
+        )
+        / (F.col("n1") - 1)
+        / F.col("n1")
+        + (
+            F.col("ss2")
+            - (F.col("s2").cast("double") / F.col("n2")) * F.col("s2")
+        )
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    f = grp.join(F.broadcast(base)).select(
+        "pri", "n1", "n2", md.alias("md"), se.alias("se")
+    )
+    crit = float(_TOST_CRIT)
+    t_lo = (F.col("md") + _TOST_MARGIN) / F.col("se")
+    t_hi = (F.col("md") - _TOST_MARGIN) / F.col("se")
+    return f.select(
+        "pri",
+        "n1",
+        "n2",
+        (F.floor(t_lo * 1e6) / 1e6).alias("t_lower"),
+        (F.floor(t_hi * 1e6) / 1e6).alias("t_upper"),
+        ((t_lo > crit) & (t_hi < -crit)).alias("equivalent"),
+    ).orderBy("pri")
+
+
+def _rbo_s_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {m + 1} THEN {s}" for m, s in enumerate(_RBO_S)
+    )
+    return f"CASE {col} {cases} ELSE 0 END"
+
+
+def _rbo_s_col(m_col):
+    expr = F.lit(0).cast("long")
+    for m, s in enumerate(_RBO_S):
+        expr = F.when(m_col == m + 1, F.lit(s).cast("long")).otherwise(expr)
+    return expr
+
+
+@register(
+    "rank_rbo",
+    section="2.4",
+    oracle=f"""
+    WITH act AS (
+      SELECT c.c_nationkey AS nation_id, c.c_custkey, c.c_acctbal,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3),
+    a AS (
+      SELECT nation_id, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY nation_id
+                                ORDER BY c_acctbal DESC, c_custkey) AS ra
+      FROM act QUALIFY ra <= {_RBO_K}),
+    b AS (
+      SELECT nation_id, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY nation_id
+                                ORDER BY n_orders DESC, c_custkey) AS rb
+      FROM act QUALIFY rb <= {_RBO_K})
+    SELECT a.nation_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM({_rbo_s_sql('GREATEST(a.ra, b.rb)')}) AS BIGINT)
+             AS rbo_nano
+    FROM a JOIN b ON a.nation_id = b.nation_id
+                 AND a.c_custkey = b.c_custkey
+    GROUP BY a.nation_id
+    ORDER BY a.nation_id
+    """,
+    notes=f"rank-biased overlap (Webber et al. 2010, p=1/2, depth "
+    f"{_RBO_K}) between two top-{_RBO_K} customer rankings per nation "
+    f"— wealth (acctbal) vs activity (order count): RBO = sum_d "
+    f"overlap_d/(d*2^d) collapses to one BIGINT sum because each "
+    f"common member at ranks (ra, rb) contributes exactly the LITERAL "
+    f"suffix-sum S[max(ra,rb)] of the nano-unit coefficient table "
+    f"1e9 div (d*2^d) — the rank_ndcg discount-table trick applied to "
+    f"prefix-overlap weights (identical rankings ~0.999e9; one shared "
+    f"top item 0.693e9 = ln 2, the p=1/2 series). The RANKING-"
+    f"agreement companion to agg_kendall_tau (value pairs): RBO is "
+    f"top-weighted and handles non-conjoint lists, which is what "
+    f"comparing two retrieval systems actually needs. One orders "
+    f"rollup; rankings nation-partition-local, the join is "
+    f"top-{_RBO_K}-sized",
+)
+def rank_rbo(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    act = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+        .select(
+            F.col("c_nationkey").alias("nation_id"),
+            "c_custkey",
+            "c_acctbal",
+            "n_orders",
+        )
+        # both rankings read the same rollup; checkpoint so the
+        # customer/orders join runs once (two fact scans at 100 TB)
+        .localCheckpoint()
+    )
+    wa = W.partitionBy("nation_id").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wb = W.partitionBy("nation_id").orderBy(
+        F.col("n_orders").desc(), F.col("c_custkey")
+    )
+    a = (
+        act.withColumn("ra", F.row_number().over(wa))
+        .where(F.col("ra") <= _RBO_K)
+        .select("nation_id", "c_custkey", "ra")
+    )
+    b = (
+        act.withColumn("rb", F.row_number().over(wb))
+        .where(F.col("rb") <= _RBO_K)
+        .select("nation_id", "c_custkey", "rb")
+    )
+    return (
+        a.join(b, ["nation_id", "c_custkey"])
+        .select(
+            "nation_id",
+            _rbo_s_col(F.greatest(F.col("ra"), F.col("rb"))).alias("s"),
+        )
+        .groupBy("nation_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("s").cast("long").alias("rbo_nano"),
+        )
+        .orderBy("nation_id")
+    )

@@ -149,6 +149,7 @@ def _load_all() -> None:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         ranking,
         scalar,
         similarity,

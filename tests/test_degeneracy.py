@@ -12,7 +12,7 @@ gets a minimum-diversity contract that a planted degenerate variant
 would fail.
 
 Round-8 extension (VERDICT r7 item 7): FULL-registry coverage. Every
-declared query is now under either a targeted DIVERSITY contract (49),
+declared query is now under either a targeted DIVERSITY contract (53),
 a reasoned UNIVERSAL_EXEMPT entry (8, each verified non-degenerate at
 a higher SF), or the universal no-collapse floor (everything else:
 non-empty, and multi-row frames must not be constant). New-query
@@ -223,6 +223,25 @@ DIVERSITY: dict[str, dict] = {
     "sim_maxsim": {
         "min_rows": 6,
         "distinct": {"maxsim": 6, "rank": 3},
+    },
+    # round-8 pack 5: Friedman mean ranks must separate the treatments
+    # (identical daily profiles would tie all five at (k+1)/2); TOST
+    # t-bounds must vary by class; RBO must neither be all-disjoint
+    # (0) nor all-identical (~0.999e9); top-p must keep a head AND
+    # drop a tail in at least one language
+    "agg_friedman": {"min_rows": 5, "distinct": {"mean_rank_milli": 4}},
+    "agg_tost_equivalence": {"min_rows": 4, "distinct": {"t_lower": 4}},
+    "rank_rbo": {
+        "min_rows": 10,
+        "distinct": {"rbo_nano": 5},
+        "check": lambda p: bool(
+            (p["rbo_nano"] > 0).all() and (p["rbo_nano"] < 990000000).all()
+        ),
+    },
+    "pipeline_topp_sources": {
+        "min_rows": 20,
+        "distinct": {"cum_ppm": 10},
+        "check": lambda p: bool(p["kept"].any() and not p["kept"].all()),
     },
 }
 

@@ -134,6 +134,12 @@ def test_rank_map_matches_python(spark, sf_dir, raw):
     assert any(0 < v[2] < 1000000 for v in expected.values())
 
 
+def _dollars(price: float) -> int:
+    # both engines ROUND half-up on .50; python round() is half-even
+    # (the np.round hard-won fact) — floor(x + 0.5) matches the engines
+    return int(math.floor(price + 0.5))
+
+
 def test_effect_size_matches_python(spark, sf_dir, raw):
     con = duckdb.connect()
     region = dict(
@@ -148,7 +154,7 @@ def test_effect_size_matches_python(spark, sf_dir, raw):
     mom: dict[int, list[int]] = {}
     for ck, price, pri, _od in raw["orders"]:
         rid = region[ck]
-        v = int(round(price))
+        v = _dollars(price)
         m = mom.setdefault(rid, [0, 0, 0, 0, 0, 0])
         if pri in _ES_EXPEDITED:
             m[0] += 1
@@ -249,3 +255,156 @@ def test_maxsim_matches_numpy(spark, sf_dir, raw):
         by_q.setdefault(qid, []).append(sc)
     for qid, scores in by_q.items():
         assert scores == sorted(scores, reverse=True)
+
+
+# ---- batch 2: friedman / TOST / RBO / top-p sources ----------------
+
+from shippinglanes_spark.functions.pipeline7 import (  # noqa: E402
+    _TOPP_DEN,
+    _TOPP_NUM,
+)
+from shippinglanes_spark.operators.stats9 import (  # noqa: E402
+    _FR_K,
+    _RBO_C,
+    _RBO_K,
+    _RBO_S,
+    _TOST_BASE,
+    _TOST_CRIT,
+    _TOST_MARGIN,
+)
+
+
+def test_friedman_matches_python(spark, sf_dir, raw):
+    by_day: dict = {}
+    for et, day, cnt in raw["ev"]:
+        by_day.setdefault(day, []).append((et, cnt))
+    r2_sum: dict[str, int] = {}
+    ties = 0
+    for day, rows in by_day.items():
+        assert len(rows) == _FR_K
+        cs = sorted(c for _et, c in rows)
+        for et, c in rows:
+            lo = cs.index(c) + 1
+            t = cs.count(c)
+            r2_sum[et] = r2_sum.get(et, 0) + 2 * lo + t - 1
+        for v in set(cs):
+            t = cs.count(v)
+            ties += t**3 - t
+    n = len(by_day)
+    sr2 = sum(v * v for v in r2_sum.values())
+    q_raw = (3 * sr2) / (n * _FR_K * (_FR_K + 1)) - 3 * n * (_FR_K + 1)
+    denom = 1 - ties / (n * _FR_K * (_FR_K * _FR_K - 1))
+    expected = {
+        et: (
+            v,
+            v * 1000 // (2 * n),
+            math.floor(q_raw * 1e6) / 1e6,
+            math.floor(q_raw / denom * 1e6) / 1e6,
+        )
+        for et, v in r2_sum.items()
+    }
+    got = {
+        r.event_type: (r.r2_sum, r.mean_rank_milli, r.q_stat, r.q_tie_corrected)
+        for r in Q["agg_friedman"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # doubled mean ranks must average to (k+1) across treatments
+    assert abs(sum(v[1] for v in expected.values()) / 1000 - _FR_K * (_FR_K + 1) / 2) < 0.01
+
+
+def test_tost_matches_python(spark, sf_dir, raw):
+    mom: dict[str, list[int]] = {}
+    for _ck, price, pri, _od in raw["orders"]:
+        v = _dollars(price)
+        m = mom.setdefault(pri, [0, 0, 0])
+        m[0] += 1
+        m[1] += v
+        m[2] += v * v
+    n2, s2, ss2 = mom[_TOST_BASE]
+    crit = float(_TOST_CRIT)
+    expected = {}
+    for pri, (n1, s1, ss1) in mom.items():
+        if pri == _TOST_BASE:
+            continue
+        md = s1 / n1 - s2 / n2
+        se = math.sqrt(
+            (ss1 - (s1 / n1) * s1) / (n1 - 1) / n1
+            + (ss2 - (s2 / n2) * s2) / (n2 - 1) / n2
+        )
+        t_lo = (md + _TOST_MARGIN) / se
+        t_hi = (md - _TOST_MARGIN) / se
+        expected[pri] = (
+            n1,
+            n2,
+            math.floor(t_lo * 1e6) / 1e6,
+            math.floor(t_hi * 1e6) / 1e6,
+            t_lo > crit and t_hi < -crit,
+        )
+    got = {
+        r.pri: (r.n1, r.n2, r.t_lower, r.t_upper, r.equivalent)
+        for r in Q["agg_tost_equivalence"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_rbo_matches_python(spark, sf_dir, raw):
+    cnt: dict[int, int] = {}
+    for ck, _p, _pri, _od in raw["orders"]:
+        cnt[ck] = cnt.get(ck, 0) + 1
+    by_nation: dict = {}
+    for ck, nk, bal in raw["cust"]:
+        by_nation.setdefault(nk, []).append((ck, bal, cnt.get(ck, 0)))
+    expected = {}
+    for nk, rows in by_nation.items():
+        a = [ck for ck, _b, _c in sorted(rows, key=lambda r: (-r[1], r[0]))][
+            :_RBO_K
+        ]
+        b = [ck for ck, _b, _c in sorted(rows, key=lambda r: (-r[2], r[0]))][
+            :_RBO_K
+        ]
+        # independent overlap-per-depth formulation (no suffix table)
+        rbo = sum(
+            len(set(a[:d]) & set(b[:d])) * _RBO_C[d - 1]
+            for d in range(1, _RBO_K + 1)
+        )
+        common = len(set(a) & set(b))
+        if common:
+            expected[nk] = (common, rbo)
+    got = {
+        r.nation_id: (r.n_common, r.rbo_nano)
+        for r in Q["rank_rbo"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # suffix table is consistent with the coefficient table
+    assert _RBO_S[0] == sum(_RBO_C)
+    # identical-ranking ceiling: no nation can exceed sum(d * C[d])
+    ceiling = sum(d * _RBO_C[d - 1] for d in range(1, _RBO_K + 1))
+    assert all(v[1] <= ceiling for v in expected.values())
+
+
+def test_topp_sources_matches_python(spark, sf_dir):
+    con = duckdb.connect()
+    m = con.sql(
+        f"SELECT lang, source, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    by_lang: dict = {}
+    for lang, src, c in m:
+        by_lang.setdefault(lang, []).append((src, c))
+    expected = {}
+    for lang, rows in by_lang.items():
+        tot = sum(c for _s, c in rows)
+        cum = 0
+        for src, c in sorted(rows, key=lambda r: (-r[1], r[0])):
+            kept = cum * _TOPP_DEN < _TOPP_NUM * tot
+            cum += c
+            expected[(lang, src)] = (c, cum * 1000000 // tot, kept)
+    got = {
+        (r.lang, r.source): (r.n_docs, r.cum_ppm, r.kept)
+        for r in Q["pipeline_topp_sources"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the rule must actually drop a tail somewhere and keep a head
+    kept = [v[2] for v in expected.values()]
+    assert any(kept) and not all(kept)
