@@ -411,3 +411,52 @@ def sql_parameterized(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.col("rev_cents").cast("long").alias("rev_cents"),
     )
+
+
+@register(
+    "sql_pipe_surface",
+    section="2.11",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    HAVING COUNT(*) >= 5
+    ORDER BY n.n_name
+    """,
+    notes="SQL pipe syntax (Spark 4's |> operator chain, the "
+    "GoogleSQL-pioneered linear dialect): FROM orders |> WHERE |> JOIN "
+    "|> AGGREGATE ... GROUP BY |> WHERE (post-aggregation = HAVING) "
+    "|> ORDER BY — each stage reads top-to-bottom in execution order "
+    "instead of the inside-out SELECT nesting. The oracle is the "
+    "equivalent classic ANSI statement (DuckDB has no pipe dialect), "
+    "proving the sugar changes NOTHING semantically; Spark's analyzer "
+    "lowers the chain to the same pushed-scan + broadcast-join + "
+    "partial-agg plan the nested form gets. Completes the SQL-surface "
+    "set: GROUP BY ALL (sql_group_by_all), named parameters "
+    "(sql_parameterized), recursive CTEs (sql_recursive_cte), pipes",
+)
+def sql_pipe_surface(spark, sf_dir):
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> JOIN customer ON o_custkey = c_custkey
+        |> JOIN nation ON c_nationkey = n_nationkey
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS rev_cents
+           GROUP BY n_name
+        |> WHERE n_orders >= 5
+        |> SELECT n_name, n_orders, CAST(rev_cents AS BIGINT) AS rev_cents
+        |> ORDER BY n_name
+        """
+    )

@@ -3452,3 +3452,101 @@ def evt_causal_impact(spark, sf_dir):
             F.floor((F.col("actual") / F.col("predicted") - 1) * 1e6) / 1e6
         ).alias("relative_lift"),
     )
+
+
+@register(
+    "ts_holt_winters",
+    section="2.8",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(CAST(y AS DOUBLE) ORDER BY day) AS ys
+      FROM d GROUP BY event_type),
+    f AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_transform(ys, y ->
+                 [y, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+               (acc, x) -> [
+                 ((x[1] - acc[3]) + (acc[1] + acc[2])) / 2,
+                 ((((x[1] - acc[3]) + (acc[1] + acc[2])) / 2 - acc[1])
+                  + acc[2]) / 2,
+                 acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                 ((x[1] - ((x[1] - acc[3]) + (acc[1] + acc[2])) / 2)
+                  + acc[3]) / 2
+               ]) AS st
+      FROM s)
+    SELECT event_type, n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[3], 6) AS season_next,
+           ROUND(st[1] + st[2] + st[3], 6) AS forecast_1
+    FROM f
+    """,
+    notes="Holt-Winters additive triple-exponential smoothing (alpha = "
+    "beta = gamma = 1/2, weekly season m=7, zero-initialized "
+    "seasonals, l0 = y0, b0 = 0) over each type's daily revenue "
+    "series: level/trend/seasonal evolve by the textbook recurrence "
+    "with the seasonal RING carried as 7 array slots that rotate each "
+    "step (slot 1 is always the seasonal applying to the current "
+    "observation, the update appends at the back) — so the t-7 lag "
+    "needs no day index in the state. Every smoothing step is an "
+    "exact halving of sums of previously-identical doubles, folded "
+    "LEFT in the same order on both engines (F.aggregate / "
+    "list_reduce), so the 9-element float state is bit-identical (the "
+    "ts_holt discipline; ROUND 6dp belt-and-braces). Completes the "
+    "smoothing ladder: ewma (fixed gain) -> holt (trend) -> "
+    "holt_winters (trend + season) -> kalman (adaptive gain). One "
+    "keyed shuffle; folds per-type over the calendar-bounded array",
+)
+def ts_holt_winters(spark, sf_dir):
+    """Same in-group left-fold shape as ts_holt: one corpus-keyed
+    daily rollup, then the recurrence runs inside a single aggregate
+    expression per type — no iterative jobs, groups fold
+    independently at any scale."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, y))),"
+            " x -> CAST(x.y AS DOUBLE))"
+        ).alias("ys"),
+    )
+    st = F.expr(
+        "aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)),"
+        " array(element_at(ys, 1), CAST(0.0 AS DOUBLE),"
+        "       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+        "       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+        "       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+        "       CAST(0.0 AS DOUBLE)),"
+        " (acc, y) -> array("
+        "   ((y - acc[2]) + (acc[0] + acc[1])) / 2,"
+        "   ((((y - acc[2]) + (acc[0] + acc[1])) / 2 - acc[0])"
+        "    + acc[1]) / 2,"
+        "   acc[3], acc[4], acc[5], acc[6], acc[7], acc[8],"
+        "   ((y - ((y - acc[2]) + (acc[0] + acc[1])) / 2)"
+        "    + acc[2]) / 2))"
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(st.getItem(0), 6).alias("level"),
+        F.round(st.getItem(1), 6).alias("trend"),
+        F.round(st.getItem(2), 6).alias("season_next"),
+        F.round(
+            st.getItem(0) + st.getItem(1) + st.getItem(2), 6
+        ).alias("forecast_1"),
+    )

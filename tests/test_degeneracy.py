@@ -12,7 +12,7 @@ gets a minimum-diversity contract that a planted degenerate variant
 would fail.
 
 Round-8 extension (VERDICT r7 item 7): FULL-registry coverage. Every
-declared query is now under either a targeted DIVERSITY contract (53),
+declared query is now under either a targeted DIVERSITY contract (55),
 a reasoned UNIVERSAL_EXEMPT entry (8, each verified non-degenerate at
 a higher SF), or the universal no-collapse floor (everything else:
 non-empty, and multi-row frames must not be constant). New-query
@@ -243,6 +243,14 @@ DIVERSITY: dict[str, dict] = {
         "distinct": {"cum_ppm": 10},
         "check": lambda p: bool(p["kept"].any() and not p["kept"].all()),
     },
+    # round-8 pack 6: the seasonal ring must carry real signal (not
+    # the zero init) and separate the types
+    "ts_holt_winters": {
+        "min_rows": 5,
+        "distinct": {"season_next": 5},
+        "check": lambda p: bool((p["season_next"] != 0.0).any()),
+    },
+    "sql_pipe_surface": {"min_rows": 5, "distinct": {"rev_cents": 5}},
 }
 
 

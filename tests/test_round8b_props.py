@@ -408,3 +408,66 @@ def test_topp_sources_matches_python(spark, sf_dir):
     # the rule must actually drop a tail somewhere and keep a head
     kept = [v[2] for v in expected.values()]
     assert any(kept) and not all(kept)
+
+
+def test_holt_winters_matches_python(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, "
+        f"SUM(CAST(ROUND(value * 100) AS BIGINT)) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') WHERE value IS NOT NULL "
+        f"GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    series: dict[str, list[tuple]] = {}
+    for et, day, y in rows:
+        series.setdefault(et, []).append((day, int(y)))
+    expected = {}
+    for et, drows in series.items():
+        ys = [float(y) for _d, y in sorted(drows)]
+        l, b = ys[0], 0.0
+        s = [0.0] * 7
+        for y in ys[1:]:
+            s1 = s[0]
+            lnew = ((y - s1) + (l + b)) / 2
+            bnew = ((lnew - l) + b) / 2
+            snew = ((y - lnew) + s1) / 2
+            s = s[1:] + [snew]
+            l, b = lnew, bnew
+        expected[et] = (
+            len(ys),
+            round(l, 6),
+            round(b, 6),
+            round(s[0], 6),
+            round(l + b + s[0], 6),
+        )
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.season_next, r.forecast_1)
+        for r in Q["ts_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the seasonal ring must carry signal: with 30 days of data the
+    # next-step seasonal cannot still be the zero init for every type
+    assert any(v[3] != 0.0 for v in expected.values())
+
+
+def test_sql_pipe_matches_classic_sql(spark, sf_dir):
+    """The pipe chain must be pure sugar: same rows as the equivalent
+    classic nested statement run through the SAME Spark engine."""
+    from shippinglanes_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    classic = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name HAVING COUNT(*) >= 5
+        ORDER BY n_name
+        """
+    ).collect()
+    piped = Q["sql_pipe_surface"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in piped] == [tuple(r) for r in classic]
+    assert len(piped) >= 5
