@@ -620,3 +620,205 @@ def agg_atkinson(spark, sf_dir):
             "atkinson_half"
         ),
     ).orderBy("event_type")
+
+
+# Brier probability mapping: p = clamp(z - _BR_Z0, 0, _BR_SPAN) / _BR_SPAN
+# in exact integer MICRO units (z is the calibration pack's milli score)
+_BR_Z0 = 4000
+_BR_SPAN = 20000
+
+
+@register(
+    "agg_brier_decomposition",
+    section="2.4",
+    oracle=f"""
+    WITH uc AS (SELECT user_id,
+                      CAST(COUNT(*) FILTER (event_type = 'view')
+                           AS BIGINT) AS nv,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS nc,
+                      CAST(COUNT(*) FILTER (event_type = 'signup')
+                           AS BIGINT) AS ns,
+                      CAST(MAX(CASE WHEN event_type = 'purchase'
+                                     AND CAST(ROUND(value * 100) AS BIGINT)
+                                         >= 20000
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY user_id),
+    s AS (SELECT user_id, y,
+                 CAST({_CAL_W_VIEW} * nv + {_CAL_W_CLICK} * nc
+                      + {_CAL_W_SIGNUP} * ns + {_CAL_BIAS} AS BIGINT) AS z
+          FROM uc),
+    sp AS (SELECT user_id, y, z,
+                  CAST(LEAST(GREATEST(z - {_BR_Z0}, 0), {_BR_SPAN})
+                       * 1000000 // {_BR_SPAN} AS BIGINT) AS p_micro
+           FROM s),
+    e AS (SELECT [{", ".join(
+            f"percentile_disc({i / _CAL_BINS}) WITHIN GROUP (ORDER BY z)"
+            for i in range(1, _CAL_BINS)
+        )}] AS edges FROM sp),
+    b AS (SELECT CAST(len(list_filter(e.edges, q -> q < sp.z)) AS BIGINT)
+                   AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(sp.y) AS BIGINT) AS sy_k,
+                 CAST(SUM(sp.p_micro) AS BIGINT) AS sp_k
+          FROM sp CROSS JOIN e GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                 CAST(SUM(sy_k) AS BIGINT) AS sy,
+                 CAST(COUNT(*) AS BIGINT) AS n_bins
+          FROM b),
+    t AS (SELECT b.bin, b.n_k, b.sy_k, b.sp_k, g.n, g.sy, g.n_bins,
+                 CAST(b.sp_k AS DOUBLE) / b.n_k / 1000000 AS pbar,
+                 CAST(b.sy_k AS DOUBLE) / b.n_k AS ybar_k,
+                 CAST(g.sy AS DOUBLE) / g.n AS ybar
+          FROM b CROSS JOIN g),
+    f AS (SELECT n, sy, n_bins, ybar,
+                 list_reduce(list_prepend(0.0, list(
+                   n_k * pbar * pbar - 2 * pbar * sy_k + sy_k
+                   ORDER BY bin)), (x, y) -> x + y) / n AS brier,
+                 list_reduce(list_prepend(0.0, list(
+                   n_k * (pbar - ybar_k) * (pbar - ybar_k)
+                   ORDER BY bin)), (x, y) -> x + y) / n AS rel,
+                 list_reduce(list_prepend(0.0, list(
+                   n_k * (ybar_k - ybar) * (ybar_k - ybar)
+                   ORDER BY bin)), (x, y) -> x + y) / n AS res
+          FROM t GROUP BY n, sy, n_bins, ybar)
+    SELECT n AS n_users, n_bins, FLOOR(ybar * 1e6) / 1e6 AS base_rate,
+           FLOOR(brier * 1e6) / 1e6 AS brier,
+           FLOOR(rel * 1e6) / 1e6 AS reliability,
+           FLOOR(res * 1e6) / 1e6 AS resolution,
+           FLOOR(ybar * (1 - ybar) * 1e6) / 1e6 AS uncertainty
+    FROM f
+    """,
+    notes=f"Murphy decomposition of the Brier score for the BINNED "
+    f"engagement forecaster (same linear score, outcome and decile "
+    f"edges as agg_calibration_bins; probability = the exact integer "
+    f"micro mapping clamp(z - {_BR_Z0}, 0, {_BR_SPAN})/{_BR_SPAN}): "
+    f"Brier = REL - RES + UNC holds exactly for a bin-constant "
+    f"forecast, and each component is a 10-term float sum folded in "
+    f"BIN ORDER on both engines (list_reduce / F.aggregate with a "
+    f"prepended 0.0 seed — the agg_chisq_independence discipline), "
+    f"so the doubles are bit-identical; inputs to every term are "
+    f"exact BIGINT bin sums. The scalar verdict on top of the "
+    f"calibration TABLE: reliability says how miscalibrated, "
+    f"resolution how much the bins separate outcomes, uncertainty "
+    f"the irreducible base-rate floor. Corpus work = one user-keyed "
+    f"aggregate + one broadcast edge join",
+)
+def agg_brier_decomposition(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    y = (F.col("event_type") == "purchase") & (
+        F.round(F.col("value") * 100).cast("long") >= 20000
+    )
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("nv"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("nc"),
+        F.count(F.when(F.col("event_type") == "signup", 1))
+        .cast("long")
+        .alias("ns"),
+        F.max(y.cast("long")).alias("y"),
+    )
+    s = uc.select(
+        "y",
+        (
+            F.lit(_CAL_W_VIEW) * F.col("nv")
+            + F.lit(_CAL_W_CLICK) * F.col("nc")
+            + F.lit(_CAL_W_SIGNUP) * F.col("ns")
+            + F.lit(_CAL_BIAS)
+        )
+        .cast("long")
+        .alias("z"),
+    ).withColumn(
+        "p_micro",
+        F.expr(
+            f"CAST(LEAST(GREATEST(z - {_BR_Z0}, 0), {_BR_SPAN})"
+            f" * 1000000 div {_BR_SPAN} AS BIGINT)"
+        ),
+    ).localCheckpoint()  # user-sized, read twice (edges + binning)
+    qs = [i / _CAL_BINS for i in range(1, _CAL_BINS)]
+    edges = s.agg(
+        F.array_sort(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({q}) WITHIN GROUP (ORDER BY z)"
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("edges")
+    )
+    b = (
+        s.crossJoin(F.broadcast(edges))
+        .select(
+            "y",
+            "p_micro",
+            F.size(F.filter("edges", lambda q: q < F.col("z")))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum("y").cast("long").alias("sy_k"),
+            F.sum("p_micro").cast("long").alias("sp_k"),
+        )
+        .localCheckpoint()  # <=10 rows, read twice (globals + terms)
+    )
+    g = b.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("sy_k").cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    t = b.join(F.broadcast(g)).select(
+        "bin",
+        "n_k",
+        "sy_k",
+        "n",
+        "sy",
+        "n_bins",
+        (F.col("sp_k").cast("double") / F.col("n_k") / 1000000).alias(
+            "pbar"
+        ),
+        (F.col("sy_k").cast("double") / F.col("n_k")).alias("ybar_k"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+    )
+
+    def fold(term: str) -> str:
+        # bin-ordered left fold with an explicit 0.0 seed: collect
+        # (bin, term) structs, sort by bin, strip to terms, aggregate
+        return (
+            f"aggregate(transform(array_sort(collect_list("
+            f"struct(bin, CAST(({term}) AS DOUBLE) AS v))),"
+            f" x -> x.v), CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        )
+
+    f = t.groupBy("n", "sy", "n_bins", "ybar").agg(
+        F.expr(fold("n_k * pbar * pbar - 2 * pbar * sy_k + sy_k")).alias(
+            "sb"
+        ),
+        F.expr(fold("n_k * (pbar - ybar_k) * (pbar - ybar_k)")).alias(
+            "sr"
+        ),
+        F.expr(fold("n_k * (ybar_k - ybar) * (ybar_k - ybar)")).alias(
+            "ss"
+        ),
+    )
+    return f.select(
+        F.col("n").alias("n_users"),
+        "n_bins",
+        (F.floor(F.col("ybar") * 1e6) / 1e6).alias("base_rate"),
+        (F.floor(F.col("sb") / F.col("n") * 1e6) / 1e6).alias("brier"),
+        (F.floor(F.col("sr") / F.col("n") * 1e6) / 1e6).alias(
+            "reliability"
+        ),
+        (F.floor(F.col("ss") / F.col("n") * 1e6) / 1e6).alias(
+            "resolution"
+        ),
+        (
+            F.floor(F.col("ybar") * (1 - F.col("ybar")) * 1e6) / 1e6
+        ).alias("uncertainty"),
+    )

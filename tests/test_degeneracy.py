@@ -12,7 +12,7 @@ gets a minimum-diversity contract that a planted degenerate variant
 would fail.
 
 Round-8 extension (VERDICT r7 item 7): FULL-registry coverage. Every
-declared query is now under either a targeted DIVERSITY contract (55),
+declared query is now under either a targeted DIVERSITY contract (56),
 a reasoned UNIVERSAL_EXEMPT entry (8, each verified non-degenerate at
 a higher SF), or the universal no-collapse floor (everything else:
 non-empty, and multi-row frames must not be constant). New-query
@@ -251,6 +251,16 @@ DIVERSITY: dict[str, dict] = {
         "check": lambda p: bool((p["season_next"] != 0.0).any()),
     },
     "sql_pipe_surface": {"min_rows": 5, "distinct": {"rev_cents": 5}},
+    # the decomposition must show real reliability error AND real
+    # resolution (a constant forecaster or constant outcome zeroes one)
+    "agg_brier_decomposition": {
+        "min_rows": 1,
+        "check": lambda p: bool(
+            (p["reliability"] > 0).all()
+            and (p["resolution"] > 0).all()
+            and ((p["brier"] > 0) & (p["brier"] < 1)).all()
+        ),
+    },
 }
 
 

@@ -471,3 +471,79 @@ def test_sql_pipe_matches_classic_sql(spark, sf_dir):
     piped = Q["sql_pipe_surface"].fn(spark, sf_dir).collect()
     assert [tuple(r) for r in piped] == [tuple(r) for r in classic]
     assert len(piped) >= 5
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    from shippinglanes_spark.operators.stats7 import (
+        _BR_SPAN,
+        _BR_Z0,
+        _CAL_BIAS,
+        _CAL_BINS,
+        _CAL_W_CLICK,
+        _CAL_W_SIGNUP,
+        _CAL_W_VIEW,
+    )
+
+    con = duckdb.connect()
+    users = con.sql(
+        f"""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'view') AS nv,
+               COUNT(*) FILTER (event_type = 'click') AS nc,
+               COUNT(*) FILTER (event_type = 'signup') AS ns,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ROUND(value * 100) AS BIGINT) >= 20000
+                        THEN 1 ELSE 0 END) AS y
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY user_id
+        """
+    ).fetchall()
+    # independent binning: DuckDB percentile_disc lower-edge semantics
+    # replicated as the element at rank ceil(q * n) of the sorted list
+    zs = sorted(
+        _CAL_W_VIEW * nv + _CAL_W_CLICK * nc + _CAL_W_SIGNUP * ns + _CAL_BIAS
+        for _u, nv, nc, ns, _y in users
+    )
+    n = len(zs)
+    edges = [
+        zs[max(0, math.ceil(i / _CAL_BINS * n) - 1)]
+        for i in range(1, _CAL_BINS)
+    ]
+    bins: dict[int, list[int]] = {}
+    for _u, nv, nc, ns, yy in users:
+        z = (
+            _CAL_W_VIEW * nv
+            + _CAL_W_CLICK * nc
+            + _CAL_W_SIGNUP * ns
+            + _CAL_BIAS
+        )
+        p = min(max(z - _BR_Z0, 0), _BR_SPAN) * 1000000 // _BR_SPAN
+        b = sum(1 for e in edges if e < z)
+        bins.setdefault(b, []).append((p, yy))
+    sy = sum(yy for rows in bins.values() for _p, yy in rows)
+    ybar = sy / n
+    brier = rel = res = 0.0
+    for b in sorted(bins):
+        rows = bins[b]
+        nk = len(rows)
+        syk = sum(yy for _p, yy in rows)
+        spk = sum(p for p, _yy in rows)
+        pbar = spk / nk / 1000000
+        ybk = syk / nk
+        brier += nk * pbar * pbar - 2 * pbar * syk + syk
+        rel += nk * (pbar - ybk) * (pbar - ybk)
+        res += nk * (ybk - ybar) * (ybk - ybar)
+    brier /= n
+    rel /= n
+    res /= n
+    unc = ybar * (1 - ybar)
+    row = Q["agg_brier_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert row.n_users == n
+    assert row.base_rate == math.floor(ybar * 1e6) / 1e6
+    assert row.brier == math.floor(brier * 1e6) / 1e6
+    assert row.reliability == math.floor(rel * 1e6) / 1e6
+    assert row.resolution == math.floor(res * 1e6) / 1e6
+    assert row.uncertainty == math.floor(unc * 1e6) / 1e6
+    # Murphy's identity holds EXACTLY for a bin-constant forecast
+    assert abs(brier - (rel - res + unc)) < 1e-9
+    # a forecaster with any skill: resolution > 0
+    assert res > 0
