@@ -294,6 +294,7 @@ def build_sfdir100(spark):
     the scratch ~2 GB."""
     sfdir = os.path.join(SCRATCH, "sfdir100")
     if os.path.exists(os.path.join(sfdir, "customer.parquet", "_SUCCESS")):
+        _ensure_orders100(spark, sfdir)
         return sfdir
     n = 100
     copies = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("c")
@@ -354,7 +355,95 @@ def build_sfdir100(spark):
         table(spark, SF, dim).write.mode("overwrite").parquet(
             f"{sfdir}/{dim}.parquet"
         )
+    _ensure_orders100(spark, sfdir)
     return sfdir
+
+
+def _ensure_orders100(spark, sfdir):
+    """orders at 100x (round-8 pack probes read it); separate memo so a
+    scratch built before orders was needed upgrades in place."""
+    if os.path.exists(os.path.join(sfdir, "lineitem.parquet", "_SUCCESS")):
+        return
+    n = 100
+    copies = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("c")
+    shift_us = F.col("c").cast("long") * F.lit(35 * 86_400_000_000)
+    o = table(spark, SF, "orders")
+    o100 = (
+        o.select("*", copies)
+        .withColumn(
+            "o_orderkey",
+            F.col("o_orderkey") + F.col("c").cast("long") * 100_000_000,
+        )
+        .withColumn(
+            "o_custkey",
+            F.col("o_custkey") + F.col("c").cast("long") * 1_000_000,
+        )
+        # shift the calendar like events: pre/post-cut pairing keeps a
+        # real mix instead of 100 co-located copies of the same dates
+        .withColumn(
+            "o_orderdate",
+            F.timestamp_micros(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                + shift_us
+            ),
+        )
+        .drop("c")
+    )
+    o100.repartition(64).write.mode("overwrite").parquet(
+        f"{sfdir}/orders.parquet"
+    )
+    # lineitem too: register_views-based surfaces (sql_pipe_surface)
+    # register every fixture table, so the directory must be complete
+    li = table(spark, SF, "lineitem")
+    li100 = (
+        li.select("*", copies)
+        .withColumn(
+            "l_orderkey",
+            F.col("l_orderkey") + F.col("c").cast("long") * 100_000_000,
+        )
+        .drop("c")
+    )
+    li100.repartition(64).write.mode("overwrite").parquet(
+        f"{sfdir}/lineitem.parquet"
+    )
+
+
+def round18_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
+    """Round-8 session pack pushed to 100x (the r15/r16 rigor): the
+    customer/orders rollup shapes and the calendar-bounded folds should
+    stay sub-linear; sim_maxsim's pinned query workload makes its cost
+    queries x corpus (linear)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_wilcoxon_signed_rank",
+        "rank_map",
+        "agg_effect_size",
+        "ts_kalman_level",
+        "sim_maxsim",
+        "agg_friedman",
+        "agg_tost_equivalence",
+        "rank_rbo",
+        "pipeline_topp_sources",
+        "ts_holt_winters",
+        "agg_brier_decomposition",
+        "sql_pipe_surface",
+    ]
+    out = {}
+    for label, sfdir in (
+        ("1x", sfdir_1x),
+        ("10x", sfdir_10x),
+        ("100x", sfdir_100x),
+    ):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
 
 
 def round4_registered(spark, sfdir_1x, sfdir_10x):
@@ -908,6 +997,10 @@ def main() -> None:
     sfdir10 = build_sfdir(spark)
     if "--r18" in sys.argv:
         round18_registered(spark, SF, sfdir10)
+        return
+    if "--r18-100x" in sys.argv:
+        sfdir100 = build_sfdir100(spark)
+        round18_100x(spark, SF, sfdir10, sfdir100)
         return
     if "--r17" in sys.argv:
         round17_registered(spark, SF, sfdir10)
