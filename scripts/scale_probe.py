@@ -429,6 +429,8 @@ def round18_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
         "ts_holt_winters",
         "agg_brier_decomposition",
         "sql_pipe_surface",
+        "ts_croston",
+        "text_heaps_law",
     ]
     out = {}
     for label, sfdir in (

@@ -82,3 +82,216 @@ def pipeline_topp_sources(spark, sf_dir):
             < _TOPP_NUM * F.col("tot")
         ).alias("kept"),
     ).orderBy("lang", F.col("n_docs").desc(), "source")
+
+
+# Heaps' law: V = K * N^beta over word-TRIGRAM vocabulary. Ten prefix
+# points (decile edges over doc_id), log-log OLS for beta. Logs are
+# ROUNDed 4dp before the fit (ln is libm-variant — the text_logodds
+# discipline); the four OLS moment sums fold in point order so the
+# doubles are bit-identical. The unit is the trigram, NOT the word:
+# the synthetic corpus's word vocabulary (~60 db/Spark terms) saturates
+# inside the first decile, which flattens the word-level curve to
+# beta = 0 (caught by this query's own python-reference test before
+# registration) — trigram types keep minting for the whole corpus,
+# so the growth law has something to measure.
+_HEAPS_POINTS = 10
+
+
+@register(
+    "text_heaps_law",
+    section="2.13",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, len(string_split(text, ' ')) - 2 AS n_tok
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents)),
+    firsts AS (
+      SELECT token, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM tok GROUP BY token),
+    e AS (SELECT [{", ".join(
+        f"percentile_disc({k / _HEAPS_POINTS}) WITHIN GROUP (ORDER BY doc_id)"
+        for k in range(1, _HEAPS_POINTS + 1)
+    )}] AS edges FROM docs),
+    nb AS (SELECT CAST(len(list_filter(e.edges, q -> q < d.doc_id))
+                       AS BIGINT) AS b,
+                  CAST(SUM(d.n_tok) AS BIGINT) AS toks,
+                  CAST(COUNT(*) AS BIGINT) AS docs
+           FROM docs d CROSS JOIN e GROUP BY 1),
+    vb AS (SELECT CAST(len(list_filter(e.edges, q -> q < f.first_doc))
+                       AS BIGINT) AS b,
+                  CAST(COUNT(*) AS BIGINT) AS vocab
+           FROM firsts f CROSS JOIN e GROUP BY 1),
+    pts AS (
+      SELECT nb.b + 1 AS k,
+             CAST(SUM(nb.toks) OVER (ORDER BY nb.b) AS BIGINT) AS n_tokens,
+             CAST(SUM(nb.docs) OVER (ORDER BY nb.b) AS BIGINT) AS n_docs,
+             CAST(SUM(COALESCE(vb.vocab, 0)) OVER (ORDER BY nb.b)
+                  AS BIGINT) AS vocab
+      FROM nb LEFT JOIN vb ON nb.b = vb.b),
+    lx AS (SELECT k, n_tokens, n_docs, vocab,
+                  ROUND(LN(n_tokens), 4) AS x,
+                  ROUND(LN(vocab), 4) AS y
+           FROM pts),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             list_reduce(list_transform(list([x, y] ORDER BY k),
+                                        p -> [p[1], p[2],
+                                              p[1] * p[2], p[1] * p[1]]),
+               (a, p) -> [a[1] + p[1], a[2] + p[2],
+                          a[3] + p[3], a[4] + p[4]]) AS s
+      FROM lx),
+    fit AS (
+      SELECT np,
+             (np * s[3] - s[1] * s[2]) / (np * s[4] - s[1] * s[1]) AS beta,
+             s[1] AS sx, s[2] AS sy
+      FROM mom)
+    SELECT l.k, l.n_docs, l.n_tokens, l.vocab, l.x AS ln_tokens,
+           l.y AS ln_vocab,
+           FLOOR(f.beta * 1e6) / 1e6 AS heaps_beta,
+           FLOOR((f.sy - f.beta * f.sx) / f.np * 1e6) / 1e6 AS heaps_ln_k
+    FROM lx l CROSS JOIN fit f
+    ORDER BY l.k
+    """,
+    notes=f"Heaps'-law vocabulary-growth fit V = K*N^beta over "
+    f"{_HEAPS_POINTS} corpus prefix points (decile edges over doc_id "
+    f"— the calibration-bins broadcast-edge pattern, no global sort): "
+    f"token first-occurrence is ONE token-keyed MIN(doc_id) rollup, "
+    f"so vocabulary-at-prefix is a cumulative count of first-seen "
+    f"buckets and tokens-at-prefix a cumulative BIGINT sum — the "
+    f"whole curve from two corpus passes. The log-log OLS rounds "
+    f"each ln 4dp first (libm-variant, the text_logodds discipline) "
+    f"and folds the four moment sums in POINT ORDER on both engines, "
+    f"so beta is bit-identical. The vocabulary-growth companion to "
+    f"text_hapax_ratio (tail weight) and agg_powerlaw_fit (Zipf "
+    f"exponent): sub-linear beta (~0.5) says dedup/curation is "
+    f"working, beta near 1 flags boilerplate-free synthetic text. "
+    f"Corpus work = the doc projection + one token rollup; "
+    f"everything after is {_HEAPS_POINTS} rows",
+)
+def text_heaps_law(spark, sf_dir):
+    from .text import shingles_of_tokens
+
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        (F.size(F.split("text", " ")) - 2).cast("long").alias("n_tok"),
+    ).localCheckpoint()  # doc-sized, read twice (edges + bucketing)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            shingles_of_tokens(F.split("text", " "), 3)
+        ).alias("token"),
+    )
+    firsts = tok.groupBy("token").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    qs = [k / _HEAPS_POINTS for k in range(1, _HEAPS_POINTS + 1)]
+    e = docs.agg(
+        F.array_sort(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({q}) WITHIN GROUP"
+                        " (ORDER BY doc_id)"
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("edges")
+    )
+    nb = (
+        docs.crossJoin(F.broadcast(e))
+        .select(
+            F.size(F.filter("edges", lambda q: q < F.col("doc_id")))
+            .cast("long")
+            .alias("b"),
+            "n_tok",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("n_tok").cast("long").alias("toks"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+        )
+    )
+    vb = (
+        firsts.crossJoin(F.broadcast(e))
+        .select(
+            F.size(F.filter("edges", lambda q: q < F.col("first_doc")))
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    wc = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    pts = (
+        nb.join(vb, "b", "left")
+        .select(
+            (F.col("b") + 1).alias("k"),
+            F.sum("toks").over(wc).cast("long").alias("n_tokens"),
+            F.sum("docs").over(wc).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("vocab", F.lit(0)))
+            .over(wc)
+            .cast("long")
+            .alias("vocab"),
+        )
+    )
+    lx = pts.select(
+        "k",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        F.round(F.log("n_tokens"), 4).alias("x"),
+        F.round(F.log("vocab"), 4).alias("y"),
+    ).localCheckpoint()  # 10 rows, read twice (fit + output)
+    mom = lx.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(k, x, y))),"
+            " p -> array(p.x, p.y, p.x * p.y, p.x * p.x)),"
+            " array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+            "       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),"
+            " (a, p) -> array(a[0] + p[0], a[1] + p[1],"
+            "                 a[2] + p[2], a[3] + p[3]))"
+        ).alias("s"),
+    )
+    fit = mom.select(
+        "np",
+        (
+            (F.col("np") * F.col("s").getItem(2)
+             - F.col("s").getItem(0) * F.col("s").getItem(1))
+            / (F.col("np") * F.col("s").getItem(3)
+               - F.col("s").getItem(0) * F.col("s").getItem(0))
+        ).alias("beta"),
+        F.col("s").getItem(0).alias("sx"),
+        F.col("s").getItem(1).alias("sy"),
+    )
+    return (
+        lx.crossJoin(F.broadcast(fit))
+        .select(
+            "k",
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            F.col("x").alias("ln_tokens"),
+            F.col("y").alias("ln_vocab"),
+            (F.floor(F.col("beta") * 1e6) / 1e6).alias("heaps_beta"),
+            (
+                F.floor(
+                    (F.col("sy") - F.col("beta") * F.col("sx"))
+                    / F.col("np")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("heaps_ln_k"),
+        )
+        .orderBy("k")
+    )

@@ -784,3 +784,96 @@ def rank_rbo(spark, sf_dir):
         )
         .orderBy("nation_id")
     )
+
+
+# Croston smoothing constant is 1/2 (exact halvings, the ts_holt trick);
+# the first demand seeds z, the first interval is defined as 1.0
+_CR_GRID_HOURS = "hour"
+
+
+@register(
+    "ts_croston",
+    section="2.8",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                  AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS size
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, hi, size,
+             hi - LAG(hi) OVER (PARTITION BY event_type ORDER BY hi)
+               AS gap
+      FROM h),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_demand,
+             list([CAST(size AS DOUBLE), CAST(COALESCE(gap, 1) AS DOUBLE)]
+                  ORDER BY hi) AS xs
+      FROM g GROUP BY event_type),
+    f AS (
+      SELECT event_type, n_demand,
+             list_reduce(xs, (acc, x) -> [
+               (acc[1] + x[1]) / 2,
+               (acc[2] + x[2]) / 2
+             ]) AS st
+      FROM s)
+    SELECT event_type, n_demand,
+           ROUND(st[1], 6) AS size_level,
+           ROUND(st[2], 6) AS interval_level,
+           ROUND(st[1] / st[2], 6) AS demand_rate
+    FROM f
+    """,
+    notes="Croston's method for intermittent demand (alpha = 1/2) on "
+    "each type's HOURLY event series: only demand hours enter; the "
+    "size level z and the inter-demand interval x smooth as exact "
+    "halvings folded LEFT over the hour-ordered (size, gap) pairs on "
+    "both engines (first demand seeds z, first interval defined 1.0 "
+    "via the transform-then-reduce seed trick), forecast rate = z/x "
+    "one division. Sizes and gaps are exact integers so the fold "
+    "doubles are bit-identical (ROUND 6dp belt-and-braces). The "
+    "intermittent-demand member of the forecasting family: on a "
+    "SPARSE series (sf0.001: 176/720 signup hours) the interval "
+    "level carries real signal; as density grows every gap is 1 and "
+    "Croston converges to plain EWMA of sizes — the textbook "
+    "behavior, stated here so the dense-fixture result reads "
+    "correctly. One hourly rollup + one lag window; folds are "
+    "per-type over the calendar-bounded demand list",
+)
+def ts_croston(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP))"
+            " div 3600000000 AS BIGINT)"
+        ).alias("hi"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("size"))
+    wl = W.partitionBy("event_type").orderBy("hi")
+    g = h.select(
+        "event_type",
+        "hi",
+        "size",
+        (F.col("hi") - F.lag("hi").over(wl)).alias("gap"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(hi, size, gap))),"
+            " x -> array(CAST(x.size AS DOUBLE),"
+            "            CAST(COALESCE(x.gap, 1) AS DOUBLE)))"
+        ).alias("xs"),
+    )
+    st = F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),"
+        " element_at(xs, 1),"
+        " (acc, x) -> array((acc[0] + x[0]) / 2, (acc[1] + x[1]) / 2))"
+    )
+    return s.select(
+        "event_type",
+        "n_demand",
+        F.round(st.getItem(0), 6).alias("size_level"),
+        F.round(st.getItem(1), 6).alias("interval_level"),
+        F.round(st.getItem(0) / st.getItem(1), 6).alias("demand_rate"),
+    )

@@ -12,7 +12,7 @@ gets a minimum-diversity contract that a planted degenerate variant
 would fail.
 
 Round-8 extension (VERDICT r7 item 7): FULL-registry coverage. Every
-declared query is now under either a targeted DIVERSITY contract (56),
+declared query is now under either a targeted DIVERSITY contract (58),
 a reasoned UNIVERSAL_EXEMPT entry (8, each verified non-degenerate at
 a higher SF), or the universal no-collapse floor (everything else:
 non-empty, and multi-row frames must not be constant). New-query
@@ -259,6 +259,23 @@ DIVERSITY: dict[str, dict] = {
             (p["reliability"] > 0).all()
             and (p["resolution"] > 0).all()
             and ((p["brier"] > 0) & (p["brier"] < 1)).all()
+        ),
+    },
+    # Croston must see real intermittency at the test SF (some smoothed
+    # interval > 1 hour); the Heaps fit must be a genuine sub-linear
+    # growth law (word-level vocabulary saturated to beta = 0 on these
+    # fixtures — caught pre-registration, unit switched to trigrams)
+    "ts_croston": {
+        "min_rows": 5,
+        "distinct": {"demand_rate": 5},
+        "check": lambda p: bool((p["interval_level"] > 1.0).any()),
+    },
+    "text_heaps_law": {
+        "min_rows": 10,
+        "distinct": {"vocab": 10},
+        "check": lambda p: bool(
+            ((p["heaps_beta"] > 0) & (p["heaps_beta"] < 1)).all()
+            and p["vocab"].is_monotonic_increasing
         ),
     },
 }

@@ -547,3 +547,112 @@ def test_brier_decomposition_matches_python(spark, sf_dir):
     assert abs(brier - (rel - res + unc)) < 1e-9
     # a forecaster with any skill: resolution > 0
     assert res > 0
+
+
+def test_croston_matches_python(spark, sf_dir):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, "
+        f"CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT), "
+        f"COUNT(*) FROM read_parquet('{sf_dir}/events.parquet') "
+        f"GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, hi, c in rows:
+        series.setdefault(et, []).append((hi, int(c)))
+    expected = {}
+    for et, hrows in series.items():
+        hrows.sort()
+        z, x = float(hrows[0][1]), 1.0
+        for (h_prev, _), (h, size) in zip(hrows, hrows[1:]):
+            z = (z + size) / 2
+            x = (x + (h - h_prev)) / 2
+        expected[et] = (
+            len(hrows),
+            round(z, 6),
+            round(x, 6),
+            round(z / x, 6),
+        )
+    got = {
+        r.event_type: (r.n_demand, r.size_level, r.interval_level, r.demand_rate)
+        for r in Q["ts_croston"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # intermittency must register at the test SF: some type's smoothed
+    # interval must exceed 1 hour (gaps exist at sf0.001)
+    assert any(v[2] > 1.0 for v in expected.values())
+
+
+def test_heaps_law_matches_python(spark, sf_dir):
+    from shippinglanes_spark.functions.pipeline7 import _HEAPS_POINTS
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    ids = sorted(did for did, _t in docs)
+    n = len(ids)
+    edges = [
+        ids[max(0, math.ceil(k / _HEAPS_POINTS * n) - 1)]
+        for k in range(1, _HEAPS_POINTS + 1)
+    ]
+    pts = []
+    for k, t in enumerate(edges, start=1):
+        seen: set[str] = set()
+        n_tok = 0
+        n_docs = 0
+        for did, text in docs:
+            if did <= t:
+                n_docs += 1
+                toks = text.split(" ")
+                grams = [
+                    " ".join(toks[i : i + 3])
+                    for i in range(len(toks) - 2)
+                ]
+                n_tok += len(grams)
+                seen.update(grams)
+        pts.append((k, n_docs, n_tok, len(seen)))
+    xs = [round(math.log(p[2]), 4) for p in pts]
+    ys = [round(math.log(p[3]), 4) for p in pts]
+    np_ = len(pts)
+    sx = sy = sxy = sxx = 0.0
+    for x, yv in zip(xs, ys):
+        sx += x
+        sy += yv
+        sxy += x * yv
+        sxx += x * x
+    beta = (np_ * sxy - sx * sy) / (np_ * sxx - sx * sx)
+    lnk = (sy - beta * sx) / np_
+    expected = {
+        p[0]: (
+            p[1],
+            p[2],
+            p[3],
+            xs[i],
+            ys[i],
+            math.floor(beta * 1e6) / 1e6,
+            math.floor(lnk * 1e6) / 1e6,
+        )
+        for i, p in enumerate(pts)
+    }
+    got = {
+        r.k: (
+            r.n_docs,
+            r.n_tokens,
+            r.vocab,
+            r.ln_tokens,
+            r.ln_vocab,
+            r.heaps_beta,
+            r.heaps_ln_k,
+        )
+        for r in Q["text_heaps_law"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # Heaps exponent of a real-ish corpus lies strictly inside (0, 1):
+    # vocabulary grows, but sub-linearly
+    assert 0.0 < math.floor(beta * 1e6) / 1e6 < 1.0
+    # vocabulary and tokens must be monotone along the curve
+    vs = [p[3] for p in pts]
+    assert vs == sorted(vs)
