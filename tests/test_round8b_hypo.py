@@ -119,3 +119,52 @@ def test_maxsim_bounds_vs_full_dot(vecs):
             maxsim = dots.max(axis=1).sum()
             full_dot = np.trace(dots)
             assert maxsim >= full_dot
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-9, max_value=9).filter(lambda d: d != 0),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_wilcoxon_variance_positive_with_ties(diffs):
+    """var48 = 2n(n+1)(2n+1) - sum(t^3 - t) stays strictly positive for
+    ANY tie pattern (the all-ties worst case collapses to 3n(n+1)^2),
+    so the z denominator can never divide by zero."""
+    ads = [abs(d) for d in diffs]
+    n = len(ads)
+    tie3 = sum(ads.count(v) ** 3 - ads.count(v) for v in set(ads))
+    var48 = 2 * n * (n + 1) * (2 * n + 1) - tie3
+    assert var48 > 0
+    if len(set(ads)) == 1:  # all tied: the closed form
+        assert var48 == 3 * n * (n + 1) ** 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # cand id
+            st.integers(min_value=-(10**6), max_value=10**6),  # score
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),  # number of partitions
+)
+def test_partial_topk_merge_is_lossless(cands, nparts):
+    """The sim_maxsim reduction shape: per-partition top-k by
+    (score desc, id asc) then global top-k over the survivors must
+    equal the global top-k over everything — for ANY partitioning."""
+    k = 3
+    order = sorted(cands, key=lambda t: (-t[1], t[0]))
+    direct = order[:k]
+    parts = [cands[i::nparts] for i in range(nparts)]
+    survivors = []
+    for p in parts:
+        survivors.extend(sorted(p, key=lambda t: (-t[1], t[0]))[:k])
+    merged = sorted(survivors, key=lambda t: (-t[1], t[0]))[:k]
+    assert merged == direct
