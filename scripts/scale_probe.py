@@ -289,9 +289,10 @@ def build_sfdir100(spark):
     """A synthetic 100x sf-DIRECTORY for the isolated-tail probes
     (VERDICT r6 item 4). Same construction as build_sfdir (disjoint key
     spaces, 35-day time shift per copy, token-salted documents, dims
-    1x) at COPIES=100; only the tables the tail queries read are built
-    (documents, events, embeddings, customer + the 1x dims), keeping
-    the scratch ~2 GB."""
+    1x) at COPIES=100. Builds documents, events, embeddings, customer
+    + the 1x dims here, then _ensure_orders100 adds 100x orders AND
+    lineitem (round-8 pack probes + register_views-based surfaces read
+    them); scratch ~2 GB."""
     sfdir = os.path.join(SCRATCH, "sfdir100")
     if os.path.exists(os.path.join(sfdir, "customer.parquet", "_SUCCESS")):
         _ensure_orders100(spark, sfdir)
@@ -360,9 +361,17 @@ def build_sfdir100(spark):
 
 
 def _ensure_orders100(spark, sfdir):
-    """orders at 100x (round-8 pack probes read it); separate memo so a
-    scratch built before orders was needed upgrades in place."""
-    if os.path.exists(os.path.join(sfdir, "lineitem.parquet", "_SUCCESS")):
+    """orders + lineitem at 100x (round-8 pack probes read them);
+    separate memo so a scratch built before orders was needed upgrades
+    in place. BOTH _SUCCESS markers are checked: orders is written
+    first, so a run killed between the two writes leaves orders
+    complete but lineitem absent — checking lineitem alone would only
+    prove completeness by write-order accident."""
+    if os.path.exists(
+        os.path.join(sfdir, "orders.parquet", "_SUCCESS")
+    ) and os.path.exists(
+        os.path.join(sfdir, "lineitem.parquet", "_SUCCESS")
+    ):
         return
     n = 100
     copies = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("c")

@@ -102,7 +102,8 @@ _HEAPS_POINTS = 10
     section="2.13",
     oracle=f"""
     WITH docs AS (
-      SELECT doc_id, len(string_split(text, ' ')) - 2 AS n_tok
+      SELECT doc_id,
+             GREATEST(len(string_split(text, ' ')) - 2, 0) AS n_tok
       FROM documents),
     tok AS (
       SELECT doc_id,
@@ -181,7 +182,11 @@ def text_heaps_law(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
-        (F.size(F.split("text", " ")) - 2).cast("long").alias("n_tok"),
+        # greatest(.., 0): a doc with <3 tokens emits zero trigrams, so
+        # its token contribution must clamp at 0, not go negative
+        F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
     ).localCheckpoint()  # doc-sized, read twice (edges + bucketing)
     tok = d.select(
         "doc_id",

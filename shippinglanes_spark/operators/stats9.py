@@ -484,10 +484,14 @@ _RBO_S = tuple(sum(_RBO_C[m - 1 :]) for m in range(1, _RBO_K + 1))
     "agg_friedman",
     section="2.4",
     oracle=f"""
-    WITH d AS (
+    WITH d0 AS (
       SELECT CAST(ts AS DATE) AS day, event_type,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2),
+    complete AS (
+      SELECT day FROM d0 GROUP BY day HAVING COUNT(*) = {_FR_K}),
+    d AS (
+      SELECT d0.* FROM d0 JOIN complete USING (day)),
     r AS (
       SELECT day, event_type,
              2 * RANK() OVER (PARTITION BY day ORDER BY c)
@@ -529,14 +533,29 @@ _RBO_S = tuple(sum(_RBO_C[m - 1 :]) for m in range(1, _RBO_K + 1))
     f"tree, floored 6 dp. Completes the nonparametric design grid: "
     f"Mann-Whitney (2 independent), Kruskal-Wallis (k independent), "
     f"Wilcoxon (2 paired), Friedman (k paired). Each treatment row "
-    f"carries its rank sum + the global verdict. One daily rollup; "
-    f"ranks are day-partition-local over {_FR_K} rows",
+    f"carries its rank sum + the global verdict. Blocks are enforced "
+    f"COMPLETE (days missing any of the {_FR_K} types are dropped in "
+    f"both engines before ranking — an incomplete day would rank only "
+    f"the present types while n and k still counted it fully, "
+    f"silently biasing Q). One daily rollup; ranks are "
+    f"day-partition-local over {_FR_K} rows",
 )
 def agg_friedman(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    d = ev.groupBy(
+    d0 = ev.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Friedman requires COMPLETE blocks: a day missing a type would
+    # rank only the present types while n and k still count it fully,
+    # biasing Q. Keep only days where all k treatments appear (both
+    # engines agree on the filter, so the bias can't hide in the hash).
+    complete = (
+        d0.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("kt"))
+        .where(F.col("kt") == _FR_K)
+        .select("day")
+    )
+    d = d0.join(F.broadcast(complete), "day")
     wd = W.partitionBy("day").orderBy("c")
     wt = W.partitionBy("day", "c")
     r = d.select(
@@ -713,15 +732,21 @@ def _rbo_s_col(m_col):
       SELECT nation_id, c_custkey,
              ROW_NUMBER() OVER (PARTITION BY nation_id
                                 ORDER BY n_orders DESC, c_custkey) AS rb
-      FROM act QUALIFY rb <= {_RBO_K})
-    SELECT a.nation_id,
-           CAST(COUNT(*) AS BIGINT) AS n_common,
-           CAST(SUM({_rbo_s_sql('GREATEST(a.ra, b.rb)')}) AS BIGINT)
-             AS rbo_nano
-    FROM a JOIN b ON a.nation_id = b.nation_id
-                 AND a.c_custkey = b.c_custkey
-    GROUP BY a.nation_id
-    ORDER BY a.nation_id
+      FROM act QUALIFY rb <= {_RBO_K}),
+    j AS (
+      SELECT a.nation_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM({_rbo_s_sql('GREATEST(a.ra, b.rb)')}) AS BIGINT)
+               AS rbo_nano
+      FROM a JOIN b ON a.nation_id = b.nation_id
+                   AND a.c_custkey = b.c_custkey
+      GROUP BY a.nation_id),
+    nat AS (SELECT DISTINCT nation_id FROM act)
+    SELECT nat.nation_id,
+           CAST(COALESCE(j.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(j.rbo_nano, 0) AS BIGINT) AS rbo_nano
+    FROM nat LEFT JOIN j USING (nation_id)
+    ORDER BY nat.nation_id
     """,
     notes=f"rank-biased overlap (Webber et al. 2010, p=1/2, depth "
     f"{_RBO_K}) between two top-{_RBO_K} customer rankings per nation "
@@ -771,7 +796,7 @@ def rank_rbo(spark, sf_dir):
         .where(F.col("rb") <= _RBO_K)
         .select("nation_id", "c_custkey", "rb")
     )
-    return (
+    j = (
         a.join(b, ["nation_id", "c_custkey"])
         .select(
             "nation_id",
@@ -781,6 +806,18 @@ def rank_rbo(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
             F.sum("s").cast("long").alias("rbo_nano"),
+        )
+    )
+    # left-join from the ranking base: a nation whose two top-K lists
+    # share NO members must report rbo_nano = 0, not vanish from the
+    # output (the rank_mrr/rank_map "no hit reports 0" discipline)
+    nat = act.select("nation_id").distinct()
+    return (
+        nat.join(j, "nation_id", "left")
+        .select(
+            "nation_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("rbo_nano", F.lit(0)).cast("long").alias("rbo_nano"),
         )
         .orderBy("nation_id")
     )

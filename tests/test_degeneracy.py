@@ -234,8 +234,14 @@ DIVERSITY: dict[str, dict] = {
     "rank_rbo": {
         "min_rows": 10,
         "distinct": {"rbo_nano": 5},
+        # zero-common nations are LEGAL rows reporting rbo_nano = 0
+        # (left-join shape); require some positive signal, the
+        # identical-ranking ceiling, and the zero-common discipline
         "check": lambda p: bool(
-            (p["rbo_nano"] > 0).all() and (p["rbo_nano"] < 990000000).all()
+            (p["rbo_nano"] >= 0).all()
+            and p["rbo_nano"].max() > 0
+            and (p["rbo_nano"] < 990000000).all()
+            and (p.loc[p["n_common"] == 0, "rbo_nano"] == 0).all()
         ),
     },
     "pipeline_topp_sources": {

@@ -368,8 +368,9 @@ def test_rbo_matches_python(spark, sf_dir, raw):
             for d in range(1, _RBO_K + 1)
         )
         common = len(set(a) & set(b))
-        if common:
-            expected[nk] = (common, rbo)
+        # every nation with a ranking appears — zero-common nations
+        # report (0, 0) rather than vanishing (left-join discipline)
+        expected[nk] = (common, rbo)
     got = {
         r.nation_id: (r.n_common, r.rbo_nano)
         for r in Q["rank_rbo"].fn(spark, sf_dir).collect()
