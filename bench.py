@@ -33,6 +33,13 @@ faster. Settled — don't re-litigate per-round.
 
 "families" times every declared query once (cold, single run) so
 regressions outside the 14 headliners stay visible round over round.
+The 14 headliners get their OWN gate ("headline_regressions"): steady
+timings diff against bench_ref's "queries" snapshot with a 0.1 s floor
+(the sub-100-ms queries live at the measured single-action floor and
+jitter its whole band), and flags are confirmed by a clean-JVM steady
+re-measurement (--headline-child) before they're reported — round 8's
+one real mover (sim_pairs_thresh +54% sampled) was exactly the surface
+the families gate never watched.
 
 In-sweep family timings share one hot JVM, so GC/JIT interference can
 inflate individual numbers 3-10x (observed: emb_top_pc 18.3s in-sweep vs
@@ -105,6 +112,37 @@ def find_regressions(
     return {n: regs[n] for n in worst}
 
 
+def _headline_child(names_csv: str) -> None:
+    """Re-time headline queries with the STEADY methodology (one
+    DataFrame handle, repeated toPandas — QueryExecution reused) on a
+    fresh subprocess JVM. The headliner regression gate's confirmation
+    path: in-process samples can catch GC/scheduler noise (round 8:
+    sim_pairs_thresh sampled +54% while its clean steady time was
+    flat), so flags only survive if the clean-JVM steady number holds
+    the ratio. Prints one JSON line {bench_name: steady_sec}."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="shippinglanes-bench-hiso", cpus=cpus, shuffle_partitions=8
+    )
+    registry = all_queries()
+    registry["agg_groupby"].fn(spark, sf_dir).collect()
+    out = {}
+    for bench_name in names_csv.split(","):
+        try:
+            df = registry[HEADLINE[bench_name]].fn(spark, sf_dir)
+            df.toPandas()  # cold build, not measured
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.toPandas()
+                best = min(best, time.perf_counter() - t0)
+            out[bench_name] = round(best, 3)
+        except Exception:
+            out[bench_name] = -1.0  # visible failure marker, never silent
+    print(json.dumps(out))
+
+
 def _isolated_child(names_csv: str) -> None:
     """Time the given queries on ONE fresh session (a subprocess, so the
     JVM carries no sweep heap/JIT state). Prints one JSON line."""
@@ -133,6 +171,28 @@ def _isolated_child(names_csv: str) -> None:
         except Exception:
             out[name] = -1.0  # visible failure marker, never silent
     print(json.dumps(out))
+
+
+def _isolate_headliners(names: list[str]) -> dict[str, float]:
+    """Clean-JVM steady re-measurement for flagged headliners (one
+    subprocess for the whole batch)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--headline-child",
+                ",".join(names),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {name: -1.0 for name in names}
 
 
 def _isolate_slowest(
@@ -169,6 +229,9 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--isolated-child":
         _isolated_child(sys.argv[2])
         return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--headline-child":
+        _headline_child(sys.argv[2])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sweep = os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
@@ -200,6 +263,35 @@ def main() -> None:
             timings[bench_name] = round(best, 3)
         except Exception as exc:  # never lose the whole artifact to one query
             headline_errors[bench_name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    ref: dict = {}
+    try:
+        with open(REF_PATH) as f:
+            ref = json.load(f)
+    except (OSError, ValueError):
+        pass
+
+    # Headliner regression gate (round-8 gap: the families gate never
+    # covered the 14 headline steady numbers, and the only real
+    # round-over-round movement — sim_pairs_thresh +54% — rode through
+    # unflagged). Same isolate-and-confirm shape as the families gate;
+    # floor 0.1 s because the sub-100-ms headliners sit AT the measured
+    # 33-64 ms single-action floor and jitter across its whole band.
+    h_candidates = find_regressions(
+        timings, ref.get("queries", {}), floor=0.1
+    )
+    if isolate and h_candidates:
+        iso_h = _isolate_headliners(list(h_candidates))
+        out_h: dict[str, float] = {}
+        for n, sample_ratio in h_candidates.items():
+            clean = iso_h.get(n, -1.0)
+            if clean <= 0:  # isolation failed: keep the sampled flag
+                out_h[n] = sample_ratio
+                continue
+            ratio = round(clean / ref["queries"][n], 2)
+            if ratio > 1.5 and clean >= 0.1:
+                out_h[n] = ratio
+        h_candidates = out_h
 
     families: dict[str, float] = {}
     family_errors: dict[str, str] = {}
@@ -243,6 +335,11 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if timings:
+        # explicit {} when nothing regressed (or ref carries no
+        # headliner snapshot yet) so the gate's verdict is never absent
+        out["headline_regressions"] = h_candidates
+        out["regressions_ref_round"] = ref.get("round")
     if families:
         out["families"] = families
         out["families_total"] = round(sum(families.values()), 3)
@@ -252,12 +349,6 @@ def main() -> None:
         # in the isolation batch and the reported ratio uses the clean-JVM
         # number when available (isolated-now vs in-sweep-prev biases the
         # ratio DOWN, i.e. survivors are real regressions, not noise).
-        ref: dict = {}
-        try:
-            with open(REF_PATH) as f:
-                ref = json.load(f)
-        except (OSError, ValueError):
-            pass
         candidates = find_regressions(families, ref.get("families", {}))
         if isolate:
             out["families_isolated"] = _isolate_slowest(
@@ -282,7 +373,14 @@ def main() -> None:
             )
             with open(REF_PATH, "w") as f:
                 json.dump(
-                    {"round": snap_round, "sf": out["sf"], "families": families},
+                    {
+                        "round": snap_round,
+                        "sf": out["sf"],
+                        "families": families,
+                        # headliner STEADY numbers: the reference the
+                        # headline_regressions gate diffs against
+                        "queries": timings,
+                    },
                     f,
                     indent=1,
                     sort_keys=True,
@@ -321,6 +419,12 @@ def summarize(out: dict, have_detail: bool) -> dict:
         "sf": out["sf"],
         "cold_total": out["cold_total"],
     }
+    if "headline_regressions" in out:
+        # headliner gate verdict: at most 5 {name: ratio} entries
+        # (find_regressions caps k; there are only 14 headliners)
+        summary["headline_regressions"] = out["headline_regressions"]
+        if out.get("regressions_ref_round") is not None:
+            summary["regressions_ref_round"] = out["regressions_ref_round"]
     if "families" in out:
         summary["families_total"] = out["families_total"]
         summary["families_n"] = len(out["families"])
@@ -344,7 +448,7 @@ def summarize(out: dict, have_detail: bool) -> dict:
         # bodies truncated: even 14 failing headliners must not push
         # the line past the tail capture (full text is in the detail)
         summary["headline_errors"] = {
-            k: v[:40] for k, v in out["headline_errors"].items()
+            k: v[:30] for k, v in out["headline_errors"].items()
         }
     if have_detail:
         summary["detail"] = "bench_full.json"

@@ -38,6 +38,8 @@ def _fake_out(n_families: int) -> dict:
         "regressions": {
             f"some_quite_long_query_name_{i:04d}": 123.45 for i in range(5)
         },
+        # headliner gate: worst case is every slot of the k=5 cap full
+        "headline_regressions": {k: 123.45 for k in list(HEADLINE)[:5]},
         "regressions_ref_round": 7,
     }
 
@@ -58,6 +60,7 @@ def test_summary_carries_the_numbers_the_judge_reads():
     assert s["family_errors_n"] == 25  # count, never the 300-char bodies
     assert s["detail"] == "bench_full.json"
     assert len(s["regressions"]) == 5  # gate verdict rides the short line
+    assert len(s["headline_regressions"]) == 5  # headliner gate too
     assert s["regressions_ref_round"] == 7
 
 
@@ -103,11 +106,45 @@ def test_summary_regressions_field_explicit_when_sweep_ran():
     assert "regressions" not in s2
 
 
+def test_headline_gate_semantics():
+    """The headliner gate reuses find_regressions with floor=0.1 —
+    sub-100-ms headliners sit at the measured single-action floor and
+    must never flag, while round 8's real mover (sim_pairs_thresh
+    0.203 -> 0.312, +54%) must."""
+    from bench import find_regressions
+
+    ref = {
+        "sim_pairs_thresh": 0.203,  # the round-8 unflagged mover
+        "evt_funnel": 0.042,        # job-floor query
+        "sim_knn": 0.208,
+    }
+    now = {
+        "sim_pairs_thresh": 0.312,  # 1.54x and >=0.1s -> flagged
+        "evt_funnel": 0.090,        # 2.1x but under the 0.1s floor
+        "sim_knn": 0.239,           # 1.15x -> under threshold
+    }
+    got = find_regressions(now, ref, floor=0.1)
+    assert got == {"sim_pairs_thresh": 1.54}
+    # a ref with no headliner snapshot yet (pre-round-9 bench_ref
+    # shape): nothing can flag, the gate reports explicit {}
+    assert find_regressions(now, {}, floor=0.1) == {}
+
+
+def test_summary_headline_regressions_explicit_when_timed():
+    out = _fake_out(50)
+    out["headline_regressions"] = {}
+    s = summarize(out, have_detail=True)
+    assert s["headline_regressions"] == {}  # explicit empty, not missing
+
+
 def test_summary_bounded_even_when_every_headliner_fails():
-    # a headliner either times or errors — main() never records both
+    # a headliner either times or errors — main() never records both,
+    # and regressions are found among TIMED headliners only, so the
+    # all-fail case carries an empty headline gate
     out = _fake_out(446)
     out["queries"] = {}
     out["queries_cold"] = {}
+    out["headline_regressions"] = {}
     out["headline_errors"] = {k: "E" * 300 for k in HEADLINE}
     line = json.dumps(summarize(out, have_detail=True))
     assert len(line) <= TAIL_CAPTURE - HEADROOM, len(line)
