@@ -697,6 +697,9 @@ _MS_QMAX = 100_000  # ... below this id bound: the query WORKLOAD is
 # CANDIDATE corpus grows with data — so MaxSim cost is queries x
 # corpus, linear in data, matching how late interaction deploys
 # (a bounded query stream against a growing index)
+_MS_QCAP = 10_000  # fail-fast cap on the driver-side query workload
+# (the id bound above keeps it <= _MS_QMAX/_MS_QMOD = 800 by design;
+# the cap catches a workload-definition change, never fires in normal use)
 _MS_CHUNKS = 4  # 64-d embedding read as 4 "token vectors"...
 _MS_DIM = 16  # ...of 16 dims each
 _MS_TOPK = 3
@@ -759,9 +762,22 @@ def sim_maxsim(spark, sf_dir):
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    qrows = e.where(
+    q = e.where(
         ((F.col("vec_id") % _MS_QMOD) == 0) & (F.col("vec_id") < _MS_QMAX)
-    ).toPandas()
+    )
+    # Fenced driver-side materialization (see tests/test_driver_fence.py):
+    # the id bound pins the workload at <= _MS_QMAX/_MS_QMOD rows at ANY
+    # corpus scale, and the cap fails fast (instead of OOMing the
+    # driver) if the workload definition ever loses that bound — the
+    # _broadcast_index MAX_INDEX_ROWS discipline.
+    nq = q.count()
+    if nq > _MS_QCAP:
+        raise ValueError(
+            f"sim_maxsim query workload has {nq} rows > _MS_QCAP={_MS_QCAP}; "
+            "the broadcast query-tensor pattern no longer fits — shrink "
+            "the workload bound or move to a bucketed query-side join"
+        )
+    qrows = q.toPandas()
 
     def tensor(v):
         arr = np.asarray(v, dtype=np.float64)

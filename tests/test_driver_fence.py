@@ -1,0 +1,94 @@
+"""The fenced driver-side inventory, made ENFORCEABLE.
+
+Every `.collect()` / `.toPandas()` in engine source is a driver-side
+materialization — the one thing that cannot scale past driver memory.
+Each existing site is individually bounded (graph-sized, d x d, capped
+sample, or a fail-fast row cap) and documented at the call site; rounds
+6-8 verified that by hand-grep. This test IS that grep: adding a new
+site (or editing a fenced one) fails until the allowlist is updated,
+which forces the "is it bounded? where's the cap?" review the audits
+used to do manually.
+
+The allowlist keys on (relative file, normalized line text) rather than
+line numbers so unrelated edits don't churn it, while any edit to a
+fenced line itself trips a review.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "shippinglanes_spark")
+
+# (file relative to shippinglanes_spark/, normalized source line) — the
+# bound for each site, for the reviewer:
+#   plans/prepared.py      test-only convenience execute() of a prepared plan
+#   operators/windows.py   bucket-count map: rows = bucket count (fixed)
+#   testing.py             test harness compare helper, never a query path
+#   functions/embeddings.py  d x d Gram partials (d = 64, corpus-free)
+#   functions/text.py      union-find fast path, gated to <= 100k edges
+#   functions/ranking.py   two-scalar global aggregate
+#   functions/similarity.py  broadcast index (MAX_INDEX_ROWS fail-fast),
+#     two MAX_FIT_ROWS-capped centroid-fit samples, PQ codebook index
+#     (same MAX_INDEX_ROWS table), sim_maxsim query workload
+#     (_MS_QCAP fail-fast, id-bounded to <= 800 rows at any scale)
+ALLOWED = {
+    ("plans/prepared.py", "return self.dataframe(name).collect()"),
+    (
+        "operators/windows.py",
+        'for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()',
+    ),
+    ("testing.py", "spdf = sdf.toPandas()"),
+    ("functions/embeddings.py", ").collect()"),
+    ("functions/text.py", "for r in pairs.collect():"),
+    ("functions/ranking.py", ").collect()[0]"),
+    ("functions/similarity.py", 'local = e.toPandas().sort_values("vec_id")'),
+    (
+        "functions/similarity.py",
+        "sample = base.sample(False, frac, seed=42).limit(MAX_FIT_ROWS).toPandas()",
+    ),
+    (
+        "functions/similarity.py",
+        'local = encoded.toPandas().sort_values("vec_id")',
+    ),
+    (
+        "functions/similarity.py",
+        'idx = emb.select("vec_id", "label", "embedding").toPandas()',
+    ),
+    ("functions/similarity.py", "qrows = q.toPandas()"),
+}
+
+
+def _scan() -> set[tuple[str, str]]:
+    found = set()
+    pat = re.compile(r"\.(toPandas|collect)\(\)")
+    for root, _dirs, files in os.walk(SRC):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, SRC)
+            with open(path) as f:
+                for line in f:
+                    s = line.strip()
+                    if s.startswith("#"):
+                        continue
+                    if pat.search(s):
+                        found.add((rel, s))
+    return found
+
+
+def test_driver_side_materializations_are_fenced():
+    found = _scan()
+    new = found - ALLOWED
+    assert not new, (
+        "NEW driver-side materialization site(s) — every collect/toPandas "
+        "must be bounded (cap assert or structurally corpus-free) and "
+        f"added to the fence allowlist after review: {sorted(new)}"
+    )
+    gone = ALLOWED - found
+    assert not gone, (
+        f"fenced site(s) no longer present — prune the allowlist: {sorted(gone)}"
+    )
