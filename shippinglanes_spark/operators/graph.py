@@ -2093,10 +2093,12 @@ def graph_connected_components(spark, sf_dir):
     ROW_NUMBER over the ~|V|^2-row symmetrized edge list (metadata-
     sized at any corpus scale). The label loop is driver-paced but
     every frame is GRAPH-sized (<= 25 rows here; |V| rows in
-    general): at billion-edge scale the same loop runs with the
-    alternating large-star/small-star optimization — the
-    per-iteration plan (join edges to labels, min per vertex) is
-    unchanged."""
+    general), and the convergence check is BATCHED — 3 lazy
+    relaxations per checkpoint+count round-trip (labels decrease
+    monotonically, so a no-change batch IS the fixpoint): at
+    billion-edge scale the same loop runs with the alternating
+    large-star/small-star optimization — the per-iteration plan
+    (join edges to labels, min per vertex) is unchanged."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -2139,22 +2141,29 @@ def graph_connected_components(spark, sf_dir):
         topk.select(F.col("b").alias("v"), F.col("a").alias("n"))
     ).localCheckpoint()
     lab = nations.select("v", F.col("v").alias("lbl")).localCheckpoint()
+    # BATCHED convergence: k relaxations compose lazily per driver
+    # round-trip, then ONE checkpoint + ONE changed-count. Labels only
+    # DECREASE (monotone min-lattice), so "no change across the whole
+    # batch" is exactly the fixpoint, and a batch that overshoots
+    # convergence by up to k-1 iterations recomputes the same labels.
+    # Cuts per-iteration driver actions ~3x; iterations stay
+    # diameter-bounded.
+    batch = 3
     while True:
-        from_nbrs = (
-            nbr.join(lab.withColumnRenamed("v", "n"), "n")
-            .groupBy("v")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_lab = (
-            lab.join(from_nbrs, "v", "left")
-            .select(
+        new_lab = lab
+        for _ in range(batch):
+            from_nbrs = (
+                nbr.join(new_lab.withColumnRenamed("v", "n"), "n")
+                .groupBy("v")
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            new_lab = new_lab.join(from_nbrs, "v", "left").select(
                 "v",
                 F.least(
                     "lbl", F.coalesce("nlbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
-        )
+        new_lab = new_lab.localCheckpoint()
         changed = (
             new_lab.withColumnRenamed("lbl", "lbl2")
             .join(lab, "v")
