@@ -81,20 +81,31 @@ def test_top_pc_fixture_variance_floor(spark, sf_dir):
     capture optimal variance."""
     import numpy as np
 
-    from shippinglanes_spark.functions.embeddings import emb_top_pc
+    from shippinglanes_spark.functions.embeddings import (
+        emb_top_pc,
+        top_principal_component,
+    )
     from shippinglanes_spark.io import table
 
-    got = emb_top_pc(spark, sf_dir).orderBy("dim").collect()
-    v = np.asarray([r["loading"] for r in got])
+    emb = table(spark, sf_dir, "embeddings")
+    v = np.asarray(top_principal_component(spark, emb), dtype=np.float64)
     v /= np.linalg.norm(v)
 
-    local = table(spark, sf_dir, "embeddings").select("embedding").toPandas()
+    local = emb.select("embedding").toPandas()
     x = np.asarray([np.asarray(r, dtype=np.float64) for r in local["embedding"]])
     xc = x - x.mean(axis=0)
     cov = xc.T @ xc
     lam1 = float(np.linalg.eigvalsh(cov)[-1])
     rayleigh = float(v @ cov @ v)
     assert rayleigh >= 0.9 * lam1, (rayleigh, lam1)
+
+    # the declared query's certificate: q_diag matches an independent
+    # local quantized recompute, and every invariant flag is true
+    got = emb_top_pc(spark, sf_dir).orderBy("dim").toPandas()
+    q = np.floor(x * 1e6).astype(np.int64)
+    assert (got["q_diag"].to_numpy() == (q * q).sum(axis=0)).all()
+    for flag in ("unit_norm_ok", "eigen_ok", "sign_ok"):
+        assert (got[flag] == 1).all(), flag
 
 
 def test_whiten_residuals_orthogonal_and_shorter(spark, sf_dir):
@@ -104,11 +115,33 @@ def test_whiten_residuals_orthogonal_and_shorter(spark, sf_dir):
     nonzero (the top PC actually captures variance)."""
     import numpy as np
 
+    from shippinglanes_spark.functions.embeddings import (
+        top_principal_component,
+    )
+    from shippinglanes_spark.io import table
     from shippinglanes_spark.registry import all_queries
 
-    out = all_queries()["emb_whiten"].fn(spark, sf_dir).toPandas()
-    lhs = out["resid_norm"] ** 2 + out["coef"] ** 2
-    rhs = out["orig_norm"] ** 2
-    assert np.allclose(lhs, rhs, rtol=1e-3)
-    assert (out["resid_norm"] <= out["orig_norm"] + 1e-6).all()
-    assert out["coef"].abs().mean() > 1e-3
+    out = (
+        all_queries()["emb_whiten"].fn(spark, sf_dir)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    # every per-row projection invariant must hold (a false flag would
+    # also hash-mismatch the oracle's constant-true column)
+    for flag in ("pyth_ok", "ortho_ok", "shrink_ok"):
+        assert (out[flag] == 1).all(), flag
+
+    # independent local recompute of the projection itself: the coef
+    # distribution must be materially nonzero (the PC captures real
+    # variance) and residuals strictly shorter on average
+    emb = table(spark, sf_dir, "embeddings")
+    v = np.asarray(top_principal_component(spark, emb), dtype=np.float64)
+    local = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    x = np.asarray([np.asarray(r, dtype=np.float64) for r in local["embedding"]])
+    coef = x @ v
+    resid = x - coef[:, None] * v[None, :]
+    assert np.abs(coef).mean() > 1e-3
+    assert np.linalg.norm(resid, axis=1).mean() < np.linalg.norm(x, axis=1).mean()
+    # and the declared q_norm2 matches the quantized local recompute
+    q = np.floor(x * 1e6).astype(np.int64)
+    assert (out["q_norm2"].to_numpy() == (q * q).sum(axis=1)).all()
