@@ -969,6 +969,43 @@ def round17_registered(spark, sfdir_1x, sfdir_10x):
     return out
 
 
+def round17_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
+    """Round-8 pack pushed to 100x (VERDICT r8 item 3 — match the
+    r16/r18 rigor): the keyed fact rollups should stay sub-linear;
+    the two shuffle-linear shapes flagged at 10x (agg_trimmed_mean's
+    per-priority rank pass, evt_seq_support's one-day user-keyed
+    self-join) get their exponents named here."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "rank_ndcg",
+        "rank_mrr",
+        "agg_hhi",
+        "agg_lorenz",
+        "agg_trimmed_mean",
+        "ts_page_hinkley",
+        "evt_seq_support",
+        "graph_connected_components",
+        "pipeline_tokenizer_fertility",
+        "text_marker_dominance",
+    ]
+    out = {}
+    for label, sfdir in (
+        ("1x", sfdir_1x),
+        ("10x", sfdir_10x),
+        ("100x", sfdir_100x),
+    ):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def round18_registered(spark, sfdir_1x, sfdir_10x):
     """Round-8 pack 2: Wilcoxon/MAP/effect-size are one or two keyed
     fact rollups + nation/region-local windows; Kalman is a per-type
@@ -1015,6 +1052,10 @@ def main() -> None:
         return
     if "--r17" in sys.argv:
         round17_registered(spark, SF, sfdir10)
+        return
+    if "--r17-100x" in sys.argv:
+        sfdir100 = build_sfdir100(spark)
+        round17_100x(spark, SF, sfdir10, sfdir100)
         return
     if "--r16" in sys.argv:
         round16_registered(spark, SF, sfdir10)
