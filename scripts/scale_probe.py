@@ -1006,6 +1006,40 @@ def round17_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
     return out
 
 
+def round19_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
+    """Round-9 pack at 1x/10x/100x: BT and the reliability/whiteness
+    tests are one daily rollup + single-row or calendar-sized folds;
+    ERR is a customer rollup + nation-local top-10 folds; the trend
+    test is a zero-shuffle moment pass; self-BLEU is trigram-explode
+    map work + (lang, trigram)-keyed aggregation — the only
+    corpus-shaped shuffle in the pack."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "rank_bradley_terry",
+        "rank_err",
+        "ts_ljung_box",
+        "agg_cronbach_alpha",
+        "agg_cochran_armitage",
+        "text_self_bleu",
+    ]
+    out = {}
+    for label, sfdir in (
+        ("1x", sfdir_1x),
+        ("10x", sfdir_10x),
+        ("100x", sfdir_100x),
+    ):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def round18_registered(spark, sfdir_1x, sfdir_10x):
     """Round-8 pack 2: Wilcoxon/MAP/effect-size are one or two keyed
     fact rollups + nation/region-local windows; Kalman is a per-type
@@ -1052,6 +1086,10 @@ def main() -> None:
         return
     if "--r17" in sys.argv:
         round17_registered(spark, SF, sfdir10)
+        return
+    if "--r19-100x" in sys.argv:
+        sfdir100 = build_sfdir100(spark)
+        round19_100x(spark, SF, sfdir10, sfdir100)
         return
     if "--r17-100x" in sys.argv:
         sfdir100 = build_sfdir100(spark)

@@ -300,3 +300,69 @@ def text_heaps_law(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "text_self_bleu",
+    section="2.14",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, source, string_split(text, ' ') AS toks
+      FROM documents),
+    tri AS (
+      SELECT lang, source,
+             UNNEST(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' '
+                         || toks[i + 2])) AS g
+      FROM tok),
+    cnt AS (SELECT lang, source, g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tri GROUP BY 1, 2, 3),
+    tot AS (SELECT lang, g, CAST(SUM(c) AS BIGINT) AS ct
+            FROM cnt GROUP BY 1, 2)
+    SELECT c.lang, c.source,
+           CAST(SUM(c.c) AS BIGINT) AS tri_total,
+           CAST(SUM(LEAST(c.c, t.ct - c.c)) AS BIGINT) AS tri_clipped,
+           CAST(SUM(LEAST(c.c, t.ct - c.c)) * 1000000 // SUM(c.c)
+                AS BIGINT) AS self_bleu_ppm
+    FROM cnt c JOIN tot t ON c.lang = t.lang AND c.g = t.g
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    notes="self-BLEU trigram modified precision of each (lang, source) "
+    "slice against the REST of its language corpus as the reference: "
+    "clipped count = LEAST(own count, reference count = language total "
+    "minus own) per trigram, precision = clipped/total as an exact "
+    "integer ppm division — not a float anywhere. THE corpus-diversity "
+    "diagnostic for generated / scraped training data (Zhu et al. "
+    "2018): a source whose trigrams all re-occur elsewhere scores "
+    "~1e6 (redundant); a source minting its own phrasing scores low "
+    "(fixture probe: 0.07-0.57 across sources — real spread). Scale: "
+    "trigram explode is corpus-linear map work; the two aggregates "
+    "and the join shuffle on (lang, trigram) — vocabulary-shaped keys "
+    "with map-side partial aggregation, no all-pairs anything",
+)
+def text_self_bleu(spark, sf_dir):
+    from .text import shingles_of_tokens
+
+    d = table(spark, sf_dir, "documents")
+    tri = d.select(
+        "lang",
+        "source",
+        F.explode(shingles_of_tokens(F.split("text", " "), 3)).alias("g"),
+    )
+    cnt = tri.groupBy("lang", "source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("lang", "g").agg(F.sum("c").cast("long").alias("ct"))
+    clipped = F.least(F.col("c"), F.col("ct") - F.col("c"))
+    return (
+        cnt.join(tot, ["lang", "g"])
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("c").cast("long").alias("tri_total"),
+            F.sum(clipped).cast("long").alias("tri_clipped"),
+            F.expr(
+                "CAST(SUM(LEAST(c, ct - c)) * 1000000 div SUM(c) AS BIGINT)"
+            ).alias("self_bleu_ppm"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -131,6 +131,7 @@ def _load_all() -> None:
         stats7,
         stats8,
         stats9,
+        stats10,
         subqueries,
         timeseries,
         tpch,

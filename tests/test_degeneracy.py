@@ -284,6 +284,60 @@ DIVERSITY: dict[str, dict] = {
             and p["vocab"].is_monotonic_increasing
         ),
     },
+    # ---- round-9 pack ----
+    # BT ratings must differ (a no-signal win matrix would fit uniform
+    # 0.2 everywhere) and stay a proper normalized profile
+    "rank_bradley_terry": {
+        "min_rows": 5,
+        "distinct": {"rating": 3},
+        "check": lambda p: bool(
+            ((p["rating"] > 0) & (p["rating"] < 1)).all()
+            and p["wins"].sum() * 2 == p["comparisons"].sum()
+        ),
+    },
+    # ERR in (0, 1) with real spread; a rel-saturated corpus would pin
+    # every nation at the identical-cascade ceiling
+    "rank_err": {
+        "min_rows": 10,
+        "distinct": {"err": 5},
+        "check": lambda p: bool(((p["err"] > 0) & (p["err"] < 1)).all()),
+    },
+    # Q must be positive and type-specific; all-identical Q would mean
+    # the per-type series collapsed to one shape
+    "ts_ljung_box": {
+        "min_rows": 5,
+        "distinct": {"q_stat": 5},
+        "check": lambda p: bool((p["q_stat"] > 0).all()),
+    },
+    # alpha strictly inside (-1, 1) and item variances all positive
+    # (a zero-variance item would make the ratio degenerate)
+    "agg_cronbach_alpha": {
+        "min_rows": 5,
+        "distinct": {"b_item": 5},
+        "check": lambda p: bool(
+            (p["b_item"] > 0).all()
+            and (p["alpha"].abs() < 1).all()
+        ),
+    },
+    # priorities are price-independent by construction, so z hovers
+    # near 0 — but the five regions' exact moments must differ, and z
+    # must never be NaN/inf (the variance guard)
+    "agg_cochran_armitage": {
+        "min_rows": 5,
+        "distinct": {"z_trend": 5, "dose_hits": 5},
+        "check": lambda p: bool(p["z_trend"].abs().max() < 10),
+    },
+    # precision strictly inside [0, 1e6) with real spread — an
+    # all-saturated corpus (every trigram re-occurring elsewhere)
+    # would pin every source at 1e6
+    "text_self_bleu": {
+        "min_rows": 20,
+        "distinct": {"self_bleu_ppm": 10},
+        "check": lambda p: bool(
+            (p["self_bleu_ppm"] < 1_000_000).all()
+            and (p["self_bleu_ppm"] >= 0).all()
+        ),
+    },
 }
 
 
