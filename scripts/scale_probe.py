@@ -1023,6 +1023,7 @@ def round19_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
         "agg_cronbach_alpha",
         "agg_cochran_armitage",
         "text_self_bleu",
+        "agg_isotonic_calibration",
     ]
     out = {}
     for label, sfdir in (

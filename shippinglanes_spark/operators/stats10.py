@@ -662,3 +662,209 @@ def agg_cochran_armitage(spark, sf_dir):
         (F.floor(z_raw * 1e6) / 1e6).alias("z_trend"),
         (F.abs(z_raw) > F.expr(_CA_CRIT)).alias("trend_sig"),
     ).orderBy("region")
+
+
+# Isotonic calibration: PAV over agg_calibration_bins' decile table.
+# All merge DECISIONS are exact integer cross-multiplies carried in
+# doubles (< 2^53), so both engines produce the identical block
+# structure; 9 conditional merge steps after each push = a full
+# "merge while violating" (stack depth never exceeds 9 before a push).
+_PAV_MERGES = 9
+
+
+@register(
+    "agg_isotonic_calibration",
+    section="2.4",
+    oracle=f"""
+    WITH uc AS (SELECT user_id,
+                      CAST(COUNT(*) FILTER (event_type = 'view')
+                           AS BIGINT) AS nv,
+                      CAST(COUNT(*) FILTER (event_type = 'click')
+                           AS BIGINT) AS nc,
+                      CAST(COUNT(*) FILTER (event_type = 'signup')
+                           AS BIGINT) AS ns,
+                      CAST(MAX(CASE WHEN event_type = 'purchase'
+                                     AND CAST(ROUND(value * 100) AS BIGINT)
+                                         >= 20000
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY user_id),
+    s AS (SELECT user_id, y,
+                 CAST(100 * nv + 300 * nc + 500 * ns - 2000 AS BIGINT) AS z
+          FROM uc),
+    e AS (SELECT [{", ".join(
+            f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY z)"
+            for i in range(1, 10)
+        )}] AS edges FROM s),
+    b AS (SELECT s.y,
+                 CAST(len(list_filter(e.edges, q -> q < s.z)) AS BIGINT)
+                   AS bin
+          FROM s CROSS JOIN e),
+    bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(y) AS BIGINT) AS pos
+             FROM b GROUP BY bin),
+    items AS (SELECT list([CAST(n AS DOUBLE), CAST(pos AS DOUBLE),
+                           CAST(1 AS DOUBLE)] ORDER BY bin) AS xs
+              FROM bins),
+    fold AS (
+      SELECT list_reduce(
+        list_prepend(CAST([] AS DOUBLE[]), xs),
+        (acc, x) -> list_reduce(
+          list_prepend(acc || x,
+                       list_transform(range({_PAV_MERGES}),
+                                      i -> [CAST(0.0 AS DOUBLE)])),
+          (st, d) -> CASE WHEN len(st) >= 6
+                AND st[len(st) - 1] * st[len(st) - 5]
+                    < st[len(st) - 4] * st[len(st) - 2]
+              THEN st[1:len(st) - 6]
+                   || [st[len(st) - 5] + st[len(st) - 2],
+                       st[len(st) - 4] + st[len(st) - 1],
+                       st[len(st) - 3] + st[len(st)]]
+              ELSE st END)) AS st
+      FROM items),
+    blocks AS (
+      SELECT UNNEST(list_transform(range(1, len(st) // 3 + 1),
+               k -> struct_pack(block := k,
+                                n := st[(k - 1) * 3 + 1],
+                                pos := st[(k - 1) * 3 + 2],
+                                nb := st[(k - 1) * 3 + 3]))) AS u
+      FROM fold)
+    SELECT CAST(u.block AS BIGINT) AS block,
+           CAST(u.nb AS BIGINT) AS n_bins,
+           CAST(u.n AS BIGINT) AS n_users,
+           CAST(u.pos AS BIGINT) AS n_pos,
+           CAST(CAST(u.pos AS BIGINT) * 1000000 // CAST(u.n AS BIGINT)
+                AS BIGINT) AS rate_ppm
+    FROM blocks ORDER BY block
+    """,
+    notes="isotonic calibration via pool-adjacent-violators over the "
+    "agg_calibration_bins decile table (same score, outcome and "
+    "percentile_disc edges): bins fold in score order with a BLOCK "
+    "STACK state — push [n, pos, nbins], then merge the top two "
+    "blocks while rate_last < rate_prev, the violation decided by "
+    "the exact integer cross-multiply pos_last*n_prev < pos_prev*"
+    "n_last (never a float rate), 9 unrolled conditional merge steps "
+    "per push = a full while-loop (stack depth is bounded by the bin "
+    "count). Counts ride in doubles but stay < 2^53, so both engines "
+    "compute the IDENTICAL block structure and the fitted rates are "
+    "exact integer ppm divisions. THE standard probability-"
+    "calibration fit (Zadrozny-Elkan) next to agg_calibration_bins "
+    "(the diagnosis) and agg_brier_decomposition (the score): "
+    "monotone block rates certified by the python-reference PAV in "
+    "tests. One user-keyed rollup + broadcast edges; the fold is one "
+    "10-item row at any corpus scale",
+)
+def agg_isotonic_calibration(spark, sf_dir):
+    from .stats7 import (
+        _CAL_BIAS,
+        _CAL_BINS,
+        _CAL_W_CLICK,
+        _CAL_W_SIGNUP,
+        _CAL_W_VIEW,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    y = (F.col("event_type") == "purchase") & (
+        F.round(F.col("value") * 100).cast("long") >= 20000
+    )
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("nv"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("nc"),
+        F.count(F.when(F.col("event_type") == "signup", 1))
+        .cast("long")
+        .alias("ns"),
+        F.max(y.cast("long")).alias("y"),
+    )
+    s = uc.select(
+        "y",
+        (
+            F.lit(_CAL_W_VIEW) * F.col("nv")
+            + F.lit(_CAL_W_CLICK) * F.col("nc")
+            + F.lit(_CAL_W_SIGNUP) * F.col("ns")
+            + F.lit(_CAL_BIAS)
+        )
+        .cast("long")
+        .alias("z"),
+    )
+    qs = [i / _CAL_BINS for i in range(1, _CAL_BINS)]
+    edges = s.agg(
+        F.array_sort(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({q}) WITHIN GROUP (ORDER BY z)"
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("edges")
+    )
+    bins = (
+        s.crossJoin(F.broadcast(edges))
+        .select(
+            "y",
+            F.size(F.filter("edges", lambda q: q < F.col("z")))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    items = bins.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(bin, n, pos))),"
+            " x -> array(CAST(x.n AS DOUBLE), CAST(x.pos AS DOUBLE),"
+            " 1.0D))"
+        ).alias("xs")
+    )
+    merge_step = (
+        "IF(size(st) >= 6"
+        " AND element_at(st, size(st) - 1) * element_at(st, size(st) - 5)"
+        "     < element_at(st, size(st) - 4) * element_at(st, size(st) - 2),"
+        " concat(slice(st, 1, size(st) - 6),"
+        "        array(element_at(st, size(st) - 5)"
+        "              + element_at(st, size(st) - 2),"
+        "              element_at(st, size(st) - 4)"
+        "              + element_at(st, size(st) - 1),"
+        "              element_at(st, size(st) - 3)"
+        "              + element_at(st, size(st)))),"
+        " st)"
+    )
+    fold = (
+        f"aggregate(xs, CAST(array() AS ARRAY<DOUBLE>),"
+        f" (acc, x) -> aggregate("
+        f"   transform(sequence(1, {_PAV_MERGES}), i -> 0.0D),"
+        f"   concat(acc, x),"
+        f"   (st, d) -> {merge_step}))"
+    )
+    st = items.select(F.expr(fold).alias("st"))
+    return (
+        st.select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(st) div 3), k ->"
+                    " struct(k AS block,"
+                    " element_at(st, CAST((k - 1) * 3 + 1 AS INT)) AS n,"
+                    " element_at(st, CAST((k - 1) * 3 + 2 AS INT)) AS pos,"
+                    " element_at(st, CAST((k - 1) * 3 + 3 AS INT)) AS nb))"
+                )
+            ).alias("pos_", "u")
+        )
+        .select(
+            F.col("u.block").cast("long").alias("block"),
+            F.col("u.nb").cast("long").alias("n_bins"),
+            F.col("u.n").cast("long").alias("n_users"),
+            F.col("u.pos").cast("long").alias("n_pos"),
+            F.expr(
+                "CAST(CAST(u.pos AS BIGINT) * 1000000"
+                " div CAST(u.n AS BIGINT) AS BIGINT)"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("block")
+    )

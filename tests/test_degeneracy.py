@@ -327,6 +327,18 @@ DIVERSITY: dict[str, dict] = {
         "distinct": {"z_trend": 5, "dose_hits": 5},
         "check": lambda p: bool(p["z_trend"].abs().max() < 10),
     },
+    # PAV must genuinely pool (fewer blocks than the 10 input bins),
+    # the fit must be monotone, and rates must not collapse flat
+    "agg_isotonic_calibration": {
+        "min_rows": 2,
+        "distinct": {"rate_ppm": 2},
+        "check": lambda p: bool(
+            p["n_bins"].sum() == 10
+            and len(p) < 10
+            and p["rate_ppm"].is_monotonic_increasing
+            and (p["n_bins"] > 1).any()
+        ),
+    },
     # precision strictly inside [0, 1e6) with real spread — an
     # all-saturated corpus (every trigram re-occurring elsewhere)
     # would pin every source at 1e6

@@ -233,3 +233,59 @@ def test_self_bleu_matches_python(spark, sf_dir):
     # real spread, and nobody saturates to a fully-redundant 1e6
     assert min(ppms) >= 0 and max(ppms) < 1_000_000
     assert len(set(ppms)) >= 10
+
+
+def test_isotonic_calibration_matches_python(spark, sf_dir):
+    """Independent PAV (true while-loop stack merge, no unrolling) over
+    the same decile bins must reproduce the query's blocks exactly, and
+    the fitted block rates must be non-decreasing (the isotonic
+    contract)."""
+    con = duckdb.connect()
+    bins = con.sql(
+        f"""
+        WITH uc AS (SELECT user_id,
+                          COUNT(*) FILTER (event_type = 'view') AS nv,
+                          COUNT(*) FILTER (event_type = 'click') AS nc,
+                          COUNT(*) FILTER (event_type = 'signup') AS ns,
+                          MAX(CASE WHEN event_type = 'purchase'
+                                    AND CAST(ROUND(value * 100) AS BIGINT)
+                                        >= 20000
+                                   THEN 1 ELSE 0 END) AS y
+                   FROM read_parquet('{sf_dir}/events.parquet')
+                   GROUP BY user_id),
+        s AS (SELECT y, 100 * nv + 300 * nc + 500 * ns - 2000 AS z FROM uc),
+        e AS (SELECT [{", ".join(
+            f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY z)"
+            for i in range(1, 10)
+        )}] AS edges FROM s),
+        b AS (SELECT s.y, len(list_filter(e.edges, q -> q < s.z)) AS bin
+              FROM s CROSS JOIN e)
+        SELECT bin, COUNT(*) AS n, SUM(y) AS pos FROM b GROUP BY bin
+        ORDER BY bin
+        """
+    ).fetchall()
+    con.close()
+    stack: list[list[int]] = []
+    for _bin, n, pos in bins:
+        stack.append([int(n), int(pos), 1])
+        while (
+            len(stack) >= 2
+            and stack[-1][1] * stack[-2][0] < stack[-2][1] * stack[-1][0]
+        ):
+            b2 = stack.pop()
+            b1 = stack.pop()
+            stack.append([b1[0] + b2[0], b1[1] + b2[1], b1[2] + b2[2]])
+    expected = {
+        i + 1: (b[2], b[0], b[1], b[1] * 1000000 // b[0])
+        for i, b in enumerate(stack)
+    }
+    got = {
+        r.block: (r.n_bins, r.n_users, r.n_pos, r.rate_ppm)
+        for r in Q["agg_isotonic_calibration"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the isotonic contract: block rates non-decreasing, and PAV
+    # actually merged something on this fixture (n_blocks < n_bins)
+    rates = [expected[k][3] for k in sorted(expected)]
+    assert rates == sorted(rates)
+    assert len(expected) < len(bins)
