@@ -1024,6 +1024,7 @@ def round19_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
         "agg_cochran_armitage",
         "text_self_bleu",
         "agg_isotonic_calibration",
+        "pipeline_preference_pairs",
     ]
     out = {}
     for label, sfdir in (

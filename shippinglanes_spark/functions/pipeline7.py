@@ -366,3 +366,121 @@ def text_self_bleu(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+# Preference pairs: quality margin (milli-TTR units) a pair must clear
+# before it's worth training on — pairs whose chosen/rejected scores
+# nearly tie teach nothing and add label noise
+_PP_MARGIN = 50
+
+
+@register(
+    "pipeline_preference_pairs",
+    section="2.14",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_distinct(string_split(text, ' '))) * 1000
+                  // len(string_split(text, ' ')) AS BIGINT) AS score
+      FROM documents),
+    r AS (
+      SELECT lang, source, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score DESC, doc_id) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score ASC, doc_id) AS rw,
+             CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+               AS n_docs
+      FROM s),
+    best AS (SELECT lang, source, n_docs, doc_id AS chosen_doc,
+                    score AS chosen_score
+             FROM r WHERE rb = 1),
+    worst AS (SELECT lang, source, doc_id AS rejected_doc,
+                     score AS rejected_score
+              FROM r WHERE rw = 1)
+    SELECT b.lang, b.source, b.n_docs, b.chosen_doc, w.rejected_doc,
+           b.chosen_score, w.rejected_score,
+           b.chosen_score - w.rejected_score AS margin_milli
+    FROM best b JOIN worst w USING (lang, source)
+    WHERE b.chosen_doc <> w.rejected_doc
+      AND b.chosen_score - w.rejected_score >= {_PP_MARGIN}
+    ORDER BY b.lang, b.source
+    """,
+    notes=f"DPO/RLHF preference-pair construction from a scored corpus: "
+    f"per (lang, source) bucket, the highest-quality document becomes "
+    f"'chosen' and the lowest 'rejected' (quality = type-token ratio "
+    f"in exact milli units — unique*1000 div total, never a float; "
+    f"doc_id tiebreaks make the pick total), and the pair survives "
+    f"only if the quality margin clears {_PP_MARGIN} milli — near-tie "
+    f"pairs are label noise, the margin gate is how post-training "
+    f"sets actually filter (fixture probe: in-bucket TTR spread "
+    f"292-709, so real pairs survive while 1-doc and flat buckets "
+    f"drop). The post-training sibling of pipeline_pair_dataset "
+    f"(contrastive pairs) and pipeline_dedup_keep_best (best-only "
+    f"keep): preference learning needs the WORST doc too. One "
+    f"zero-shuffle scoring pass; windows are bucket-local; output is "
+    f"bucket-count-sized",
+)
+def pipeline_preference_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    wb = W.partitionBy("lang", "source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    ww = W.partitionBy("lang", "source").orderBy(
+        F.col("score").asc(), F.col("doc_id")
+    )
+    wc = W.partitionBy("lang", "source")
+    r = s.select(
+        "lang",
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_docs"),
+    )
+    best = r.where(F.col("rb") == 1).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = r.where(F.col("rw") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .where(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (
+                F.col("chosen_score") - F.col("rejected_score")
+                >= _PP_MARGIN
+            )
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias(
+                "margin_milli"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

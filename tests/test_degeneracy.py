@@ -327,6 +327,17 @@ DIVERSITY: dict[str, dict] = {
         "distinct": {"z_trend": 5, "dose_hits": 5},
         "check": lambda p: bool(p["z_trend"].abs().max() < 10),
     },
+    # pairs must clear the margin, chosen must strictly beat rejected,
+    # and scores must vary across pairs (a flat corpus emits nothing)
+    "pipeline_preference_pairs": {
+        "min_rows": 10,
+        "distinct": {"margin_milli": 5},
+        "check": lambda p: bool(
+            (p["chosen_score"] > p["rejected_score"]).all()
+            and (p["margin_milli"] >= 50).all()
+            and (p["chosen_doc"] != p["rejected_doc"]).all()
+        ),
+    },
     # PAV must genuinely pool (fewer blocks than the 10 input bins),
     # the fit must be monotone, and rates must not collapse flat
     "agg_isotonic_calibration": {

@@ -289,3 +289,41 @@ def test_isotonic_calibration_matches_python(spark, sf_dir):
     rates = [expected[k][3] for k in sorted(expected)]
     assert rates == sorted(rates)
     assert len(expected) < len(bins)
+
+
+def test_preference_pairs_matches_python(spark, sf_dir):
+    from shippinglanes_spark.functions.pipeline7 import _PP_MARGIN
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lang, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    buckets: dict = {}
+    for doc_id, lang, src, text in docs:
+        toks = text.split(" ")
+        score = len(set(toks)) * 1000 // len(toks)
+        buckets.setdefault((lang, src), []).append((int(doc_id), score))
+    expected = {}
+    for key, rows in buckets.items():
+        chosen = min(rows, key=lambda r: (-r[1], r[0]))
+        rejected = min(rows, key=lambda r: (r[1], r[0]))
+        if (
+            chosen[0] != rejected[0]
+            and chosen[1] - rejected[1] >= _PP_MARGIN
+        ):
+            expected[key] = (
+                len(rows), chosen[0], rejected[0], chosen[1], rejected[1],
+                chosen[1] - rejected[1],
+            )
+    got = {
+        (r.lang, r.source): (
+            r.n_docs, r.chosen_doc, r.rejected_doc,
+            r.chosen_score, r.rejected_score, r.margin_milli,
+        )
+        for r in Q["pipeline_preference_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the margin gate must actually drop some buckets (1-doc or flat)
+    assert 0 < len(expected) < len(buckets)
