@@ -608,3 +608,31 @@ def test_ppjoin_family_no_forced_df_broadcast(spark, sf_dir):
         df = Q[name].fn(spark, sf_dir)
         logical = df._jdf.queryExecution().analyzed().toString()
         assert logical.count("ResolvedHint") == allowed_hints, name
+
+
+def test_round9_pack_plan_shapes(spark, sf_dir):
+    """The round-9 pack's scale stories as plan facts: no cartesian
+    anywhere; the trend test's three dim joins are broadcast; the
+    self-BLEU scan prunes to the three needed columns; the BT /
+    Ljung-Box / Cronbach spine joins stay broadcast-NLJ on literal-tiny
+    sides (never a shuffled cartesian)."""
+    for name in (
+        "rank_bradley_terry",
+        "rank_err",
+        "ts_ljung_box",
+        "agg_cronbach_alpha",
+        "agg_cochran_armitage",
+        "text_self_bleu",
+        "agg_isotonic_calibration",
+        "pipeline_preference_pairs",
+    ):
+        p = plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+    p = plan(spark, sf_dir, "agg_cochran_armitage")
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") == 0
+    rs = plan(spark, sf_dir, "text_self_bleu").split("ReadSchema")[1][:300]
+    assert "text" in rs and "n_chars" not in rs and "doc_id" not in rs
+    # preference pairs: one corpus scan, windows bucket-local
+    pp = plan(spark, sf_dir, "pipeline_preference_pairs", mode="simple")
+    assert pp.count("Scan parquet") <= 2  # self-joined rollup lineage
