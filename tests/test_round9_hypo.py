@@ -11,7 +11,12 @@ and DuckDB entirely:
   mass, and matches the minimax (lower-set maxima) characterization of
   isotonic regression;
 - the Ljung-Box integer-algebra autocorrelations (A_t = n*c_t - S)
-  equal the textbook mean-centered r_k.
+  equal the textbook mean-centered r_k;
+- the Cochran-Armitage z is exactly antisymmetric under response flip;
+- Cronbach's cancelled-denominator alpha equals the textbook
+  variance-ratio form and is invariant to shifting one item;
+- self-BLEU clipping bounds (clipped <= total; exclusive trigrams
+  contribute zero).
 """
 
 from __future__ import annotations
@@ -176,3 +181,111 @@ def test_ljung_box_integer_algebra_equals_textbook(xs):
         ck = sum(av[i] * av[i + lag] for i in range(n - lag))
         dk = sum(e[i] * e[i + lag] for i in range(n - lag))
         assert math.isclose(ck / c0, dk / d0, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5),
+                  st.booleans()),
+        min_size=10,
+        max_size=60,
+    )
+)
+def test_cochran_armitage_antisymmetric_under_response_flip(rows):
+    # need both responses present and dose variance > 0 for z to exist
+    if len({r for _, r in rows}) < 2 or len({w for w, _ in rows}) < 2:
+        return
+    def z_stat(rs):
+        n = len(rs)
+        r = sum(1 for _, hi in rs if hi)
+        w1 = sum(w for w, _ in rs)
+        w2 = sum(w * w for w, _ in rs)
+        t = sum(w for w, hi in rs if hi)
+        p = r / n
+        var = p * (1 - p) * (w2 - w1 * w1 / n)
+        return (t - p * w1) / math.sqrt(var)
+    z = z_stat(rows)
+    z_flip = z_stat([(w, not hi) for w, hi in rows])
+    # flipping the response exactly negates the trend statistic
+    assert math.isclose(z, -z_flip, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=6,
+                 max_size=6),
+        min_size=3,
+        max_size=5,
+    ),
+    st.integers(min_value=-5, max_value=5),
+)
+def test_cronbach_alpha_shift_invariant(items, shift):
+    # alpha from the B = n*sum(x^2) - S^2 formulation must equal the
+    # textbook variance-ratio form, and be invariant when one item's
+    # scores all shift by a constant (variances unchanged)
+    def alpha(its):
+        k = len(its)
+        n = len(its[0])
+        b_items = [n * sum(x * x for x in xs) - sum(xs) ** 2 for xs in its]
+        tot = [sum(xs[i] for xs in its) for i in range(n)]
+        b_tot = n * sum(x * x for x in tot) - sum(tot) ** 2
+        if b_tot == 0:
+            return None
+        return k / (k - 1) * (1 - sum(b_items) / b_tot)
+    a0 = alpha(items)
+    if a0 is None:
+        return
+    shifted = [list(items[0])] + [list(xs) for xs in items[1:]]
+    shifted[0] = [x + shift for x in shifted[0]]
+    a1 = alpha(shifted)
+    # shifting one item changes covariances with the TOTAL only through
+    # the item's own constant — variances are shift-invariant, so alpha
+    # is too
+    assert a1 is not None and math.isclose(a0, a1, rel_tol=1e-9,
+                                           abs_tol=1e-12)
+    # textbook cross-check on the original data
+    n = len(items[0])
+    k = len(items)
+    def var(xs):
+        m = sum(xs) / n
+        return sum((x - m) ** 2 for x in xs) / (n - 1)
+    tot = [sum(xs[i] for xs in items) for i in range(n)]
+    vt = var(tot)
+    if vt > 0:
+        textbook = k / (k - 1) * (1 - sum(var(xs) for xs in items) / vt)
+        assert math.isclose(a0, textbook, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=1, max_value=6)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_self_bleu_clipping_bounds(pairs):
+    """Modified-precision clipping: per source, clipped <= total, and a
+    trigram occurring ONLY in one source contributes zero."""
+    # pairs = (source_id, trigram_id); counts per (source, trigram)
+    cnt: dict = {}
+    for s, g in pairs:
+        cnt[(s, g)] = cnt.get((s, g), 0) + 1
+    tot: dict = {}
+    for (s, g), c in cnt.items():
+        tot[g] = tot.get(g, 0) + c
+    per_src: dict = {}
+    for (s, g), c in cnt.items():
+        a = per_src.setdefault(s, [0, 0])
+        a[0] += c
+        a[1] += min(c, tot[g] - c)
+    for s, (total, clipped) in per_src.items():
+        assert 0 <= clipped <= total
+        # exclusive trigrams contribute nothing
+        excl = sum(
+            c for (s2, g), c in cnt.items() if s2 == s and tot[g] == c
+        )
+        assert clipped <= total - excl
