@@ -335,11 +335,12 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if timings:
-        # explicit {} when nothing regressed (or ref carries no
-        # headliner snapshot yet) so the gate's verdict is never absent
-        out["headline_regressions"] = h_candidates
-        out["regressions_ref_round"] = ref.get("round")
+    # explicit {} when nothing regressed (or ref carries no headliner
+    # snapshot yet, or every headliner errored) so the gate's verdict is
+    # truly never absent — an all-error run shows {} here plus the
+    # headline_errors map, not a silently missing key
+    out["headline_regressions"] = h_candidates
+    out["regressions_ref_round"] = ref.get("round")
     if families:
         out["families"] = families
         out["families_total"] = round(sum(families.values()), 3)
@@ -367,24 +368,28 @@ def main() -> None:
             candidates = confirmed
         out["regressions"] = candidates
         out["regressions_ref_round"] = ref.get("round")
-        if os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT") == "1":
-            snap_round = int(os.environ.get("SPARK_GRAFT_BENCH_ROUND", "0")) or (
-                (ref.get("round") or 0) + 1
+    if os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT") == "1":
+        # Snapshot is independent of the sweep: a SNAPSHOT=1 SWEEP=0 run
+        # refreshes the headliner steady numbers while PRESERVING the
+        # previous families reference (and vice versa) instead of silently
+        # dropping whichever half this run didn't measure.
+        snap_round = int(os.environ.get("SPARK_GRAFT_BENCH_ROUND", "0")) or (
+            (ref.get("round") or 0) + 1
+        )
+        with open(REF_PATH, "w") as f:
+            json.dump(
+                {
+                    "round": snap_round,
+                    "sf": out["sf"],
+                    "families": families or ref.get("families", {}),
+                    # headliner STEADY numbers: the reference the
+                    # headline_regressions gate diffs against
+                    "queries": timings or ref.get("queries", {}),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
             )
-            with open(REF_PATH, "w") as f:
-                json.dump(
-                    {
-                        "round": snap_round,
-                        "sf": out["sf"],
-                        "families": families,
-                        # headliner STEADY numbers: the reference the
-                        # headline_regressions gate diffs against
-                        "queries": timings,
-                    },
-                    f,
-                    indent=1,
-                    sort_keys=True,
-                )
     if family_errors:
         out["family_errors"] = family_errors
     if headline_errors:

@@ -428,8 +428,8 @@ def pipeline_preference_pairs(spark, sf_dir):
         "lang",
         "source",
         F.expr(
-            "CAST(size(array_distinct(split(text, ' '))) * 1000"
-            " div size(split(text, ' ')) AS BIGINT)"
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000"
+            " div size(split(text, ' '))"
         ).alias("score"),
     )
     wb = W.partitionBy("lang", "source").orderBy(

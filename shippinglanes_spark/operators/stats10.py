@@ -438,12 +438,6 @@ def ts_ljung_box(spark, sf_dir):
         (F.col("n") * F.col("c") - F.col("s")).alias("av"),
     )
     wlag = W.partitionBy("event_type").orderBy("day")
-    lag_cols = [
-        F.sum(F.col("av") * F.lead("av", lag).over(wlag))
-        .cast("long")
-        .alias(f"c{lag}")
-        for lag in range(1, _LB_M + 1)
-    ]
     ck = (
         a.select(
             "event_type",
@@ -667,9 +661,13 @@ def agg_cochran_armitage(spark, sf_dir):
 # Isotonic calibration: PAV over agg_calibration_bins' decile table.
 # All merge DECISIONS are exact integer cross-multiplies carried in
 # doubles (< 2^53), so both engines produce the identical block
-# structure; 9 conditional merge steps after each push = a full
-# "merge while violating" (stack depth never exceeds 9 before a push).
-_PAV_MERGES = 9
+# structure; _CAL_BINS-1 conditional merge steps after each push = a
+# full "merge while violating" (stack depth never exceeds bins-1 before
+# a push). Derived from stats7's shared bin count so raising _CAL_BINS
+# keeps the unroll bound in lock-step instead of silently under-merging.
+from .stats7 import _CAL_BINS as _PAV_BINS
+
+_PAV_MERGES = _PAV_BINS - 1
 
 
 @register(

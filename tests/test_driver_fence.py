@@ -11,7 +11,10 @@ used to do manually.
 
 The allowlist keys on (relative file, normalized line text) rather than
 line numbers so unrelated edits don't churn it, while any edit to a
-fenced line itself trips a review.
+fenced line itself trips a review. Each entry also pins an EXACT
+occurrence count, so a new site that happens to normalize to the same
+text as a fenced one (e.g. another multi-line `).collect()` in the same
+file) still trips the review instead of hiding behind the existing entry.
 """
 
 from __future__ import annotations
@@ -35,34 +38,34 @@ SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 #     (same MAX_INDEX_ROWS table), sim_maxsim query workload
 #     (_MS_QCAP fail-fast, id-bounded to <= 800 rows at any scale)
 ALLOWED = {
-    ("plans/prepared.py", "return self.dataframe(name).collect()"),
+    ("plans/prepared.py", "return self.dataframe(name).collect()"): 1,
     (
         "operators/windows.py",
         'for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()',
-    ),
-    ("testing.py", "spdf = sdf.toPandas()"),
-    ("functions/embeddings.py", ").collect()"),
-    ("functions/text.py", "for r in pairs.collect():"),
-    ("functions/ranking.py", ").collect()[0]"),
-    ("functions/similarity.py", 'local = e.toPandas().sort_values("vec_id")'),
+    ): 1,
+    ("testing.py", "spdf = sdf.toPandas()"): 1,
+    ("functions/embeddings.py", ").collect()"): 1,
+    ("functions/text.py", "for r in pairs.collect():"): 1,
+    ("functions/ranking.py", ").collect()[0]"): 1,
+    ("functions/similarity.py", 'local = e.toPandas().sort_values("vec_id")'): 1,
     (
         "functions/similarity.py",
         "sample = base.sample(False, frac, seed=42).limit(MAX_FIT_ROWS).toPandas()",
-    ),
+    ): 2,
     (
         "functions/similarity.py",
         'local = encoded.toPandas().sort_values("vec_id")',
-    ),
+    ): 1,
     (
         "functions/similarity.py",
         'idx = emb.select("vec_id", "label", "embedding").toPandas()',
-    ),
-    ("functions/similarity.py", "qrows = q.toPandas()"),
+    ): 1,
+    ("functions/similarity.py", "qrows = q.toPandas()"): 1,
 }
 
 
-def _scan() -> set[tuple[str, str]]:
-    found = set()
+def _scan() -> dict[tuple[str, str], int]:
+    found: dict[tuple[str, str], int] = {}
     pat = re.compile(r"\.(toPandas|collect)\(\)")
     for root, _dirs, files in os.walk(SRC):
         for fname in files:
@@ -76,19 +79,21 @@ def _scan() -> set[tuple[str, str]]:
                     if s.startswith("#"):
                         continue
                     if pat.search(s):
-                        found.add((rel, s))
+                        found[(rel, s)] = found.get((rel, s), 0) + 1
     return found
 
 
 def test_driver_side_materializations_are_fenced():
     found = _scan()
-    new = found - ALLOWED
+    new = {k: v for k, v in found.items() if ALLOWED.get(k) != v}
+    stale = {k: v for k, v in ALLOWED.items() if k not in found}
     assert not new, (
-        "NEW driver-side materialization site(s) — every collect/toPandas "
-        "must be bounded (cap assert or structurally corpus-free) and "
-        f"added to the fence allowlist after review: {sorted(new)}"
+        "NEW or duplicated driver-side materialization site(s) — every "
+        "collect/toPandas must be bounded (cap assert or structurally "
+        "corpus-free) and its (file, line, count) added to the fence "
+        f"allowlist after review: {sorted(new.items())}"
     )
-    gone = ALLOWED - found
-    assert not gone, (
-        f"fenced site(s) no longer present — prune the allowlist: {sorted(gone)}"
+    assert not stale, (
+        "Fence allowlist entries no longer present in source — prune "
+        f"them so the fence stays exact: {sorted(stale)}"
     )
