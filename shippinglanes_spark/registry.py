@@ -132,6 +132,7 @@ def _load_all() -> None:
         stats8,
         stats9,
         stats10,
+        stats11,
         subqueries,
         timeseries,
         tpch,
