@@ -636,3 +636,38 @@ def test_round9_pack_plan_shapes(spark, sf_dir):
     # preference pairs: one corpus scan, windows bucket-local
     pp = plan(spark, sf_dir, "pipeline_preference_pairs", mode="simple")
     assert pp.count("Scan parquet") <= 2  # self-joined rollup lineage
+
+
+def test_round10_pack_plan_shapes(spark, sf_dir):
+    """The round-10 pack's scale stories as plan facts: no cartesian
+    anywhere; VIF/Deming's dim joins broadcast (the only sort-merge is
+    the orderkey-keyed fact rollup join); exposure's global top-K is a
+    TakeOrderedAndProject, never a full sort; the VARIANT query is
+    scan-shaped (no exchange at all); MATTR prunes its scan to the
+    needed columns."""
+    for name in (
+        "agg_anderson_darling",
+        "agg_vif",
+        "agg_deming",
+        "ts_sample_entropy",
+        "text_mattr",
+        "rank_exposure",
+        "fn_variant_nested",
+        "agg_listagg",
+    ):
+        p = plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+    for name in ("agg_vif", "agg_deming"):
+        p = plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+        # nation/region broadcast; orders/customer join may sort-merge
+        # on the fact key, never more than twice
+        assert p.count("SortMergeJoin") <= 2, name
+    p = plan(spark, sf_dir, "rank_exposure", mode="simple")
+    assert "TakeOrderedAndProject" in p
+    # scan-shaped: the only exchange is the presentation sort's range
+    # partitioning — no hash shuffle, no aggregation exchange
+    p = plan(spark, sf_dir, "fn_variant_nested", mode="simple")
+    assert "Exchange hashpartitioning" not in p
+    rs = plan(spark, sf_dir, "text_mattr").split("ReadSchema")[1][:300]
+    assert "text" in rs and "n_chars" not in rs
