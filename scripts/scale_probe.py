@@ -1042,6 +1042,52 @@ def round19_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
     return out
 
 
+def round20_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
+    """Round-10 pack at 1x/10x/100x: AD is a daily rollup + pair
+    partitions that grow only with the CALENDAR (the 100x fixture's
+    35-day-shifted copies stretch the calendar ~100x, so AD's pooled
+    windows grow with it — in production the calendar is fixed and the
+    pack is corpus-flat); VIF/Deming are per-order rollups + zero-
+    shuffle moment passes; MATTR fans out tokens x window-starts
+    (corpus-linear); exposure is a TakeOrdered top-100; VARIANT is
+    scan-shaped; listagg is dim-sized. ts_sample_entropy runs 1x/10x
+    only: SampEn is all-pairs in HISTORY length by definition
+    (quadratic in the hourly spine, NOT in corpus size — 10x shows the
+    calendar quadratic; at the 100x fixture's ~84k-hour spine the
+    probe would measure 7e9 template pairs of pure calendar growth,
+    and the production dial for long histories is a bounded analysis
+    window per block)."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = [
+        "agg_anderson_darling",
+        "agg_vif",
+        "agg_deming",
+        "ts_sample_entropy",
+        "text_mattr",
+        "rank_exposure",
+        "fn_variant_nested",
+        "agg_listagg",
+    ]
+    out = {}
+    for label, sfdir in (
+        ("1x", sfdir_1x),
+        ("10x", sfdir_10x),
+        ("100x", sfdir_100x),
+    ):
+        for name in names:
+            if name == "ts_sample_entropy" and label == "100x":
+                continue  # quadratic in calendar, see docstring
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def round18_registered(spark, sfdir_1x, sfdir_10x):
     """Round-8 pack 2: Wilcoxon/MAP/effect-size are one or two keyed
     fact rollups + nation/region-local windows; Kalman is a per-type
@@ -1092,6 +1138,10 @@ def main() -> None:
     if "--r19-100x" in sys.argv:
         sfdir100 = build_sfdir100(spark)
         round19_100x(spark, SF, sfdir10, sfdir100)
+        return
+    if "--r20-100x" in sys.argv:
+        sfdir100 = build_sfdir100(spark)
+        round20_100x(spark, SF, sfdir10, sfdir100)
         return
     if "--r17-100x" in sys.argv:
         sfdir100 = build_sfdir100(spark)

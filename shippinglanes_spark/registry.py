@@ -133,6 +133,7 @@ def _load_all() -> None:
         stats9,
         stats10,
         stats11,
+        stats12,
         subqueries,
         timeseries,
         tpch,
