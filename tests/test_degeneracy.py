@@ -361,6 +361,155 @@ DIVERSITY: dict[str, dict] = {
             and (p["self_bleu_ppm"] >= 0).all()
         ),
     },
+    # ---- round-10 pack ----
+    # A^2 nonnegative with real pair-to-pair spread — identical
+    # distributions everywhere would flatten the statistic
+    "agg_anderson_darling": {
+        "min_rows": 10,
+        "distinct": {"a2": 8},
+        "check": lambda p: bool(
+            (p["a2"] >= 0).all()
+            and p["a2"].max() - p["a2"].min() > 0.2
+        ),
+    },
+    # multicollinearity must be REAL (all VIFs well above the
+    # independence value 1) and region-specific
+    "agg_vif": {
+        "min_rows": 5,
+        "distinct": {"vif_items": 5, "r_items_qty": 5},
+        "check": lambda p: bool(
+            (p[["vif_items", "vif_qty", "vif_price"]] > 2).all().all()
+        ),
+    },
+    # TLS must dominate OLS (positive covariance) in every region and
+    # slopes must differ across regions
+    "agg_deming": {
+        "min_rows": 5,
+        "distinct": {"slope_deming": 5},
+        "check": lambda p: bool(
+            (p["slope_deming"] > p["slope_ols"]).all()
+        ),
+    },
+    # A-counts far from the ln(0) cliff, entropy positive and finite,
+    # per-type counts genuinely type-specific
+    "ts_sample_entropy": {
+        "min_rows": 5,
+        "distinct": {"b_pairs": 5, "a_pairs": 5},
+        "check": lambda p: bool(
+            (p["a_pairs"] > 100).all()
+            and (p["b_pairs"] > p["a_pairs"]).all()
+            and (p["sampen"] > 0).all()
+        ),
+    },
+    # windowed diversity must spread across buckets and stay a proper
+    # ratio; an all-repetition or all-distinct corpus would pin it
+    "text_mattr": {
+        "min_rows": 20,
+        "distinct": {"avg_mattr_ppm": 10},
+        "check": lambda p: bool(
+            (p["avg_mattr_ppm"] > 300_000).all()
+            and (p["max_mattr_ppm"] <= 1_000_000).all()
+            and (p["min_mattr_ppm"] <= p["avg_mattr_ppm"]).all()
+        ),
+    },
+    # the top-K must be fully allocated and position bias must be
+    # VISIBLE (some group's exposure share != its slot share)
+    "rank_exposure": {
+        "min_rows": 2,
+        "distinct": {"exposure_ppm": 2},
+        "check": lambda p: bool(
+            p["docs_top"].sum() == 100
+            and (p["fairness_milli"] != 1000).any()
+        ),
+    },
+    # strict-cast and missing-path columns must be ALL null (the
+    # semantics under test), real paths all populated
+    "fn_variant_nested": {
+        "min_rows": 100,
+        "distinct": {"pri": 3, "mod7": 7},
+        "check": lambda p: bool(
+            p["missing"].isna().all()
+            and p["strict"].isna().all()
+            and p["pri"].notna().all()
+            and p["ckey"].notna().all()
+        ),
+    },
+    # VR must spread across types (a pure random walk everywhere would
+    # pin every type at 1) and stay positive
+    "ts_variance_ratio": {
+        "min_rows": 5,
+        "distinct": {"vr": 5},
+        "check": lambda p: bool(
+            (p["vr"] > 0).all() and p["vr"].max() - p["vr"].min() > 0.1
+        ),
+    },
+    # extrema counts must be interior (0 or n-2 would mean a monotone
+    # or sawtooth series — both fixture-impossible) and type-specific
+    "ts_turning_points": {
+        "min_rows": 5,
+        "distinct": {"turning_points": 3},
+        "check": lambda p: bool(
+            (p["turning_points"] > 0).all()
+            and (p["turning_points"] < p["n_days"] - 2).all()
+        ),
+    },
+    # the confounder story must HOLD: strong raw qty-price correlation,
+    # near-zero once item count is partialled out, in every region
+    "agg_partial_correlation": {
+        "min_rows": 5,
+        "distinct": {"p_items_qty_price": 5},
+        "check": lambda p: bool(
+            (p["r_qty_price"] > 0.5).all()
+            and (p["p_qty_price_items"].abs() < 0.1).all()
+        ),
+    },
+    # conditional structure must be real (context reduces entropy) and
+    # language-specific
+    "text_entropy_rate": {
+        "min_rows": 5,
+        "distinct": {"h_rate": 5},
+        "check": lambda p: bool(
+            (p["info_gain"] > 0).all() and (p["h_rate"] > 0).all()
+        ),
+    },
+    # incidence curves must rise over multiple event days and respect
+    # AJ additivity (cif_p + cif_e <= 1); only the purchase curve gets
+    # a distinct floor — at sf0.001's 15 users the error curve can
+    # legitimately jump on a single day
+    "evt_cumulative_incidence": {
+        "min_rows": 2,
+        "distinct": {"cif_purchase": 2},
+        "check": lambda p: bool(
+            p.sort_values("day")["cif_purchase"]
+            .is_monotonic_increasing
+            and p.sort_values("day")["cif_error"].is_monotonic_increasing
+            and ((p["cif_purchase"] + p["cif_error"]) <= 1.0 + 1e-9).all()
+        ),
+    },
+    # the variable threshold must actually filter (every flag keeps
+    # rows, none keeps everything)
+    "sql_variables_exec": {
+        "min_rows": 3,
+        "distinct": {"qty": 3},
+        "check": lambda p: bool((p["n"] > 0).all()),
+    },
+    # each region's two orderings must actually reorder (alpha vs
+    # key-desc agree only if insertion order coincides — assert the
+    # delimiter arity instead, which a dropped row would break)
+    "agg_listagg": {
+        "min_rows": 5,
+        "distinct": {"nations_alpha": 5},
+        "check": lambda p: bool(
+            (
+                p["nations_alpha"].str.count(",")
+                == p["n_nations"] - 1
+            ).all()
+            and (
+                p["nations_bykey_desc"].str.count(r"\|")
+                == p["n_nations"] - 1
+            ).all()
+        ),
+    },
 }
 
 

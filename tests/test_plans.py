@@ -671,3 +671,27 @@ def test_round10_pack_plan_shapes(spark, sf_dir):
     assert "Exchange hashpartitioning" not in p
     rs = plan(spark, sf_dir, "text_mattr").split("ReadSchema")[1][:300]
     assert "text" in rs and "n_chars" not in rs
+
+
+def test_round10_pack2_plan_shapes(spark, sf_dir):
+    """Pack-2 scale stories as plan facts: no cartesian; the VR /
+    turning-point / CIF day tables do calendar-sized window work after
+    one keyed rollup; partial correlation inherits agg_vif's broadcast
+    dims; the SQL session-state chain compiles to a plain aggregate
+    over the pruned lineitem scan."""
+    for name in (
+        "ts_variance_ratio",
+        "ts_turning_points",
+        "agg_partial_correlation",
+        "text_entropy_rate",
+        "evt_cumulative_incidence",
+        "sql_variables_exec",
+    ):
+        p = plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+    p = plan(spark, sf_dir, "agg_partial_correlation")
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") <= 2
+    # the EXECUTE IMMEDIATE indirection must not defeat column pruning
+    rs = plan(spark, sf_dir, "sql_variables_exec").split("ReadSchema")[1][:300]
+    assert "l_quantity" in rs and "l_extendedprice" not in rs

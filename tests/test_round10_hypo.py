@@ -19,6 +19,14 @@ and DuckDB entirely:
   renaming, and bounded by the extreme window TTRs;
 - the exposure discount table is strictly decreasing and per-group
   floored ppm shares sum to within #groups of 1e6.
+
+Pack 2: the variance ratio is shift- and scale-invariant; turning
+points are reversal- and negation-invariant and bounded by n-2; the
+partial-correlation formula is symmetric in the partialled pair and
+reduces to the raw correlation under an uncorrelated control; plug-in
+conditional entropy never exceeds the second-token marginal (the
+chain-rule direction); the Aalen-Johansen fold satisfies CIF_p +
+CIF_e + S == 1 exactly and collapses to 1 - KM when causes merge.
 """
 
 from __future__ import annotations
@@ -264,3 +272,133 @@ def test_exposure_table_monotone_and_shares_telescope():
             shares.append(ws * 1_000_000 // _EXP_TOTAL)
             start += width
         assert 1_000_000 - len(split) <= sum(shares) <= 1_000_000
+
+
+# ---- pack 2 ----
+
+
+def _vr(xs: list[int], q: int) -> float:
+    n = len(xs)
+    s = sum(xs)
+    ss = sum(x * x for x in xs)
+    m = n - q + 1
+    s2 = sum((n * sum(xs[i : i + q]) - q * s) ** 2 for i in range(m))
+    return s2 / (m * q * (n * ss - s * s))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 100), min_size=12, max_size=40),
+    st.integers(-50, 50),
+    st.integers(1, 9),
+)
+def test_variance_ratio_shift_and_scale_invariant(xs, shift, scale):
+    if len(set(xs)) < 2:
+        return  # zero one-day variance
+    q = 5
+    base = _vr(xs, q)
+    assert base > 0
+    assert math.isclose(_vr([x + shift for x in xs], q), base,
+                        rel_tol=1e-9)
+    assert math.isclose(_vr([x * scale for x in xs], q), base,
+                        rel_tol=1e-9)
+
+
+def _tp(xs: list[int]) -> int:
+    return sum(
+        1
+        for i in range(1, len(xs) - 1)
+        if (xs[i] > xs[i - 1] and xs[i] > xs[i + 1])
+        or (xs[i] < xs[i - 1] and xs[i] < xs[i + 1])
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 20), min_size=4, max_size=50))
+def test_turning_points_reversal_negation_invariant(xs):
+    t = _tp(xs)
+    assert 0 <= t <= len(xs) - 2
+    assert _tp(list(reversed(xs))) == t
+    assert _tp([-x for x in xs]) == t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(-0.9, 0.9),
+    st.floats(-0.9, 0.9),
+    st.floats(-0.9, 0.9),
+)
+def test_partial_correlation_symmetry_and_independence_reduction(
+    rab, rac, rbc
+):
+    def partial(x, y, z):
+        return (x - y * z) / math.sqrt((1 - y * y) * (1 - z * z))
+
+    # symmetric in the two partialled variables
+    assert math.isclose(
+        partial(rab, rac, rbc), partial(rab, rbc, rac), rel_tol=1e-12
+    )
+    # an uncorrelated control changes nothing
+    assert math.isclose(partial(rab, 0.0, 0.0), rab, rel_tol=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 5), min_size=5, max_size=200))
+def test_entropy_rate_conditioning_never_hurts(ids):
+    # plug-in conditional entropy <= plug-in marginal entropy of the
+    # SECOND token (the chain-rule direction the query exploits)
+    pairs = list(zip(ids, ids[1:]))
+    if not pairs:
+        return
+    from collections import Counter
+
+    c2 = Counter(pairs)
+    ctx = Counter(a for a, _ in pairs)
+    nxt = Counter(b for _, b in pairs)
+    n = len(pairs)
+    h_cond = sum(
+        c * (math.log(ctx[a]) - math.log(c))
+        for (a, _b), c in c2.items()
+    ) / n
+    h_next = math.log(n) - sum(
+        c * math.log(c) for c in nxt.values()
+    ) / n
+    assert h_cond <= h_next + 1e-9
+    assert h_cond >= -1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.sampled_from(["p", "e"])),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_aalen_johansen_additivity_and_km_reduction(events):
+    # fold the AJ update over the day-grouped events (no censoring):
+    # CIF_p + CIF_e + S == 1 exactly, curves are nondecreasing, and
+    # collapsing both causes into one reproduces 1 - KM
+    from collections import Counter
+
+    by_day = sorted(
+        Counter((d, r) for d, r in events).items()
+    )
+    days = sorted({d for (d, _r), _ in by_day})
+    total = len(events)
+    at_risk = total
+    surv, cp, ce = 1.0, 0.0, 0.0
+    km = 1.0
+    prev_cp, prev_ce = 0.0, 0.0
+    for day in days:
+        dp = dict(by_day).get((day, "p"), 0)
+        de = dict(by_day).get((day, "e"), 0)
+        cp += surv * dp / at_risk
+        ce += surv * de / at_risk
+        surv *= 1 - (dp + de) / at_risk
+        km *= 1 - (dp + de) / at_risk
+        assert cp >= prev_cp - 1e-12 and ce >= prev_ce - 1e-12
+        prev_cp, prev_ce = cp, ce
+        at_risk -= dp + de
+    assert math.isclose(cp + ce + surv, 1.0, rel_tol=0, abs_tol=1e-9)
+    assert math.isclose(cp + ce, 1.0 - km, rel_tol=0, abs_tol=1e-9)
