@@ -1043,20 +1043,19 @@ def round19_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
 
 
 def round20_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
-    """Round-10 pack at 1x/10x/100x: AD is a daily rollup + pair
-    partitions that grow only with the CALENDAR (the 100x fixture's
-    35-day-shifted copies stretch the calendar ~100x, so AD's pooled
-    windows grow with it — in production the calendar is fixed and the
-    pack is corpus-flat); VIF/Deming are per-order rollups + zero-
-    shuffle moment passes; MATTR fans out tokens x window-starts
-    (corpus-linear); exposure is a TakeOrdered top-100; VARIANT is
-    scan-shaped; listagg is dim-sized. ts_sample_entropy runs 1x/10x
-    only: SampEn is all-pairs in HISTORY length by definition
-    (quadratic in the hourly spine, NOT in corpus size — 10x shows the
-    calendar quadratic; at the 100x fixture's ~84k-hour spine the
-    probe would measure 7e9 template pairs of pure calendar growth,
-    and the production dial for long histories is a bounded analysis
-    window per block)."""
+    """Round-10 packs at 1x/10x/100x. AD and SampEn pin their analysis
+    window (first 30 days / 720 hours — the production monitoring
+    semantics), so even though the 100x fixture's 35-day-shifted
+    copies stretch the CALENDAR ~100x, their grid/self-join work stays
+    constant and only the keyed rollup grows (the first probe cut of
+    this round ran them UNwindowed: AD's exact terms overflowed BIGINT
+    at the 3500-day pooled N and SampEn's spine self-join went
+    calendar-quadratic — the windowing is the fix, not a cosmetic).
+    VR / turning points / CIF do calendar-LINEAR tail work and run
+    unwindowed; VIF / Deming / partial corr are zero-shuffle moment
+    passes; MATTR is corpus-linear fan-out; exposure a TakeOrdered
+    top-100; VARIANT scan-shaped; listagg dim-sized; the SQL
+    session-state chain a plain aggregate."""
     from shippinglanes_spark.registry import all_queries
 
     Q = all_queries()
@@ -1069,6 +1068,12 @@ def round20_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
         "rank_exposure",
         "fn_variant_nested",
         "agg_listagg",
+        "ts_variance_ratio",
+        "ts_turning_points",
+        "agg_partial_correlation",
+        "text_entropy_rate",
+        "evt_cumulative_incidence",
+        "sql_variables_exec",
     ]
     out = {}
     for label, sfdir in (
@@ -1077,8 +1082,6 @@ def round20_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
         ("100x", sfdir_100x),
     ):
         for name in names:
-            if name == "ts_sample_entropy" and label == "100x":
-                continue  # quadratic in calendar, see docstring
             fn = Q[name].fn
             fn(spark, sfdir).write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()

@@ -72,8 +72,13 @@ _AD_CRIT = "2.492"
 
 # Sample entropy: template length m = 2 (matches use m and m+1), with
 # tolerance r = floor(0.2 * population sigma) — the standard 0.2-sigma
-# choice, floored to keep every comparison integer-exact
+# choice, floored to keep every comparison integer-exact. The analysis
+# window is PINNED to the first 720 hours of the corpus calendar (a
+# no-op at the committed fixtures, which span exactly 30 days): SampEn
+# is all-pairs in HISTORY length by definition, so the window is what
+# keeps the self-join calendar-CONSTANT at any corpus scale
 _SE_RNUM = 0.2
+_SE_HOURS = 720
 
 # MATTR window length (docs are 10-99 tokens; windows shrink to the
 # whole doc below 20 tokens, where MATTR degenerates to plain TTR)
@@ -88,12 +93,22 @@ _EXP_SQL = "[" + ", ".join(str(w) for w in _EXP_W) + "]"
 _EXP_SPARK = "array(" + ", ".join(str(w) for w in _EXP_W) + ")"
 
 # Shared oracle fragment: the zero-filled day x type count grid (same
-# spine as rank_bradley_terry's)
-_DAY_GRID_SQL = """
-    d0 AS (
+# spine as rank_bradley_terry's), PINNED to a fixed 30-day analysis
+# window from the corpus start. At the committed fixtures the calendar
+# IS 30 days, so the window is a no-op; at any longer history it keeps
+# the grid calendar-CONSTANT (the production monitoring semantics, and
+# what keeps agg_anderson_darling's exact-integer terms inside BIGINT:
+# the term bound needs pooled N <~ 400)
+_AD_WINDOW_DAYS = 30
+_DAY_GRID_SQL = f"""
+    d0r AS (
       SELECT CAST(ts AS DATE) AS day, event_type,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2),
+    d0 AS (
+      SELECT * FROM d0r
+      WHERE day < (SELECT MIN(day) FROM d0r)
+                  + INTERVAL {_AD_WINDOW_DAYS} DAY),
     spine AS (
       SELECT day, event_type
       FROM (SELECT DISTINCT day FROM d0)
@@ -123,6 +138,30 @@ _ORDER_FEAT_SQL = """
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey)
 """
+
+
+def _day_grid(spark, sf_dir):
+    """The zero-filled (day, event_type, c) grid over the FIRST
+    {_AD_WINDOW_DAYS} calendar days — the Spark side of _DAY_GRID_SQL.
+    localCheckpoint'ed: every consumer reads it at least twice."""
+    ev = table(spark, sf_dir, "events")
+    d0r = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b = d0r.agg(F.min("day").alias("dmin"))
+    d0 = (
+        d0r.crossJoin(F.broadcast(b))
+        .where(F.col("day") < F.date_add("dmin", _AD_WINDOW_DAYS))
+        .drop("dmin")
+    )
+    days = d0.select("day").distinct()
+    types = d0.select("event_type").distinct()
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(d0, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint()
+    )
 
 
 def _order_features(spark, sf_dir):
@@ -203,23 +242,16 @@ def _order_features(spark, sf_dir):
     f"verdict compares the raw double against Pettitt's literal "
     f"{_AD_CRIT}. The TAIL-WEIGHTED member of the two-sample family "
     f"(KS takes the sup, Mann-Whitney the rank sum; AD integrates "
-    f"with 1/(F(1-F)) weight, so tail mass counts). One daily rollup "
-    f"is the only corpus work; pair partitions are 60 rows at ANY "
-    f"scale",
+    f"with 1/(F(1-F)) weight, so tail mass counts). The analysis "
+    f"window is pinned to the corpus' first {_AD_WINDOW_DAYS} calendar "
+    f"days (a no-op at the committed fixtures), so one daily rollup is "
+    f"the only corpus work and pair partitions are 60 rows at ANY "
+    f"scale — also what keeps the exact terms inside BIGINT (the "
+    f"algebra needs pooled N <~ 400)",
 )
 def agg_anderson_darling(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    d0 = ev.groupBy(
-        F.col("ts").cast("date").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    days = d0.select("day").distinct()
-    types = d0.select("event_type").distinct()
-    d = (
-        days.crossJoin(F.broadcast(types))
-        .join(d0, ["day", "event_type"], "left")
-        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
-        .localCheckpoint()  # day x type grid, read twice (a and b sides)
-    )
+    d = _day_grid(spark, sf_dir)  # windowed grid, read twice (a/b sides)
+    types = d.select("event_type").distinct()
     ta = types.select(F.col("event_type").alias("ta"))
     tb = types.select(F.col("event_type").alias("tb"))
     pairs = ta.join(tb, F.col("ta") < F.col("tb")).localCheckpoint()
@@ -497,7 +529,10 @@ def agg_deming(spark, sf_dir):
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2),
-    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM h0),
+    bounds AS (
+      SELECT MIN(h) AS h0,
+             LEAST(MAX(h), MIN(h) + INTERVAL {_SE_HOURS - 1} HOUR) AS h1
+      FROM h0),
     spine AS (
       SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
       FROM bounds),
@@ -557,16 +592,23 @@ def agg_deming(spark, sf_dir):
     f"fixture keeps A >= ~1000 at every SF, probed before design). "
     f"The regularity/complexity member of the ts family (permutation "
     f"entropy ranks order patterns; SampEn measures amplitude-scale "
-    f"self-similarity). One hourly rollup is the only corpus work; "
-    f"the spine is CALENDAR-sized (720 hours), so the per-type "
-    f"self-join is ~260k pairs at ANY corpus scale",
+    f"self-similarity). SampEn is all-pairs in HISTORY length by "
+    f"definition, so the analysis window is pinned to the corpus' "
+    f"first {_SE_HOURS} hours (a no-op at the committed fixtures): "
+    f"one hourly rollup is the only corpus work and the per-type "
+    f"self-join stays ~260k pairs at ANY corpus scale",
 )
 def ts_sample_entropy(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     h0 = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    bounds = h0.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    bounds = h0.agg(
+        F.min("h").alias("hmin"),
+        F.expr(
+            f"least(max(h), min(h) + interval {_SE_HOURS - 1} hour)"
+        ).alias("hmax"),
+    )
     spine = bounds.select(
         F.explode(
             F.expr("sequence(hmin, hmax, interval 1 hour)")

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..io import register_views, table
 from ..registry import register
-from .stats11 import _DAY_GRID_SQL, _ORDER_FEAT_SQL
+from .stats11 import _DAY_GRID_SQL, _ORDER_FEAT_SQL, _day_grid
 
 # Variance ratio: holding period q over the 30-day series
 _VR_Q = 5
@@ -115,18 +115,7 @@ _DAY_US = 86_400_000_000
 )
 def ts_variance_ratio(spark, sf_dir):
     q = _VR_Q
-    ev = table(spark, sf_dir, "events")
-    d0 = ev.groupBy(
-        F.col("ts").cast("date").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    days = d0.select("day").distinct()
-    types = d0.select("event_type").distinct()
-    d = (
-        days.crossJoin(F.broadcast(types))
-        .join(d0, ["day", "event_type"], "left")
-        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
-        .localCheckpoint()  # day x type grid, read by both branches
-    )
+    d = _day_grid(spark, sf_dir)  # windowed grid, read by both branches
     m = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c").cast("long").alias("s"),
@@ -210,17 +199,7 @@ def ts_variance_ratio(spark, sf_dir):
     f"rollup + one calendar-sized window pass",
 )
 def ts_turning_points(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    d0 = ev.groupBy(
-        F.col("ts").cast("date").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    days = d0.select("day").distinct()
-    types = d0.select("event_type").distinct()
-    d = (
-        days.crossJoin(F.broadcast(types))
-        .join(d0, ["day", "event_type"], "left")
-        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
-    )
+    d = _day_grid(spark, sf_dir)
     wd = W.partitionBy("event_type").orderBy("day")
     l = d.select(
         "event_type",
