@@ -134,6 +134,7 @@ def _load_all() -> None:
         stats10,
         stats11,
         stats12,
+        stats13,
         subqueries,
         timeseries,
         tpch,
