@@ -1074,6 +1074,10 @@ def round20_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
         "text_entropy_rate",
         "evt_cumulative_incidence",
         "sql_variables_exec",
+        "agg_hodges_lehmann",
+        "text_chao1",
+        "emb_jl_projection",
+        "pipeline_pair_rouge",
     ]
     out = {}
     for label, sfdir in (

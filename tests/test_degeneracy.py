@@ -493,6 +493,54 @@ DIVERSITY: dict[str, dict] = {
         "distinct": {"qty": 3},
         "check": lambda p: bool((p["n"] > 0).all()),
     },
+    # the Walsh-median must be a genuine location estimate (near the
+    # mean, not a collapsed constant); at sf0.001's ~7-count days the
+    # half-integer medians legitimately land on few distinct values,
+    # so the distinct floor is 2 with the proximity check as the teeth
+    "agg_hodges_lehmann": {
+        "min_rows": 5,
+        "distinct": {"hl": 2, "mean_daily": 5},
+        "check": lambda p: bool(
+            ((p["hl"] - p["mean_daily"]).abs()
+             < 0.2 * p["mean_daily"]).all()
+        ),
+    },
+    # unseen mass must be real (chao1 well above V) and singletons
+    # plentiful — a saturated vocabulary would pin f1 ~ 0
+    "text_chao1": {
+        "min_rows": 5,
+        "distinct": {"chao1": 5},
+        "check": lambda p: bool(
+            (p["chao1"] > 1.5 * p["v_obs"]).all()
+            and (p["f1"] > p["f2"]).all()
+            and ((p["coverage"] > 0) & (p["coverage"] < 1)).all()
+        ),
+    },
+    # the sketch must preserve norms on average (mean ratio near 1)
+    # and produce genuinely spread projections
+    "emb_jl_projection": {
+        "min_rows": 100,
+        "distinct": {"proj0": 50, "norm_ratio": 50},
+        "check": lambda p: bool(
+            0.8 < p["norm_ratio"].mean() < 1.2
+            and (p["proj0"] < 0).any()
+            and (p["proj0"] > 0).any()
+        ),
+    },
+    # overlap must be partial (0 < overlap < full) with real spread —
+    # identical docs or disjoint vocabularies would both be wrong here
+    "pipeline_pair_rouge": {
+        "min_rows": 10,
+        "distinct": {"f1_ppm": 10},
+        "check": lambda p: bool(
+            (p["overlap"] > 0).all()
+            and (p["f1_ppm"] < 1_000_000).all()
+            and (
+                (p["f1_ppm"] >= p[["p_ppm", "r_ppm"]].min(axis=1))
+                & (p["f1_ppm"] <= p[["p_ppm", "r_ppm"]].max(axis=1))
+            ).all()
+        ),
+    },
     # each region's two orderings must actually reorder (alpha vs
     # key-desc agree only if insertion order coincides — assert the
     # delimiter arity instead, which a dropped row would break)

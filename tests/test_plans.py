@@ -695,3 +695,22 @@ def test_round10_pack2_plan_shapes(spark, sf_dir):
     # the EXECUTE IMMEDIATE indirection must not defeat column pruning
     rs = plan(spark, sf_dir, "sql_variables_exec").split("ReadSchema")[1][:300]
     assert "l_quantity" in rs and "l_extendedprice" not in rs
+
+
+def test_round10_pack3_plan_shapes(spark, sf_dir):
+    """Pack-3 scale stories as plan facts: no cartesian; the JL
+    projection is scan-shaped (literal matrix, no hash shuffle); the
+    Walsh pair join runs on the checkpointed calendar grid; Chao1
+    prunes its scan to (lang, text)."""
+    for name in (
+        "agg_hodges_lehmann",
+        "text_chao1",
+        "emb_jl_projection",
+        "pipeline_pair_rouge",
+    ):
+        p = plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+    p = plan(spark, sf_dir, "emb_jl_projection", mode="simple")
+    assert "Exchange hashpartitioning" not in p
+    rs = plan(spark, sf_dir, "text_chao1").split("ReadSchema")[1][:300]
+    assert "text" in rs and "doc_id" not in rs and "n_chars" not in rs

@@ -27,6 +27,13 @@ reduces to the raw correlation under an uncorrelated control; plug-in
 conditional entropy never exceeds the second-token marginal (the
 chain-rule direction); the Aalen-Johansen fold satisfies CIF_p +
 CIF_e + S == 1 exactly and collapses to 1 - KM when causes merge.
+
+Pack 3: Hodges-Lehmann is translation-equivariant, permutation-
+invariant, and bounded by the extremes; Chao1 never estimates fewer
+species than observed and saturates exactly at V when singletons
+vanish; the JL projection is linear and its norm ratio scale-
+invariant; ROUGE-1 multiset overlap is symmetric, bounded by the
+shorter side, and self-ROUGE is exactly 1e6 in integer ppm.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ from shippinglanes_spark.operators.stats11 import (
     _EXP_W,
     _MATTR_W,
 )
+from shippinglanes_spark.operators.stats13 import _JL_D
 
 
 def _ad_quantized(xs: list[int], ys: list[int]) -> tuple[int, float]:
@@ -402,3 +410,92 @@ def test_aalen_johansen_additivity_and_km_reduction(events):
         at_risk -= dp + de
     assert math.isclose(cp + ce + surv, 1.0, rel_tol=0, abs_tol=1e-9)
     assert math.isclose(cp + ce, 1.0 - km, rel_tol=0, abs_tol=1e-9)
+
+
+# ---- pack 3 ----
+
+
+def _hl(xs: list[int]) -> float:
+    n = len(xs)
+    w2 = sorted(xs[i] + xs[j] for i in range(n) for j in range(i, n))
+    return w2[(len(w2) + 1) // 2 - 1] / 2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 100), min_size=3, max_size=25),
+    st.integers(-50, 50),
+)
+def test_hodges_lehmann_translation_equivariant_and_bounded(xs, c):
+    h = _hl(xs)
+    assert min(xs) <= h <= max(xs)
+    assert _hl([x + c for x in xs]) == h + c
+    # permutation invariance (the query's join order cannot matter)
+    assert _hl(list(reversed(xs))) == h
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(1, 30), min_size=1, max_size=300))
+def test_chao1_bounds_and_saturation(counts):
+    v = len(counts)
+    f1 = sum(1 for c in counts if c == 1)
+    f2 = sum(1 for c in counts if c == 2)
+    chao1 = v + f1 * (f1 - 1) / (2 * (f2 + 1))
+    assert chao1 >= v  # never estimates FEWER species than observed
+    if f1 == 0:
+        # no singletons -> the corpus has seen everything it can see
+        assert chao1 == v
+    n = sum(counts)
+    coverage = 1 - f1 / n
+    assert 0 <= coverage <= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32),
+        min_size=_JL_D // 8,
+        max_size=_JL_D // 8,
+    ),
+    st.integers(2, 5),
+)
+def test_jl_projection_linear_and_ratio_scale_invariant(xs8, a):
+    from shippinglanes_spark.operators.stats13 import _JL_SIGNS
+
+    x = (xs8 * 8)[: _JL_D]
+    if sum(v * v for v in x) < 1e-6:
+        return
+
+    def proj(v):
+        return [
+            sum(_JL_SIGNS[d][j] * v[j] for j in range(_JL_D))
+            for d in range(8)
+        ]
+
+    p = proj(x)
+    pa = proj([a * v for v in x])
+    for d in range(8):
+        assert math.isclose(pa[d], a * p[d], rel_tol=1e-9, abs_tol=1e-9)
+    # norm_ratio is scale-invariant
+    nx2 = sum(v * v for v in x)
+    r1 = sum(q * q for q in p) / (8 * nx2)
+    r2 = sum(q * q for q in pa) / (8 * (a * a * nx2))
+    assert math.isclose(r1, r2, rel_tol=1e-9)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    st.lists(st.integers(0, 5), min_size=1, max_size=40),
+)
+def test_rouge_overlap_symmetric_self_is_one(ids_a, ids_b):
+    from collections import Counter
+
+    ca, cb = Counter(ids_a), Counter(ids_b)
+    ov_ab = sum(min(ca[t], cb[t]) for t in ca)
+    ov_ba = sum(min(cb[t], ca[t]) for t in cb)
+    assert ov_ab == ov_ba  # multiset intersection is symmetric
+    assert ov_ab <= min(len(ids_a), len(ids_b))
+    # self-ROUGE is exactly 1e6 in the query's integer ppm form
+    ov_aa = sum(min(ca[t], ca[t]) for t in ca)
+    assert 2 * ov_aa * 1_000_000 // (2 * len(ids_a)) == 1_000_000
