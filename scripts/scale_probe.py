@@ -1078,6 +1078,8 @@ def round20_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
         "text_chao1",
         "emb_jl_projection",
         "pipeline_pair_rouge",
+        "ts_ses_select",
+        "profile_key_candidates",
     ]
     out = {}
     for label, sfdir in (

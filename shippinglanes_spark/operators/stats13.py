@@ -483,3 +483,212 @@ def pipeline_pair_rouge(spark, sf_dir):
             "f1_ppm"
         ),
     ).orderBy("lang", "source")
+
+
+# SES model selection: alpha grid in exact eighths (binary fractions,
+# so every smoothing product is engine-identical), folded over the
+# pinned 30-day series in day order
+_SES_ALPHAS = [(k, k / 8) for k in range(1, 8)]
+
+
+@register(
+    "ts_ses_select",
+    section="2.4",
+    oracle=f"""
+    WITH d0r AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    d0 AS (
+      SELECT * FROM d0r
+      WHERE day < (SELECT MIN(day) FROM d0r) + INTERVAL 30 DAY),
+    spine AS (
+      SELECT day, event_type
+      FROM (SELECT DISTINCT day FROM d0)
+      CROSS JOIN (SELECT DISTINCT event_type FROM d0)),
+    d AS (
+      SELECT s.day, s.event_type, COALESCE(d0.c, 0) AS c
+      FROM spine s LEFT JOIN d0 USING (day, event_type)),
+    arr AS (
+      SELECT event_type,
+             list(CAST(c AS DOUBLE) ORDER BY day) AS xs
+      FROM d GROUP BY 1),
+    fits AS (
+      SELECT event_type, xs,
+             {", ".join(
+               f'''list_reduce(
+                 list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
+                   [[x, CAST(0.0 AS DOUBLE)] FOR x IN xs[2:]]),
+                 (acc, e) -> [acc[1] + {k}.0/8 * (e[1] - acc[1]),
+                              acc[2] + (e[1] - acc[1]) * (e[1] - acc[1])])
+                 AS f{k}'''
+               for k, _a in _SES_ALPHAS
+             )}
+      FROM arr),
+    pick AS (
+      SELECT event_type,
+             CASE {" ".join(
+               f"WHEN f{k}[2] = LEAST("
+               + ", ".join(f"f{j}[2]" for j, _ in _SES_ALPHAS)
+               + f") THEN {k}"
+               for k, _a in _SES_ALPHAS
+             )} END AS best_k,
+             {", ".join(f"f{k}" for k, _a in _SES_ALPHAS)}
+      FROM fits)
+    SELECT event_type,
+           CAST(best_k AS BIGINT) AS best_alpha_eighths,
+           FLOOR(CASE {" ".join(
+             f"WHEN best_k = {k} THEN f{k}[2]" for k, _a in _SES_ALPHAS
+           )} END * 1e3) / 1e3 AS sse,
+           FLOOR(CASE {" ".join(
+             f"WHEN best_k = {k} THEN f{k}[1]" for k, _a in _SES_ALPHAS
+           )} END * 1e6) / 1e6 AS forecast
+    FROM pick ORDER BY event_type
+    """,
+    notes="Simple-exponential-smoothing MODEL SELECTION per event type: "
+    "the alpha grid {1/8 .. 7/8} (exact binary fractions, so every "
+    "smoothing product is bit-identical cross-engine) is folded over "
+    "the pinned 30-day series in day order, each fold carrying "
+    "[level, one-step-ahead SSE]; the winner is the argmin-SSE alpha "
+    "(ties break to the SMALLER alpha — the first CASE match — "
+    "deterministic on both engines), reported with its SSE and "
+    "next-day forecast. Completes the smoothing ladder (ewma -> holt "
+    "-> holt_winters -> kalman) with the missing question — WHICH "
+    "smoothing constant — answered by backtest, not decree. One "
+    "daily rollup; 7 folds x 30 days of group-local work per type at "
+    "ANY corpus scale",
+)
+def ts_ses_select(spark, sf_dir):
+    d = _day_grid(spark, sf_dir)
+    arr = d.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, c))),"
+            " e -> CAST(e.c AS DOUBLE))"
+        ).alias("xs")
+    )
+    ks = [k for k, _a in _SES_ALPHAS]
+    fit_cols = [
+        F.expr(
+            f"aggregate(slice(xs, 2, size(xs) - 1),"
+            f" array(element_at(xs, 1), CAST(0.0 AS DOUBLE)),"
+            f" (acc, x) -> array("
+            f"element_at(acc, 1) + {k}.0/8 * (x - element_at(acc, 1)),"
+            f" element_at(acc, 2)"
+            f" + (x - element_at(acc, 1)) * (x - element_at(acc, 1))))"
+        ).alias(f"f{k}")
+        for k in ks
+    ]
+    fits = arr.select("event_type", *fit_cols)
+    least_sse = F.least(*[F.element_at(F.col(f"f{k}"), 2) for k in ks])
+    best = None
+    for k in ks:  # reversed CASE chain -> ties pick the SMALLER alpha
+        cond = F.element_at(F.col(f"f{k}"), 2) == least_sse
+        best = F.when(cond, F.lit(k)) if best is None else best.when(
+            cond, F.lit(k)
+        )
+    # build when-chain in ascending order so the FIRST match wins
+    pick = fits.select(
+        "event_type",
+        best.cast("long").alias("best_k"),
+        *[F.col(f"f{k}") for k in ks],
+    )
+    sse = None
+    fc = None
+    for k in ks:
+        c = F.col("best_k") == k
+        s_k = F.element_at(F.col(f"f{k}"), 2)
+        f_k = F.element_at(F.col(f"f{k}"), 1)
+        sse = F.when(c, s_k) if sse is None else sse.when(c, s_k)
+        fc = F.when(c, f_k) if fc is None else fc.when(c, f_k)
+    return pick.select(
+        "event_type",
+        F.col("best_k").alias("best_alpha_eighths"),
+        (F.floor(sse * 1e3) / 1e3).alias("sse"),
+        (F.floor(fc * 1e6) / 1e6).alias("forecast"),
+    ).orderBy("event_type")
+
+
+@register(
+    "profile_key_candidates",
+    section="2.4",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    u AS (
+      SELECT 'o_orderkey' AS col,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_custkey+o_orderdate',
+             CAST(COUNT(DISTINCT (CAST(o_custkey AS VARCHAR) || '|'
+                                  || CAST(o_orderdate AS VARCHAR)))
+               AS BIGINT)
+      FROM orders)
+    SELECT u.col, n.n AS n_rows, u.n_distinct,
+           u.n_distinct * 1000000 // n.n AS uniqueness_ppm,
+           u.n_distinct = n.n AS is_key
+    FROM u CROSS JOIN n ORDER BY u.col
+    """,
+    notes="Candidate-key discovery over the orders table — the data-"
+    "profiling primitive schema inference and CDC-merge configuration "
+    "both start from: exact distinct count per column (and for the "
+    "(custkey, orderdate) composite, the next lattice layer), "
+    "uniqueness as integer ppm, and the is_key verdict (distinct == "
+    "rows). The fixture's truth: o_orderkey IS a key, the composite "
+    "is NOT quite (customers repeat order dates), every scalar "
+    "column is far from one. Exact counts, not approx_count_distinct "
+    "— a key verdict cannot ride on a sketch. One scan; each "
+    "distinct-count is a partial-aggregable rollup; the composite "
+    "uses an injective '|' concat (keys are digits, the separator "
+    "cannot collide)",
+)
+def profile_key_candidates(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    n = o.count()  # driver-side scalar: one Long, bounded by design
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+    ]
+    agg = o.agg(
+        *[F.countDistinct(c).cast("long").alias(c) for c in cols],
+        F.countDistinct(
+            F.concat(
+                F.col("o_custkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderdate").cast("string"),
+            )
+        )
+        .cast("long")
+        .alias("o_custkey+o_orderdate"),
+    )
+    stack = ", ".join(
+        f"'{c}', `{c}`" for c in cols + ["o_custkey+o_orderdate"]
+    )
+    u = agg.select(
+        F.expr(f"stack({len(cols) + 1}, {stack}) AS (col, n_distinct)")
+    )
+    return u.select(
+        "col",
+        F.lit(n).cast("long").alias("n_rows"),
+        "n_distinct",
+        F.expr(f"n_distinct * 1000000 div {n}").alias("uniqueness_ppm"),
+        (F.col("n_distinct") == n).alias("is_key"),
+    ).orderBy("col")

@@ -541,6 +541,27 @@ DIVERSITY: dict[str, dict] = {
             ).all()
         ),
     },
+    # the backtest must discriminate (SSEs spread across types) and
+    # forecasts must sit inside the count range
+    "ts_ses_select": {
+        "min_rows": 5,
+        "distinct": {"sse": 5},
+        "check": lambda p: bool(
+            (p["best_alpha_eighths"].between(1, 7)).all()
+            and (p["forecast"] > 0).all()
+        ),
+    },
+    # key discovery must find the planted truth: exactly one scalar
+    # key, enums far from unique, the composite high but visible
+    "profile_key_candidates": {
+        "min_rows": 7,
+        "distinct": {"uniqueness_ppm": 5},
+        "check": lambda p: bool(
+            p["is_key"].sum() >= 1
+            and (p.set_index("col").loc["o_orderkey", "is_key"])
+            and not p.set_index("col").loc["o_orderstatus", "is_key"]
+        ),
+    },
     # each region's two orderings must actually reorder (alpha vs
     # key-desc agree only if insertion order coincides — assert the
     # delimiter arity instead, which a dropped row would break)

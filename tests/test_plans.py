@@ -714,3 +714,16 @@ def test_round10_pack3_plan_shapes(spark, sf_dir):
     assert "Exchange hashpartitioning" not in p
     rs = plan(spark, sf_dir, "text_chao1").split("ReadSchema")[1][:300]
     assert "text" in rs and "doc_id" not in rs and "n_chars" not in rs
+
+
+def test_round10_pack4_plan_shapes(spark, sf_dir):
+    """Pack-4 scale stories as plan facts: no cartesian; SES folds run
+    on the checkpointed calendar grid; key discovery is one scan with
+    partial-aggregable distinct counts (expand + two-level aggregate,
+    no window)."""
+    for name in ("ts_ses_select", "profile_key_candidates"):
+        p = plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+    p = plan(spark, sf_dir, "profile_key_candidates", mode="simple")
+    assert "Window" not in p
+    assert p.count("Scan parquet") <= 1
