@@ -41,6 +41,13 @@ re-measurement (--headline-child) before they're reported — round 8's
 one real mover (sim_pairs_thresh +54% sampled) was exactly the surface
 the families gate never watched.
 
+"families_drift" is the sub-threshold watch (round-9 verdict item 1):
+it differences the sweep's common-name total against bench_ref, names
+the top-10 absolute movers even when every one of them is under the
+1.5x gate, and rides their clean-JVM isolation numbers in the detail
+file — so slow rot spread thin across hundreds of queries (round 9:
++7.7% total, zero flags) is adjudicable, not invisible.
+
 In-sweep family timings share one hot JVM, so GC/JIT interference can
 inflate individual numbers 3-10x (observed: emb_top_pc 18.3s in-sweep vs
 4.1s standalone). After the sweep, the k=10 slowest queries are re-timed
@@ -193,6 +200,46 @@ def _isolate_headliners(names: list[str]) -> dict[str, float]:
         return json.loads(r.stdout.strip().splitlines()[-1])
     except Exception:
         return {name: -1.0 for name in names}
+
+
+def families_drift(
+    families: dict[str, float],
+    ref_fams: dict[str, float],
+    ref_round,
+    k: int = 10,
+) -> dict:
+    """Sub-threshold drift adjudication (round-9 verdict item 1): the
+    1.5x regression gate cannot see slow rot spread thin — round 9's
+    driver sweep moved +7.7% in total with zero per-family flags. This
+    differences the sweep against the committed reference over COMMON
+    names (new queries excluded so registry growth never reads as
+    drift): common-name totals, pct, and the top-k absolute movers in
+    seconds (either direction) with prev/now/ratio. The movers also
+    join the isolation batch so each gets a clean-JVM steady number in
+    the detail file ("iso") — the adjudication evidence."""
+    common = [n for n, v in families.items() if ref_fams.get(n, 0) > 0]
+    if not common:
+        return {}
+    prev_total = sum(ref_fams[n] for n in common)
+    now_total = sum(families[n] for n in common)
+    movers = sorted(
+        common, key=lambda n: abs(families[n] - ref_fams[n]), reverse=True
+    )[:k]
+    return {
+        "ref_round": ref_round,
+        "common_n": len(common),
+        "total_prev": round(prev_total, 3),
+        "total_now": round(now_total, 3),
+        "pct": round(100.0 * (now_total - prev_total) / prev_total, 1),
+        "top_movers": {
+            n: {
+                "prev": ref_fams[n],
+                "now": families[n],
+                "ratio": round(families[n] / ref_fams[n], 2),
+            }
+            for n in movers
+        },
+    }
 
 
 def _isolate_slowest(
@@ -351,11 +398,20 @@ def main() -> None:
         # number when available (isolated-now vs in-sweep-prev biases the
         # ratio DOWN, i.e. survivors are real regressions, not noise).
         candidates = find_regressions(families, ref.get("families", {}))
+        drift = families_drift(
+            families, ref.get("families", {}), ref.get("round")
+        )
         if isolate:
             out["families_isolated"] = _isolate_slowest(
-                families, extra=list(candidates)
+                families,
+                extra=list(candidates)
+                + [n for n in drift.get("top_movers", {}) if n not in candidates],
             )
             iso = out["families_isolated"]
+            # annotate drift movers with their clean-JVM steady numbers
+            for n, m in drift.get("top_movers", {}).items():
+                if iso.get(n, -1.0) > 0:
+                    m["iso"] = iso[n]
             confirmed = {}
             for n, sweep_ratio in candidates.items():
                 clean = iso.get(n, -1.0)
@@ -368,6 +424,8 @@ def main() -> None:
             candidates = confirmed
         out["regressions"] = candidates
         out["regressions_ref_round"] = ref.get("round")
+        if drift:
+            out["families_drift"] = drift
     if os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT") == "1":
         # Snapshot is independent of the sweep: a SNAPSHOT=1 SWEEP=0 run
         # refreshes the headliner steady numbers while PRESERVING the
@@ -447,6 +505,18 @@ def summarize(out: dict, have_detail: bool) -> dict:
         summary["regressions"] = out.get("regressions", {})
         if out.get("regressions_ref_round") is not None:
             summary["regressions_ref_round"] = out["regressions_ref_round"]
+        if "families_drift" in out:
+            # drift verdict rides the short line compactly: total pct +
+            # the 5 biggest movers' ratios (full prev/now/iso evidence
+            # for all 10 is in the detail file)
+            d = out["families_drift"]
+            summary["families_drift"] = {
+                "pct": d["pct"],
+                "movers": {
+                    n: m["ratio"]
+                    for n, m in list(d["top_movers"].items())[:5]
+                },
+            }
     if "family_errors" in out:
         summary["family_errors_n"] = len(out["family_errors"])
     if "headline_errors" in out:
@@ -457,6 +527,15 @@ def summarize(out: dict, have_detail: bool) -> dict:
         }
     if have_detail:
         summary["detail"] = "bench_full.json"
+    # the summary line must NEVER outgrow the driver's stdout tail
+    # capture (the round-6 lesson); if this run's error/regression load
+    # already fills the line, the drift verdict — the only unbounded-ish
+    # newcomer — degrades to its pct and points at the detail file
+    if "families_drift" in summary and len(json.dumps(summary)) > 1800:
+        summary["families_drift"] = {
+            "pct": summary["families_drift"]["pct"],
+            "movers": "see bench_full.json",
+        }
     return summary
 
 

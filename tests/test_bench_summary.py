@@ -41,6 +41,24 @@ def _fake_out(n_families: int) -> dict:
         # headliner gate: worst case is every slot of the k=5 cap full
         "headline_regressions": {k: 123.45 for k in list(HEADLINE)[:5]},
         "regressions_ref_round": 7,
+        # drift watch: 10 movers with full prev/now/ratio/iso evidence
+        # (detail-file shape; summarize must compress to 5 ratios)
+        "families_drift": {
+            "ref_round": 7,
+            "common_n": n_families,
+            "total_prev": 88888.888,
+            "total_now": 99999.999,
+            "pct": 12.5,
+            "top_movers": {
+                f"some_quite_long_query_name_{i:04d}": {
+                    "prev": 111.111,
+                    "now": 123.456,
+                    "ratio": 1.11,
+                    "iso": 120.001,
+                }
+                for i in range(10)
+            },
+        },
     }
 
 
@@ -62,6 +80,10 @@ def test_summary_carries_the_numbers_the_judge_reads():
     assert len(s["regressions"]) == 5  # gate verdict rides the short line
     assert len(s["headline_regressions"]) == 5  # headliner gate too
     assert s["regressions_ref_round"] == 7
+    # drift verdict: total pct + at most 5 mover ratios on the short line
+    assert s["families_drift"]["pct"] == 12.5
+    assert len(s["families_drift"]["movers"]) == 5
+    assert all(isinstance(v, float) for v in s["families_drift"]["movers"].values())
 
 
 def test_headline_errors_pass_through_but_errors_stay_counted():
@@ -93,6 +115,31 @@ def test_find_regressions_gate_semantics():
     assert set(out) == {"q2", "q3", "q4", "q5", "q6"}  # worst ratios
     # empty reference (first round with the gate): nothing flags
     assert find_regressions(now7, {}) == {}
+
+
+def test_families_drift_semantics():
+    """The sub-threshold drift watch (round-9 verdict item 1): common
+    names only (new queries can't read as drift), signed pct over the
+    common-name totals, top-k ABSOLUTE movers in either direction."""
+    from bench import families_drift
+
+    ref = {"a": 1.0, "b": 2.0, "c": 10.0, "zero": 0.0}
+    now = {
+        "a": 1.2,           # +0.2 s
+        "b": 1.0,           # -1.0 s (improvement: still a mover)
+        "c": 10.5,          # +0.5 s
+        "new_query": 99.0,  # absent from ref: excluded entirely
+        "zero": 5.0,        # prev==0 guard: excluded
+    }
+    d = families_drift(now, ref, ref_round=9, k=2)
+    assert d["common_n"] == 3
+    assert d["total_prev"] == 13.0 and d["total_now"] == 12.7
+    assert d["pct"] == -2.3
+    # top-2 absolute movers: b (1.0 s) then c (0.5 s); a (0.2 s) cut
+    assert list(d["top_movers"]) == ["b", "c"]
+    assert d["top_movers"]["b"] == {"prev": 2.0, "now": 1.0, "ratio": 0.5}
+    # empty reference (first round with the watch): explicit no-verdict
+    assert families_drift(now, {}, ref_round=None) == {}
 
 
 def test_summary_regressions_field_explicit_when_sweep_ran():
@@ -146,5 +193,9 @@ def test_summary_bounded_even_when_every_headliner_fails():
     out["queries_cold"] = {}
     out["headline_regressions"] = {}
     out["headline_errors"] = {k: "E" * 300 for k in HEADLINE}
-    line = json.dumps(summarize(out, have_detail=True))
+    s = summarize(out, have_detail=True)
+    line = json.dumps(s)
     assert len(line) <= TAIL_CAPTURE - HEADROOM, len(line)
+    # under this error load the drift verdict degraded to pct + pointer
+    # rather than pushing the line past the capture
+    assert s["families_drift"] == {"pct": 12.5, "movers": "see bench_full.json"}
