@@ -727,3 +727,86 @@ def test_round10_pack4_plan_shapes(spark, sf_dir):
     p = plan(spark, sf_dir, "profile_key_candidates", mode="simple")
     assert "Window" not in p
     assert p.count("Scan parquet") <= 1
+
+
+def test_plan_shape_gate_semantics():
+    """The plan-shape regression gate (scripts/plan_audit.py --check,
+    round-9 verdict item 3): unexplained tuple changes fail, additions
+    and removals report-but-pass, VOLATILE entries are excused. Pure
+    dict logic — the live audit runs in the close ritual."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/scripts")
+    pa = importlib.import_module("plan_audit")
+    ref_shapes = {
+        "q_same": {"bhj": 1, "smj": 0},
+        "q_flip": {"bhj": 1, "smj": 0},
+        "q_gone": {"bhj": 0, "smj": 0},
+        "q_volatile": {"bhj": 2, "smj": 0},
+    }
+    live = [
+        ("q_same", {"bhj": 1, "smj": 0}),
+        ("q_flip", {"bhj": 0, "smj": 1}),       # the 100x killer: BHJ -> SMJ
+        ("q_new", {"bhj": 1, "smj": 0}),        # new query: passes
+        ("q_volatile", {"bhj": 1, "smj": 0}),   # excused if listed
+    ]
+    import json as _json
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        _json.dump({"shapes": ref_shapes}, f)
+        path = f.name
+    old_ref, old_vol = pa.REF_PATH, dict(pa.VOLATILE)
+    try:
+        pa.REF_PATH = path
+        pa.VOLATILE.clear()
+        assert pa.check(live) == 1  # q_flip AND q_volatile unexplained
+        pa.VOLATILE["q_volatile"] = "sample-fit codebook"
+        assert pa.check(live) == 1  # q_flip still unexplained
+        pa.VOLATILE["q_flip"] = "adjudicated"
+        assert pa.check(live) == 0
+    finally:
+        pa.REF_PATH, pa.VOLATILE = old_ref, old_vol
+        pa.VOLATILE.clear()
+        pa.VOLATILE.update(old_vol)
+
+
+def test_plan_ref_snapshot_is_current(spark, sf_dir):
+    """plan_ref.json must cover the registry and stay shape-accurate:
+    a fixed probe sample re-audits LIVE against the committed ref, so
+    a silent plan flip (or a stale ref after a perf rewrite) fails the
+    suite — the fast in-suite arm of the --check gate. The sample spans
+    the join/agg/window/text/embedding families plus the three queries
+    rewritten this round."""
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/scripts")
+    import importlib
+
+    pa = importlib.import_module("plan_audit")
+    with open("/root/repo/plan_ref.json") as f:
+        ref = _json.load(f)
+    shapes = ref["shapes"]
+    declared = {
+        n
+        for n, q in Q.items()
+        if q.declare and n != "stream_lift"
+    }
+    missing = declared - set(shapes) - set(ref.get("errors", {}))
+    assert not missing, f"plan_ref.json stale, re-run --write-ref: {sorted(missing)[:5]}"
+    assert sum(s["cart"] for s in shapes.values()) == 0
+    sample = [
+        "join_multi5", "tpch_q9_product_profit", "agg_groupby", "win_ntile_pct",
+        "evt_sessionize", "join_asof", "sim_knn", "text_minhash_dedup",
+        "agg_spearman", "text_heaps_law", "pipeline_semdedup",
+        "profile_key_candidates",
+    ]
+    # the ref is taken at sf0.001 with cpus=4/shuffle=8; the test
+    # session must audit at the same fixture for tuples to be comparable
+    assert ref["sf"].rstrip("/").endswith("sf0.001")
+    for name in sample:
+        live = pa.audit(Q[name].fn(spark, "/root/testdata/sf0.001"))
+        assert live == shapes[name], (name, live, shapes[name])
