@@ -707,10 +707,13 @@ def semdedup_pipeline(
         rk = F.row_number().over(
             Window.partitionBy("vec_id").orderBy("dist", "cid")
         )
-        assign = (
-            d.withColumn("rk", rk).where(F.col("rk") == 1).drop("rk")
-        ).localCheckpoint()
+        assign = d.withColumn("rk", rk).where(F.col("rk") == 1).drop("rk")
         if i < iters - 1:
+            # fuse the assign step into the centroid update: only the
+            # FINAL iteration's assignment is consumed downstream, so
+            # intermediate rounds checkpoint one relation (cent, k x dim
+            # rows) instead of two — one driver action per Lloyd round,
+            # not two, with the plan still reset each round
             cent = (
                 assign.join(q, "vec_id")
                 .groupBy("cid", "dim")
@@ -721,6 +724,9 @@ def semdedup_pipeline(
                 )
                 .localCheckpoint()
             )
+    # the last round's assignment IS read twice downstream (pair sides +
+    # keep rule) and CC re-checkpoints plans built over it — pin it
+    assign = assign.localCheckpoint()
     qe = emb.select(
         "vec_id",
         F.transform(

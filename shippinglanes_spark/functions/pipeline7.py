@@ -177,9 +177,13 @@ _HEAPS_POINTS = 10
     f"everything after is {_HEAPS_POINTS} rows",
 )
 def text_heaps_law(spark, sf_dir):
+    from ..core import fan_out
     from .text import shingles_of_tokens
 
     d = table(spark, sf_dir, "documents")
+    # read twice (edges + bucketing) but it's a pruned 2-column scan +
+    # cheap projection: recomputing beats a checkpoint's extra driver
+    # action + materialization (round-9 verdict item 2 measurement)
     docs = d.select(
         "doc_id",
         # greatest(.., 0): a doc with <3 tokens emits zero trigrams, so
@@ -187,12 +191,16 @@ def text_heaps_law(spark, sf_dir):
         F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0))
         .cast("long")
         .alias("n_tok"),
-    ).localCheckpoint()  # doc-sized, read twice (edges + bucketing)
-    tok = d.select(
+    )
+    # tokenize in a SEPARATE select (the round-4 HOF-under-Generate
+    # gotcha: passing split() straight into shingles_of_tokens inlines
+    # it k+1 times under the explode, interpreted, no CSE — measured
+    # ~4x this query's corpus stage) and fan_out the single-row-group
+    # fixture scan so the explode+rollup isn't one task on 32 cores
+    tokd = fan_out(d.select("doc_id", F.split("text", " ").alias("toks")))
+    tok = tokd.select(
         "doc_id",
-        F.explode(
-            shingles_of_tokens(F.split("text", " "), 3)
-        ).alias("token"),
+        F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("token"),
     )
     firsts = tok.groupBy("token").agg(
         F.min("doc_id").cast("long").alias("first_doc")

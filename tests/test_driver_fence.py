@@ -43,6 +43,12 @@ ALLOWED = {
         "operators/windows.py",
         'for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()',
     ): 1,
+    # agg_spearman fused dual-axis bucket histogram: rows = 2 axes x
+    # N_RANK_BUCKETS (<= 64), same metadata-scale map as the line above
+    (
+        "operators/windows.py",
+        '.agg(F.count(F.lit(1)).alias("hist_cnt")).collect()',
+    ): 1,
     ("testing.py", "spdf = sdf.toPandas()"): 1,
     ("functions/embeddings.py", ").collect()"): 1,
     ("functions/text.py", "for r in pairs.collect():"): 1,
