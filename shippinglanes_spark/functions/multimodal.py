@@ -1,17 +1,20 @@
 """SURVEY §2.9 — multimodal columns.
 
 Media (image/audio/video) is modeled as opaque `binary` columns with a
-typed metadata struct, processed by Arrow-batched `mapInPandas` stages —
-the Spark-side plumbing (schema, batch shape, partition-parallel decode)
-is real; the actual codec call is stubbed because media libraries are not
-in this container (clearly marked below). The fixtures carry no binary
-data, so blobs are materialized from `documents.text` via `encode()` —
-byte-identical in both engines, which gives the metadata path an oracle.
+typed metadata struct, processed by Arrow-batched `mapInPandas` stages.
+The fixtures carry no binary data, so blobs are materialized from
+`documents.text` — byte-identical in both engines, which is what makes
+the decode path fully value-oracle-able.
 
 - `multimodal_cols`: modality join — text ⋈ vector ⋈ scalar per id.
 - `multimodal_meta`: blob construction + typed metadata (oracle-checked).
-- `multimodal_decode`: partitioned decode/feature-extract over blobs
-  (deterministic stub features; shape/determinism tested).
+- `multimodal_decode`: a REAL image decode — each doc becomes a valid
+  binary PPM (P6) raster, genuinely parsed back (header validation +
+  pixel-buffer md5) with no media library; dimensions and content digest
+  are oracle-exact. Heavier codecs (JPEG/ffmpeg) stay out only because
+  the container has no such library; the batch shape is the real one.
+- `resize_blob`: resize plumbing (truncate/pad stands in for resample —
+  clearly marked; no pure-python resample is defensible for real rasters).
 """
 
 from __future__ import annotations
@@ -93,54 +96,139 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-def decode_features(blobs: DataFrame, n_features: int = 4) -> DataFrame:
-    """Partition-parallel decode + feature extraction over binary blobs.
+PPM_W = 16  # fixed raster width; height derives from the payload length
+_PPM_ROW = 3 * PPM_W  # bytes per pixel row (RGB)
 
-    STUB: a real deployment would call the media codec here (PIL/ffmpeg/
-    torchaudio — not available in this container). The stub emits
-    deterministic per-blob pseudo-features so the Spark plumbing (Arrow
-    batch in, fixed-width feature vector out, one task per partition) is
-    exercised end to end; swap `_fake_decode` for the real codec.
-    """
+
+def with_ppm_blob(docs: DataFrame) -> DataFrame:
+    """Materialize each document as a VALID binary PPM (P6) raster:
+    `P6 {w} {h} 255\\n` ASCII header followed by exactly w*h*3 pixel
+    bytes (the UTF-8 payload zero-padded to the raster size). PPM is a
+    public image format simple enough to parse with no media library —
+    which is what makes a REAL decode possible in this container. The
+    pixel payload is fixture text (pure ASCII — probed), so every
+    decode output is value-oracle-able byte-for-byte in DuckDB."""
+    n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    sized = docs.select(
+        "doc_id",
+        "text",
+        n.alias("nb"),
+        # exact integer ceil; clamp keeps a hypothetical empty payload
+        # a legal 1-row raster
+        F.greatest(
+            F.expr(f"(octet_length(encode(text, 'UTF-8')) + {_PPM_ROW - 1})"
+                   f" div {_PPM_ROW}"),
+            F.lit(1),
+        ).cast("int").alias("ph"),
+    )
+    return sized.select(
+        "doc_id",
+        F.concat(
+            F.encode(
+                F.concat(
+                    F.lit(f"P6 {PPM_W} "),
+                    F.col("ph").cast("string"),
+                    F.lit(" 255\n"),
+                ),
+                "UTF-8",
+            ),
+            F.encode(F.col("text"), "UTF-8"),
+            # U+0000 is a single 0x00 byte in UTF-8, so repeat(chr(0))
+            # is exact binary zero-padding on both engines
+            F.encode(
+                F.expr(f"repeat(chr(0), ph * {_PPM_ROW} - nb)"), "UTF-8"
+            ),
+        ).alias("blob"),
+    )
+
+
+def decode_ppm(blobs: DataFrame) -> DataFrame:
+    """REAL P6 decode over opaque binary blobs, partition-parallel via
+    Arrow-batched mapInPandas: parse the magic, the three whitespace-
+    separated ASCII header fields, the single post-maxval whitespace
+    byte, then validate the pixel buffer length against w*h*3 — raising
+    on any malformed input (tested). Emits raster dimensions plus the
+    pixel buffer's md5, which certifies the decoded CONTENT, not just
+    its shape."""
 
     def extract(batches):
-        # nested so cloudpickle ships it by value: worker processes don't
+        # nested so cloudpickle ships everything by value: workers don't
         # have this package on their import path
-        def fake_decode(blob: bytes) -> list[float]:
-            # Deterministic stand-in for codec output: byte-stream moments.
-            n = max(len(blob), 1)
-            mean = sum(blob) / n
-            var = sum((b - mean) ** 2 for b in blob) / n
-            return [
-                float(len(blob)),
-                float(blob[0] if blob else 0),
-                round(mean, 6),
-                round(var, 6),
-            ][:n_features]
+        import hashlib
+
+        def parse(blob: bytes):
+            if bytes(blob[:2]) != b"P6":
+                raise ValueError("not a P6 ppm")
+            i, fields = 2, []
+            while len(fields) < 3:
+                while i < len(blob) and blob[i : i + 1].isspace():
+                    i += 1
+                j = i
+                while j < len(blob) and blob[j : j + 1].isdigit():
+                    j += 1
+                if j == i:
+                    raise ValueError("malformed ppm header")
+                fields.append(int(blob[i:j]))
+                i = j
+            i += 1  # exactly one whitespace byte after maxval
+            w, h, maxval = fields
+            pixels = bytes(blob[i:])
+            if maxval != 255 or len(pixels) != w * h * 3:
+                raise ValueError("malformed ppm payload")
+            return w, h, pixels
 
         for pdf in batches:
+            rows = [parse(b) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(b) for b in pdf["blob"]],
-                    "features": [fake_decode(b) for b in pdf["blob"]],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_pixel_bytes": [len(r[2]) for r in rows],
+                    "pixel_md5": [
+                        hashlib.md5(r[2]).hexdigest() for r in rows
+                    ],
                 }
             )
 
     return blobs.mapInPandas(
-        extract, schema="doc_id long, n_bytes int, features array<double>"
+        extract,
+        schema="doc_id long, width int, height int, "
+        "n_pixel_bytes long, pixel_md5 string",
     )
 
 
 @register(
     "multimodal_decode",
     section="2.9",
-    oracle=None,
-    notes="stubbed codec (media libs absent); plumbing + determinism tested "
-    "in tests/test_multimodal.py",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS nb,
+             GREATEST((octet_length(encode(text)) + {_PPM_ROW - 1})
+                      // {_PPM_ROW}, 1) AS ph
+      FROM documents)
+    SELECT doc_id,
+           CAST({PPM_W} AS INT) AS width,
+           CAST(ph AS INT) AS height,
+           CAST(ph * {_PPM_ROW} AS BIGINT) AS n_pixel_bytes,
+           md5(text || repeat(chr(0), CAST(ph * {_PPM_ROW} - nb AS INT)))
+             AS pixel_md5
+    FROM b
+    """,
+    notes=f"REAL image decode with no media library: each doc is "
+    f"materialized as a valid {PPM_W}-wide binary PPM (P6) raster and "
+    "genuinely parsed back (magic + header fields + pixel-buffer "
+    "length validation, malformed input raises — tested), Arrow-"
+    "batched mapInPandas, one decode per row. The oracle reproduces "
+    "the expected dimensions and the pixel buffer's md5 from the "
+    "payload directly (fixture text is pure ASCII, so DuckDB's "
+    "chr(0) string padding is byte-exact), certifying decoded "
+    "CONTENT, not just plumbing. Swap the P6 parser for PIL/ffmpeg "
+    "when a codec library lands — the batch shape is the real one",
 )
 def multimodal_decode(spark, sf_dir):
-    return decode_features(with_blob(table(spark, sf_dir, "documents")))
+    return decode_ppm(with_ppm_blob(table(spark, sf_dir, "documents")))
 
 
 N_FRAMES = 4
