@@ -681,3 +681,74 @@ def sql_variables_exec(spark, sf_dir):
         " GROUP BY l_returnflag ORDER BY l_returnflag'"
         " USING 'lineitem' AS tbl"
     )
+
+
+_SSS_START = 100_000  # threshold search start: $1,000 in cents
+_SSS_STOP_N = 200  # stop when this few orders clear the threshold
+
+
+@register(
+    "sql_scripting_surface",
+    section="2.11",
+    oracle=f"""
+    WITH RECURSIVE search(t) AS (
+      SELECT CAST({_SSS_START} AS BIGINT)
+      UNION ALL
+      SELECT t * 9 // 8 FROM search
+      WHERE (SELECT COUNT(*) FROM orders
+             WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= t)
+            > {_SSS_STOP_N}
+    ),
+    fin AS (SELECT MAX(t) AS t FROM search)
+    SELECT COALESCE(o.o_orderpriority, 'ALL') AS priority,
+           CAST(f.t AS BIGINT) AS thresh_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o CROSS JOIN fin f
+    WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) >= f.t
+    GROUP BY ROLLUP(o.o_orderpriority), f.t
+    ORDER BY priority
+    """,
+    notes="Spark 4 SQL SCRIPTING surface (BEGIN...END compound "
+    "statements — the procedural layer ABOVE sql_variables_exec's "
+    "session variables): DECLARE'd locals, a data-dependent WHILE "
+    "loop whose condition is a scalar subquery against the orders "
+    "view (iterative 9/8 threshold search until at most "
+    f"{_SSS_STOP_N} orders clear it — the adaptive-cutoff pattern a "
+    "report author writes procedurally), and a final ROLLUP "
+    "aggregate over the survivors at the converged threshold. The "
+    "oracle replays the SAME search as a recursive CTE (MAX(t) of "
+    "the generated chain = the loop's exit value, threshold updates "
+    "are exact integer 9/8 steps in both engines), so the hash match "
+    "proves the scripted control flow is sugar over the declarative "
+    "fixpoint — the sql_pipe_surface discipline applied to "
+    "procedural SQL. Each loop iteration is one scan-shaped COUNT; "
+    "the iteration count is log_{{9/8}} of the price range — "
+    "corpus-INDEPENDENT (it depends on the price distribution's "
+    "spread, not the row count), so the search costs O(log) scans "
+    "at any scale",
+)
+def sql_scripting_surface(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE t BIGINT DEFAULT {_SSS_START};
+          WHILE (SELECT COUNT(*) FROM orders
+                 WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= t)
+                > {_SSS_STOP_N} DO
+            SET t = t * 9 DIV 8;
+          END WHILE;
+          SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                 t AS thresh_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders
+          WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= t
+          GROUP BY ROLLUP(o_orderpriority)
+          ORDER BY priority;
+        END
+        """
+    )
