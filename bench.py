@@ -402,10 +402,14 @@ def main() -> None:
             families, ref.get("families", {}), ref.get("round")
         )
         if isolate:
+            # drift movers join the batch for a clean-JVM number, but
+            # CAPPED at 5: the regression gate's confirmation numbers
+            # must never be lost to the shared child's 600 s timeout
+            # because the drift watch padded the batch
             out["families_isolated"] = _isolate_slowest(
                 families,
                 extra=list(candidates)
-                + [n for n in drift.get("top_movers", {}) if n not in candidates],
+                + [n for n in drift.get("top_movers", {}) if n not in candidates][:5],
             )
             iso = out["families_isolated"]
             # annotate drift movers with their clean-JVM steady numbers

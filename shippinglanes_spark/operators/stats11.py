@@ -139,6 +139,40 @@ _ORDER_FEAT_SQL = """
       JOIN region r ON n.n_regionkey = r.r_regionkey)
 """
 
+# Shared oracle fragment: ten exact BIGINT moments per region + the
+# three pairwise Pearson correlations — the SQL twin of _region_corrs
+# (used by agg_vif here and agg_partial_correlation in stats12, ONE
+# definition so the moment discipline can never diverge)
+_RR_SQL = """
+    m AS (
+      SELECT region,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(z * z) AS BIGINT) AS szz,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * z) AS BIGINT) AS sxz,
+             CAST(SUM(y * z) AS BIGINT) AS syz
+      FROM fr GROUP BY 1),
+    rr AS (
+      SELECT region, n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)) AS rxy,
+             (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * szz
+                       - CAST(sz AS DOUBLE) * sz)) AS rxz,
+             (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+             / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                    * (CAST(n AS DOUBLE) * szz
+                       - CAST(sz AS DOUBLE) * sz)) AS ryz
+      FROM m)
+"""
+
 
 def _day_grid(spark, sf_dir):
     """The zero-filled (day, event_type, c) grid over the FIRST
@@ -302,38 +336,50 @@ def agg_anderson_darling(spark, sf_dir):
     ).orderBy("type_a", "type_b")
 
 
+def _region_corrs(fr):
+    """(region, n, rxy, rxz, ryz) from ten exact BIGINT moments over the
+    per-order basket features — the shared first stage of agg_vif and
+    agg_partial_correlation (stats12), kept in ONE place so the moment
+    discipline (and its documented two-pass scale path) can never
+    diverge between the two. The SQL twin is _RR_SQL below."""
+    m = fr.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+    )
+
+    def _corr(sa, sb, sab, saa, sbb):
+        nd = F.col("n").cast("double")
+        return (nd * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / (
+            F.sqrt(
+                (nd * F.col(saa) - F.col(sa).cast("double") * F.col(sa))
+                * (nd * F.col(sbb) - F.col(sb).cast("double") * F.col(sb))
+            )
+        )
+
+    return m.select(
+        "region",
+        "n",
+        _corr("sx", "sy", "sxy", "sxx", "syy").alias("rxy"),
+        _corr("sx", "sz", "sxz", "sxx", "szz").alias("rxz"),
+        _corr("sy", "sz", "syz", "syy", "szz").alias("ryz"),
+    )
+
+
+
 @register(
     "agg_vif",
     section="2.4",
     oracle=f"""
     WITH {_ORDER_FEAT_SQL},
-    m AS (
-      SELECT region,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(z) AS BIGINT) AS sz,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(z * z) AS BIGINT) AS szz,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * z) AS BIGINT) AS sxz,
-             CAST(SUM(y * z) AS BIGINT) AS syz
-      FROM fr GROUP BY 1),
-    rr AS (
-      SELECT region, n,
-             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy
-                       - CAST(sy AS DOUBLE) * sy)) AS rxy,
-             (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * szz
-                       - CAST(sz AS DOUBLE) * sz)) AS rxz,
-             (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
-             / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
-                    * (CAST(n AS DOUBLE) * szz
-                       - CAST(sz AS DOUBLE) * sz)) AS ryz
-      FROM m),
+    {_RR_SQL},
     dd AS (
       SELECT region, n, rxy, rxz, ryz,
              1 + 2 * rxy * rxz * ryz
@@ -364,35 +410,7 @@ def agg_anderson_darling(spark, sf_dir):
 )
 def agg_vif(spark, sf_dir):
     fr = _order_features(spark, sf_dir)
-    m = fr.groupBy("region").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum("z").cast("long").alias("sz"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
-        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
-    )
-
-    def _corr(sa, sb, sab, saa, sbb):
-        nd = F.col("n").cast("double")
-        return (nd * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / (
-            F.sqrt(
-                (nd * F.col(saa) - F.col(sa).cast("double") * F.col(sa))
-                * (nd * F.col(sbb) - F.col(sb).cast("double") * F.col(sb))
-            )
-        )
-
-    rr = m.select(
-        "region",
-        "n",
-        _corr("sx", "sy", "sxy", "sxx", "syy").alias("rxy"),
-        _corr("sx", "sz", "sxz", "sxx", "szz").alias("rxz"),
-        _corr("sy", "sz", "syz", "syy", "szz").alias("ryz"),
-    )
+    rr = _region_corrs(fr)
     det = (
         1
         + 2 * F.col("rxy") * F.col("rxz") * F.col("ryz")

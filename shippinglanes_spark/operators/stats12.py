@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..io import register_views, table
 from ..registry import register
-from .stats11 import _DAY_GRID_SQL, _ORDER_FEAT_SQL, _day_grid
+from .stats11 import _DAY_GRID_SQL, _ORDER_FEAT_SQL, _RR_SQL, _day_grid
 
 # Variance ratio: holding period q over the 30-day series
 _VR_Q = 5
@@ -236,33 +236,7 @@ def ts_turning_points(spark, sf_dir):
     section="2.4",
     oracle=f"""
     WITH {_ORDER_FEAT_SQL},
-    m AS (
-      SELECT region,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(z) AS BIGINT) AS sz,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(z * z) AS BIGINT) AS szz,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * z) AS BIGINT) AS sxz,
-             CAST(SUM(y * z) AS BIGINT) AS syz
-      FROM fr GROUP BY 1),
-    rr AS (
-      SELECT region, n,
-             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy
-                       - CAST(sy AS DOUBLE) * sy)) AS rxy,
-             (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * szz
-                       - CAST(sz AS DOUBLE) * sz)) AS rxz,
-             (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
-             / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
-                    * (CAST(n AS DOUBLE) * szz
-                       - CAST(sz AS DOUBLE) * sz)) AS ryz
-      FROM m)
+    {_RR_SQL}
     SELECT region, n AS n_orders,
            FLOOR(ryz * 1e6) / 1e6 AS r_qty_price,
            FLOOR((ryz - rxy * rxz)
@@ -287,38 +261,9 @@ def ts_turning_points(spark, sf_dir):
     "broadcast dim joins, region-sized tail), floored 6 dp",
 )
 def agg_partial_correlation(spark, sf_dir):
-    from .stats11 import _order_features
+    from .stats11 import _order_features, _region_corrs
 
-    fr = _order_features(spark, sf_dir)
-    m = fr.groupBy("region").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum("z").cast("long").alias("sz"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
-        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
-    )
-
-    def _corr(sa, sb, sab, saa, sbb):
-        nd = F.col("n").cast("double")
-        return (nd * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / (
-            F.sqrt(
-                (nd * F.col(saa) - F.col(sa).cast("double") * F.col(sa))
-                * (nd * F.col(sbb) - F.col(sb).cast("double") * F.col(sb))
-            )
-        )
-
-    rr = m.select(
-        "region",
-        "n",
-        _corr("sx", "sy", "sxy", "sxx", "syy").alias("rxy"),
-        _corr("sx", "sz", "sxz", "sxx", "szz").alias("rxz"),
-        _corr("sy", "sz", "syz", "syy", "szz").alias("ryz"),
-    )
+    rr = _region_corrs(_order_features(spark, sf_dir))
 
     def _partial(rab, rac, rbc):
         return (F.col(rab) - F.col(rac) * F.col(rbc)) / F.sqrt(

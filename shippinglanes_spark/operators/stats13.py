@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from ..functions.pipeline7 import _PP_MARGIN, pipeline_preference_pairs
 from ..io import table
 from ..registry import register
-from .stats11 import _day_grid
+from .stats11 import _DAY_GRID_SQL, _day_grid
 
 # JL: project d=64 float dims onto k=8 signed-sum sketch dims; signs
 # are a fixed pseudorandom matrix derived from a Knuth multiplicative
@@ -110,21 +110,11 @@ _PAIRS_SQL = f"""
 @register(
     "agg_hodges_lehmann",
     section="2.4",
-    oracle="""
-    WITH d0r AS (
-      SELECT CAST(ts AS DATE) AS day, event_type,
-             CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2),
-    d0 AS (
-      SELECT * FROM d0r
-      WHERE day < (SELECT MIN(day) FROM d0r) + INTERVAL 30 DAY),
-    spine AS (
-      SELECT day, event_type
-      FROM (SELECT DISTINCT day FROM d0)
-      CROSS JOIN (SELECT DISTINCT event_type FROM d0)),
-    d AS (
-      SELECT s.day, s.event_type, COALESCE(d0.c, 0) AS c
-      FROM spine s LEFT JOIN d0 USING (day, event_type)),
+    # day grid imported from stats11, not re-inlined: if the analysis
+    # window ever moves, the Spark side (_day_grid) and this oracle
+    # move TOGETHER (the _PP_MARGIN no-drift discipline)
+    oracle=f"""
+    WITH {_DAY_GRID_SQL},
     w AS (
       SELECT a.event_type, a.c + b.c AS w2
       FROM d a JOIN d b
@@ -190,7 +180,10 @@ def agg_hodges_lehmann(spark, sf_dir):
         F.sum("c").cast("long").alias("s"),
     )
     return (
-        o.where(F.col("rk") == (F.col("nw") + 1) / 2)
+        # integer div, matching the oracle's (nw+1)//2: PySpark `/` is
+        # DOUBLE division, so the float form silently matches NO row
+        # whenever nw is even (the ts_theil_sen gotcha, round 5)
+        o.where(F.col("rk") == F.expr("(nw + 1) div 2"))
         .join(F.broadcast(m), "event_type")
         .select(
             "event_type",
@@ -494,21 +487,9 @@ _SES_ALPHAS = [(k, k / 8) for k in range(1, 8)]
 @register(
     "ts_ses_select",
     section="2.4",
+    # day grid imported from stats11 (see agg_hodges_lehmann note)
     oracle=f"""
-    WITH d0r AS (
-      SELECT CAST(ts AS DATE) AS day, event_type,
-             CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2),
-    d0 AS (
-      SELECT * FROM d0r
-      WHERE day < (SELECT MIN(day) FROM d0r) + INTERVAL 30 DAY),
-    spine AS (
-      SELECT day, event_type
-      FROM (SELECT DISTINCT day FROM d0)
-      CROSS JOIN (SELECT DISTINCT event_type FROM d0)),
-    d AS (
-      SELECT s.day, s.event_type, COALESCE(d0.c, 0) AS c
-      FROM spine s LEFT JOIN d0 USING (day, event_type)),
+    WITH {_DAY_GRID_SQL},
     arr AS (
       SELECT event_type,
              list(CAST(c AS DOUBLE) ORDER BY day) AS xs
@@ -581,12 +562,13 @@ def ts_ses_select(spark, sf_dir):
     fits = arr.select("event_type", *fit_cols)
     least_sse = F.least(*[F.element_at(F.col(f"f{k}"), 2) for k in ks])
     best = None
-    for k in ks:  # reversed CASE chain -> ties pick the SMALLER alpha
+    # when-chain built in ASCENDING k order, so the first (smallest
+    # alpha) match wins ties — mirroring the oracle's ascending CASE
+    for k in ks:
         cond = F.element_at(F.col(f"f{k}"), 2) == least_sse
         best = F.when(cond, F.lit(k)) if best is None else best.when(
             cond, F.lit(k)
         )
-    # build when-chain in ascending order so the FIRST match wins
     pick = fits.select(
         "event_type",
         best.cast("long").alias("best_k"),

@@ -712,10 +712,10 @@ def agg_spearman(spark, sf_dir):
         for b in sorted(counts):
             col = F.when(F.col("bkp" if axis == 0 else "bkq") == b, acc).otherwise(col)
             acc += counts[b]
-        return col, acc
+        return col
 
-    off_p, n_p = _offsets(0)
-    off_q, _ = _offsets(1)
+    off_p = _offsets(0)
+    off_q = _offsets(1)
     wp = Window.partitionBy("bkp").orderBy("p", "k")
     wq = Window.partitionBy("bkq").orderBy("q", "k")
     joined = bucketed.select(

@@ -752,6 +752,7 @@ def test_plan_shape_gate_semantics():
         ("q_volatile", {"bhj": 1, "smj": 0}),   # excused if listed
     ]
     import json as _json
+    import os as _os
     import tempfile
 
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
@@ -767,9 +768,12 @@ def test_plan_shape_gate_semantics():
         pa.VOLATILE["q_flip"] = "adjudicated"
         assert pa.check(live) == 0
     finally:
-        pa.REF_PATH, pa.VOLATILE = old_ref, old_vol
+        # restore IN PLACE (rebinding the module attr then clearing the
+        # same dict object would wipe the saved copy) + drop the temp ref
+        pa.REF_PATH = old_ref
         pa.VOLATILE.clear()
         pa.VOLATILE.update(old_vol)
+        _os.unlink(path)
 
 
 def test_plan_ref_snapshot_is_current(spark, sf_dir):
