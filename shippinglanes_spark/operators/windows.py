@@ -723,12 +723,16 @@ def agg_spearman(spark, sf_dir):
         (F.row_number().over(wq) + off_q).cast("long").alias("rq"),
     )
     d2 = (F.col("rp") - F.col("rq")) * (F.col("rp") - F.col("rq"))
+    # sum(d2) stays DECIMAL(38,0): at ~15M rows (the 100x probe) it
+    # exceeds BIGINT (~3e21 > 2^63) — found by a CAST_OVERFLOW in
+    # --r21-100x; it goes straight to DOUBLE for the rho division
+    # (exact through 2^53, i.e. every oracle-checked SF)
     s = joined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(d2.cast("decimal(38,0)")).cast("long").alias("sd2"),
+        F.sum(d2.cast("decimal(38,0)")).alias("sd2"),
     )
     nd = F.col("n").cast("double")
-    rho = 1 - (6 * F.col("sd2")).cast("double") / (nd * (nd * nd - 1))
+    rho = 1 - (F.col("sd2").cast("double") * 6) / (nd * (nd * nd - 1))
     return s.select("n", (F.floor(rho * 1e6) / 1e6).alias("rho"))
 
 
