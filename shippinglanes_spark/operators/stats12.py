@@ -628,7 +628,10 @@ def sql_variables_exec(spark, sf_dir):
     )
 
 
-_SSS_START = 100_000  # threshold search start: $1,000 in cents
+_SSS_START = 10_000_000  # threshold search start: $100k in cents (~13
+# 9/8 steps to the fixture's price ceiling; a $1k start measured 52
+# sequential COUNT scans = 13 s at sf0.1 for no extra information —
+# if every order were under the start, the loop exits immediately)
 _SSS_STOP_N = 200  # stop when this few orders clear the threshold
 
 
