@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from shippinglanes_spark.operators.stats11 import (
@@ -182,6 +182,33 @@ def test_vif_is_one_under_independence():
         max_size=60,
     )
 )
+@example(
+    pts=[(1, 0),
+     (1, 183),
+     (5, 0),
+     (6, 56),
+     (1, 162),
+     (10, 263),
+     (10, 293),
+     (12, 263),
+     (14, 19),
+     (1, 97),
+     (16, 0),
+     (17, 187),
+     (17, 154),
+     (19, 189),
+     (22, 27),
+     (21, 168),
+     (20, 142),
+     (16, 18),
+     (27, 5),
+     (2, 129),
+     (28, 28),
+     (21, 65),
+     (16, 1),
+     (30, 236),
+     (30, 189)],
+).via('discovered failure')
 def test_deming_root_swap_and_dominance(pts):
     n = float(len(pts))
     sx = sum(p[0] for p in pts)
@@ -194,16 +221,22 @@ def test_deming_root_swap_and_dominance(pts):
     vxy = n * sxy - float(sx) * sy
     if vxx <= 0 or vyy <= 0 or abs(vxy) < 1e-9:
         return
-    slope = ((vyy - vxx) + math.sqrt(
-        (vyy - vxx) ** 2 + 4 * vxy * vxy
-    )) / (2 * vxy)
+
+    def tls_slope(d, c):
+        # stable branch of ((d) + sqrt(d^2 + 4c^2)) / (2c): when d < 0
+        # the numerator cancels catastrophically (hypothesis found a
+        # near-uncorrelated cloud where the naive form broke the
+        # reciprocal identity at 1e-9), so rationalize via
+        # (d + h)(h - d) = 4c^2  ->  2c / (h - d)
+        h = math.hypot(d, 2 * c)
+        return (d + h) / (2 * c) if d >= 0 else 2 * c / (h - d)
+
+    slope = tls_slope(vyy - vxx, vxy)
     # root of the TLS quadratic sxy*m^2 + (sxx - syy)*m - sxy = 0
     resid = vxy * slope * slope + (vxx - vyy) * slope - vxy
     assert abs(resid) <= 1e-6 * max(abs(vxx), abs(vyy), abs(vxy))
     # axis swap: orthogonal regression is symmetric, slopes reciprocal
-    slope_sw = ((vxx - vyy) + math.sqrt(
-        (vxx - vyy) ** 2 + 4 * vxy * vxy
-    )) / (2 * vxy)
+    slope_sw = tls_slope(vxx - vyy, vxy)
     assert math.isclose(slope * slope_sw, 1.0, rel_tol=1e-9)
     # TLS dominates OLS in magnitude (x-noise attenuates OLS)
     assert abs(slope) >= abs(vxy / vxx) - 1e-12
