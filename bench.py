@@ -413,9 +413,14 @@ def main() -> None:
             )
             iso = out["families_isolated"]
             # annotate drift movers with their clean-JVM steady numbers
+            # AND a clean ratio — in-sweep ratios on a throttling box
+            # read 20-30x while the clean number sits at the reference
+            # (round-10 close adjudication); the summary prefers the
+            # clean ratio so the artifact self-adjudicates
             for n, m in drift.get("top_movers", {}).items():
                 if iso.get(n, -1.0) > 0:
                     m["iso"] = iso[n]
+                    m["ratio_clean"] = round(iso[n] / m["prev"], 2)
             confirmed = {}
             for n, sweep_ratio in candidates.items():
                 clean = iso.get(n, -1.0)
@@ -516,8 +521,10 @@ def summarize(out: dict, have_detail: bool) -> dict:
             d = out["families_drift"]
             summary["families_drift"] = {
                 "pct": d["pct"],
+                # clean-JVM ratio when the mover was isolated, else the
+                # in-sweep ratio (see families_drift docstring)
                 "movers": {
-                    n: m["ratio"]
+                    n: m.get("ratio_clean", m["ratio"])
                     for n, m in list(d["top_movers"].items())[:5]
                 },
             }

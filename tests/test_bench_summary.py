@@ -54,7 +54,9 @@ def _fake_out(n_families: int) -> dict:
                     "prev": 111.111,
                     "now": 123.456,
                     "ratio": 1.11,
-                    "iso": 120.001,
+                    # half the movers got a clean-JVM number: summarize
+                    # must prefer ratio_clean where present
+                    **({"iso": 120.001, "ratio_clean": 1.08} if i % 2 == 0 else {}),
                 }
                 for i in range(10)
             },
@@ -83,7 +85,10 @@ def test_summary_carries_the_numbers_the_judge_reads():
     # drift verdict: total pct + at most 5 mover ratios on the short line
     assert s["families_drift"]["pct"] == 12.5
     assert len(s["families_drift"]["movers"]) == 5
-    assert all(isinstance(v, float) for v in s["families_drift"]["movers"].values())
+    # clean-JVM ratio preferred when the mover was isolated (even
+    # indices carry ratio_clean=1.08), in-sweep ratio otherwise
+    vals = list(s["families_drift"]["movers"].values())
+    assert vals == [1.08, 1.11, 1.08, 1.11, 1.08]
 
 
 def test_headline_errors_pass_through_but_errors_stay_counted():
