@@ -90,6 +90,15 @@ HEADLINE = {
 # streaming-sink queries can't be timed by toPandas(); everything else is
 STREAM_SKIP = set()
 
+# The driver captures only the stdout TAIL; the one-line JSON summary
+# must always fit inside it. Single source of truth — the drift
+# verdict's self-degrade cutoff derives from it below, and
+# tests/test_bench_summary.py imports BOTH so the guard and the gate
+# can never drift apart (ADVICE r10: the cutoff was a hardcoded 1800
+# silently duplicating TAIL_CAPTURE - HEADROOM in the test).
+TAIL_CAPTURE = 2000  # the driver's observed stdout-tail budget
+TAIL_HEADROOM = 200  # stay well inside it
+
 # Committed previous-round family-timing snapshot: the regression gate's
 # reference. Refresh at round close with SPARK_GRAFT_BENCH_SNAPSHOT=1.
 REF_PATH = os.path.join(
@@ -542,7 +551,9 @@ def summarize(out: dict, have_detail: bool) -> dict:
     # capture (the round-6 lesson); if this run's error/regression load
     # already fills the line, the drift verdict — the only unbounded-ish
     # newcomer — degrades to its pct and points at the detail file
-    if "families_drift" in summary and len(json.dumps(summary)) > 1800:
+    if "families_drift" in summary and len(json.dumps(summary)) > (
+        TAIL_CAPTURE - TAIL_HEADROOM
+    ):
         summary["families_drift"] = {
             "pct": summary["families_drift"]["pct"],
             "movers": "see bench_full.json",

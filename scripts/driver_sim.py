@@ -79,6 +79,7 @@ if only:
     names = {n.strip() for n in only.split(",") if n.strip()}
     qs = {k: v for k, v in qs.items() if k in names}
 fail = []
+vacuous = []  # hash-green on ZERO rows: certifies schema, not operator
 n_hash = n_rows_only = 0
 n_oracle_runs = 0
 for name, fn in qs.items():
@@ -97,6 +98,8 @@ for name, fn in qs.items():
               and canon(spdf) == canon(opdf))
         if ok:
             n_hash += 1
+            if len(spdf) == 0:
+                vacuous.append(name)
         else:
             fail.append(name)
             print(f"MISMATCH {name}: rows {len(spdf)}/{len(opdf)}", flush=True)
@@ -105,6 +108,12 @@ for name, fn in qs.items():
         print(f"ERROR {name}: {str(ex)[:200]}", flush=True)
 
 print(f"hash-green: {n_hash}  rows-only: {n_rows_only}  fail: {len(fail)}")
+if vacuous:
+    # not a failure by itself (some queries are legitimately sparse at
+    # small SF — see tests/test_degeneracy.py UNIVERSAL_EXEMPT), but a
+    # 0-row green must never again hide silently (round-10: join_anti
+    # and sql_scripting_surface both greened on empty-vs-empty)
+    print(f"VACUOUS 0-row greens ({len(vacuous)}): {sorted(vacuous)}")
 print("RESULT: ALL GREEN" if not fail else f"RESULT: FAIL {fail}")
 spark.stop()
 sys.exit(1 if fail else 0)

@@ -53,8 +53,27 @@ def audit(df):
     }
 
 
-def collect(spark=None) -> list[tuple[str, dict]]:
+def shape_conf(spark) -> dict:
+    """The session confs the audited tuple can actually depend on.
+    Operator presence/counts in the STATIC plan derive from the logical
+    plan plus size-based strategies (broadcast threshold) and
+    AQE/shuffle sizing — NOT from local[N] master parallelism, so cpus
+    is deliberately absent: a ref captured at cpus=4 is comparable to a
+    live audit at cpus=8 as long as these three match (ADVICE r10: the
+    old hardcoded {"cpus": 4} conf stamp invited exactly that
+    apples-to-oranges doubt)."""
+    return {
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "auto_broadcast_join_threshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+
+
+def collect(spark=None) -> tuple[list[tuple[str, dict]], dict]:
     spark = spark or get_spark(app_name="plan-audit", cpus=4, shuffle_partitions=8)
+    conf = shape_conf(spark)
     rows = []
     for name, q in sorted(all_queries().items()):
         if not q.declare:
@@ -66,7 +85,7 @@ def collect(spark=None) -> list[tuple[str, dict]]:
             rows.append((name, a))
         except Exception as e:  # pragma: no cover
             rows.append((name, {"error": str(e)[:60]}))
-    return rows
+    return rows, conf
 
 
 def check(rows: list[tuple[str, dict]]) -> int:
@@ -110,8 +129,14 @@ def check(rows: list[tuple[str, dict]]) -> int:
 
 def main() -> None:
     if "--check" in sys.argv:
-        sys.exit(check(collect()))
-    rows = collect()
+        rows, conf = collect()
+        with open(REF_PATH) as f:
+            ref_conf = json.load(f).get("conf", {})
+        if ref_conf and ref_conf != conf:
+            print(f"CONF MISMATCH: ref {ref_conf} vs live {conf} — "
+                  "shape diffs below may be conf artifacts")
+        sys.exit(check(rows))
+    rows, conf = collect()
     lines = [
         "# PLANS — physical-plan audit (generated by scripts/plan_audit.py)",
         "",
@@ -150,7 +175,7 @@ def main() -> None:
             json.dump(
                 {
                     "sf": SF,
-                    "conf": {"cpus": 4, "shuffle_partitions": 8},
+                    "conf": conf,
                     "shapes": shapes,
                     "errors": errors,
                 },

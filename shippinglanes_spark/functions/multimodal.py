@@ -170,7 +170,13 @@ def decode_ppm(blobs: DataFrame) -> DataFrame:
                     raise ValueError("malformed ppm header")
                 fields.append(int(blob[i:j]))
                 i = j
-            i += 1  # exactly one whitespace byte after maxval
+            # exactly one whitespace byte after maxval — validate it IS
+            # whitespace before consuming (a blob like b"P6 2 2 255X"
+            # plus 12 pixel bytes must be rejected, not silently
+            # accepted with X swallowed as the separator)
+            if not blob[i : i + 1].isspace():
+                raise ValueError("malformed ppm header")
+            i += 1
             w, h, maxval = fields
             pixels = bytes(blob[i:])
             if maxval != 255 or len(pixels) != w * h * 3:

@@ -153,13 +153,24 @@ def join_semi(spark, sf_dir):
     section="2.3",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
+    notes="Anti-join on the filtered subset join_semi selects FROM — "
+    "customers with NO order over $400k, the exact complement of "
+    "join_semi's survivors, so (semi UNION anti) partitions customer. "
+    "The filter keeps the anti set provably non-empty at every fixture "
+    "SF (20 / 202 / 1997 rows at sf0.001/0.01/0.1); the round-10 "
+    "unfiltered form matched on 0-vs-0 rows at sf0.01 because every "
+    "customer has at least one order — a vacuous certificate. The "
+    "o_totalprice filter is pushed below the anti-join build side, so "
+    "the shuffled build input shrinks ~25x before the exchange",
 )
 def join_anti(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    big = o.where(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 

@@ -62,6 +62,7 @@ import math
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..core import fan_out
 from ..io import table
 from ..registry import register
 
@@ -769,48 +770,63 @@ def ts_sample_entropy(spark, sf_dir):
     f"MATTR is length-stable, so it separates genuinely repetitive "
     f"documents from merely long ones; docs shorter than {_MATTR_W} "
     f"tokens degrade to plain TTR (L = least({_MATTR_W}, n)). "
-    f"Integer-exact end to end. Scale: each doc fans out to at most "
-    f"n x {_MATTR_W} (token, window) rows and aggregates back on "
-    f"doc_id — one shuffle, corpus-linear, no cross-doc joins",
+    f"Integer-exact end to end. Scale: the oracle materializes every "
+    f"(token, window) pair; the engine does NOT — a token position p "
+    f"is counted by the windows in which it is the LAST occurrence of "
+    f"its type (distinct-per-window = last-occurrences-per-window), "
+    f"so sum(distinct over windows) = sum over positions of "
+    f"max(0, min(w, p, nxt-L) - max(1, p-L+1) + 1) where nxt is the "
+    f"next position of the same token (lead() over (doc, token); "
+    f"sentinel n+1 when it never recurs). One token row per position "
+    f"instead of {_MATTR_W} — two keyed shuffles (the lead window on "
+    f"(doc, token), the per-doc sum), corpus-linear, no join at all. "
+    f"Round-11 rewrite: hash-identical to the fan-out formulation, "
+    f"~{_MATTR_W}x fewer intermediate rows",
 )
 def text_mattr(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     d = docs.select(
         "doc_id",
         "lang",
         "source",
         F.split("text", " ").alias("toks"),
     ).withColumn("n", F.size("toks").cast("long"))
-    dims = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.least(F.lit(_MATTR_W), F.col("n")).alias("l"),
-        (F.col("n") - F.least(F.lit(_MATTR_W), F.col("n")) + 1).alias("w"),
-    )
     tok = d.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok")
-    st = dims.select(
         "doc_id",
         "lang",
         "source",
-        "l",
-        "w",
-        F.explode(F.expr("sequence(CAST(1 AS BIGINT), w)")).alias("s"),
+        "n",
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        "tok",
     )
-    win = (
-        st.join(
-            tok,
-            (st.doc_id == tok.doc_id)
-            & (tok.pos >= st.s)
-            & (tok.pos <= st.s + st.l - 1),
+    lead_pos = F.lead("pos").over(
+        W.partitionBy("doc_id", "tok").orderBy("pos")
+    )
+    t = (
+        tok.withColumn("nxt", F.coalesce(lead_pos, F.col("n") + 1))
+        .withColumn("l", F.least(F.lit(_MATTR_W).cast("long"), F.col("n")))
+        .withColumn("w", F.col("n") - F.col("l") + 1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("w"), F.col("pos"), F.col("nxt") - F.col("l"))
+        - F.greatest(F.lit(1).cast("long"), F.col("pos") - F.col("l") + 1)
+        + 1,
+    )
+    doc = (
+        t.withColumn("contrib", contrib)
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.expr(
+                "(sum(contrib) * 1000000) div (max(l) * max(w))"
+            ).alias("m")
         )
-        .groupBy(st.doc_id, "lang", "source", "l", "w", "s")
-        .agg(F.countDistinct("tok").cast("long").alias("dk"))
-    )
-    doc = win.groupBy("doc_id", "lang", "source").agg(
-        F.expr("(sum(dk) * 1000000) div (max(l) * max(w))").alias("m")
     )
     return doc.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -632,7 +632,12 @@ _SSS_START = 10_000_000  # threshold search start: $100k in cents (~13
 # 9/8 steps to the fixture's price ceiling; a $1k start measured 52
 # sequential COUNT scans = 13 s at sf0.1 for no extra information —
 # if every order were under the start, the loop exits immediately)
-_SSS_STOP_N = 200  # stop when this few orders clear the threshold
+_SSS_STOP_N = 200  # step only while the NEXT threshold keeps more than
+# this many orders — a look-ahead stop rule, so the converged survivor
+# set can never overshoot to empty (round-10 vacuous-green fix: the old
+# post-step rule landed on 0 survivors at sf>=0.01 because one 9/8 step
+# jumped past the $500k price ceiling; count at convergence is now
+# 261 / 1117 / 11217 at sf0.001/0.01/0.1)
 
 
 @register(
@@ -644,7 +649,7 @@ _SSS_STOP_N = 200  # stop when this few orders clear the threshold
       UNION ALL
       SELECT t * 9 // 8 FROM search
       WHERE (SELECT COUNT(*) FROM orders
-             WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= t)
+             WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= t * 9 // 8)
             > {_SSS_STOP_N}
     ),
     fin AS (SELECT MAX(t) AS t FROM search)
@@ -662,8 +667,10 @@ _SSS_STOP_N = 200  # stop when this few orders clear the threshold
     "statements — the procedural layer ABOVE sql_variables_exec's "
     "session variables): DECLARE'd locals, a data-dependent WHILE "
     "loop whose condition is a scalar subquery against the orders "
-    "view (iterative 9/8 threshold search until at most "
-    f"{_SSS_STOP_N} orders clear it — the adaptive-cutoff pattern a "
+    "view (iterative 9/8 threshold search with a LOOK-AHEAD stop "
+    f"rule: step only while the next threshold keeps > {_SSS_STOP_N} "
+    "orders, so the converged survivor set is provably non-empty — "
+    "the adaptive-cutoff pattern a "
     "report author writes procedurally), and a final ROLLUP "
     "aggregate over the survivors at the converged threshold. The "
     "oracle replays the SAME search as a recursive CTE (MAX(t) of "
@@ -684,7 +691,8 @@ def sql_scripting_surface(spark, sf_dir):
         BEGIN
           DECLARE t BIGINT DEFAULT {_SSS_START};
           WHILE (SELECT COUNT(*) FROM orders
-                 WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= t)
+                 WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       >= t * 9 DIV 8)
                 > {_SSS_STOP_N} DO
             SET t = t * 9 DIV 8;
           END WHILE;

@@ -199,11 +199,15 @@ def source_python_stream(spark, sf_dir):
     )
     name = f"pystream_{_uuid.uuid4().hex[:8]}"
     # availableNow snapshots only the FIRST offset advance of a simple
-    # stream reader (one read() call), so drain with a running trigger
-    # and stop once the bounded feed's final state is in the sink
+    # stream reader (one read() call), so drain with a running query
+    # instead. No processingTime trigger: the default fires the next
+    # micro-batch as soon as the previous commits, and
+    # processAllAvailable() blocks exactly until the bounded feed
+    # reports no new offsets — the round-10 form (250 ms cadence + a
+    # 0.5 s poll loop) carried a multi-second latency floor that read
+    # as a 2-4x "regression" whenever per-batch latency crossed a poll
+    # boundary (VERDICT r10 open mover, adjudicated round 11).
     from ..session import stream_partitions
-
-    import time as _time
 
     # the pin must outlive start(): micro-batch 0 reads the conf on the
     # stream thread, which may plan after start() returns
@@ -212,16 +216,10 @@ def source_python_stream(spark, sf_dir):
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .trigger(processingTime="250 milliseconds")
             .start()
         )
-        deadline = _time.time() + 120
-        expect = _STREAM_BATCHES * _PER_BATCH
-        while _time.time() < deadline:
-            rows = spark.table(name).agg(F.sum("n")).first()[0]
-            if rows == expect:
-                break
-            _time.sleep(0.5)
+        q.processAllAvailable()
         q.stop()
+    expect = _STREAM_BATCHES * _PER_BATCH
     assert spark.table(name).agg(F.sum("n")).first()[0] == expect
     return spark.table(name)

@@ -12,10 +12,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import HEADLINE, summarize
-
-TAIL_CAPTURE = 2000  # the driver's observed stdout-tail budget
-HEADROOM = 200  # stay well inside it
+from bench import HEADLINE, TAIL_CAPTURE, TAIL_HEADROOM as HEADROOM, summarize
 
 
 def _fake_out(n_families: int) -> dict:

@@ -73,6 +73,7 @@ def test_ppm_decode_rejects_malformed(spark):
         b"P5 2 2 255\n" + b"\x00" * 12,   # wrong magic
         b"P6 2 2 255\n" + b"\x00" * 11,   # short pixel buffer
         b"P6 2 2 100\n" + b"\x00" * 12,   # unsupported maxval
+        b"P6 2 2 255X" + b"\x00" * 12,    # non-whitespace separator
     ]
     for blob in bad:
         df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")

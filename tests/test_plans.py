@@ -808,9 +808,19 @@ def test_plan_ref_snapshot_is_current(spark, sf_dir):
         "agg_spearman", "text_heaps_law", "pipeline_semdedup",
         "profile_key_candidates",
     ]
-    # the ref is taken at sf0.001 with cpus=4/shuffle=8; the test
-    # session must audit at the same fixture for tuples to be comparable
+    # the ref is taken at sf0.001; the test session must audit at the
+    # same fixture AND the same shape-relevant confs (shuffle
+    # partitions, broadcast threshold, AQE) for tuples to be
+    # comparable. cpus is deliberately NOT compared — static-plan
+    # operator counts don't depend on local[N] parallelism (see
+    # plan_audit.shape_conf), and the ref is captured at cpus=4 while
+    # this suite runs cpus=8 (ADVICE r10).
     assert ref["sf"].rstrip("/").endswith("sf0.001")
+    assert pa.shape_conf(spark) == ref["conf"], (
+        "plan_ref.json captured under different shape-relevant confs — "
+        f"ref {ref['conf']} vs live {pa.shape_conf(spark)}; re-run "
+        "--write-ref under the suite conf or fix the session"
+    )
     for name in sample:
         live = pa.audit(Q[name].fn(spark, "/root/testdata/sf0.001"))
         assert live == shapes[name], (name, live, shapes[name])
