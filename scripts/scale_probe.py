@@ -494,6 +494,36 @@ def round21_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
     return out
 
 
+def round22_100x(spark, sfdir_1x, sfdir_10x, sfdir_100x):
+    """Round-11 changes probed to 100x: text_mattr's last-occurrence
+    lead() rewrite (the plan changed — the committed exponent must be
+    re-earned; expect corpus-linear, it is the declared linear member)
+    and sql_recursive_walk (expect ~linear: iteration count is the max
+    walk length, which is orders-per-customer-bounded and
+    copy-invariant on the disjoint-custkey scratch — only the per-
+    iteration join width grows). source_python_stream is deliberately
+    absent: its input is a synthetic in-process feed, corpus-
+    independent by construction."""
+    from shippinglanes_spark.registry import all_queries
+
+    Q = all_queries()
+    names = ["text_mattr", "sql_recursive_walk"]
+    out = {}
+    for label, sfdir in (
+        ("1x", sfdir_1x),
+        ("10x", sfdir_10x),
+        ("100x", sfdir_100x),
+    ):
+        for name in names:
+            fn = Q[name].fn
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sfdir).write.format("noop").mode("overwrite").save()
+            out[f"{label} {name}"] = time.perf_counter() - t0
+            print(f"{label} {name}: {out[f'{label} {name}']:.3f}s", flush=True)
+    return out
+
+
 def round4_registered(spark, sfdir_1x, sfdir_10x):
     """Judge-requested round-3 shapes probed through their REGISTERED
     entry points: geo_encounters (space-time grid join), emb_top_pc
@@ -1180,6 +1210,10 @@ def main() -> None:
         return
     if "--r17" in sys.argv:
         round17_registered(spark, SF, sfdir10)
+        return
+    if "--r22-100x" in sys.argv:
+        sfdir100 = build_sfdir100(spark)
+        round22_100x(spark, SF, sfdir10, sfdir100)
         return
     if "--r21-100x" in sys.argv:
         sfdir100 = build_sfdir100(spark)

@@ -1,0 +1,127 @@
+"""Round-11 pack: Spark 4.1 recursive CTE surface.
+
+SURVEY.md §2.11 families — a second recursive-CTE shape (the per-key
+anchored walk, complementing sql_recursive_cte's graph BFS) and the
+declarative-fixpoint companion to sql_scripting_surface's procedural
+WHILE loop. Spark 4.1 parses and executes ANSI `WITH RECURSIVE`
+(probed this round: anchor + UNION ALL recursive arm, non-recursive
+CTEs alongside, correlated join against the working table), so the
+same data-dependent iteration can now be written fixpoint-style in
+BOTH engines and hash-compared directly — no recursion-free re-encoding
+on either side.
+
+House disciplines: exact integer cents end to end (ROUND*100 ->
+BIGINT), deterministic tiebreaks (o_orderkey), integer-div averages,
+ORDER BY on every output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import register_views, table
+from ..registry import register
+
+_RW_CAP = 100_000_000  # stop a customer's walk at $1M cumulative (cents)
+_RW_HORIZON = 16  # and never look past the first 16 orders: the
+# recursion's iteration count is the MAX walk length over all keys, so
+# one 41-order straggler would cost 41 loop rounds (each a keyed join
+# stage) for a tail nobody reads — the typical customer clears $1M in
+# ~7 orders, so 16 keeps cap-convergence the common exit while bounding
+# worst-case depth (measured 7.2 s -> ~3 s at sf0.1)
+
+_RW_RANKED = """
+      SELECT o_custkey AS ck,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders"""
+
+
+def _recursive_walk_sql(intdiv: str, ranked_rel: str) -> str:
+    """One recursion text, two dialects: `intdiv` is `DIV` (Spark) or
+    `//` (DuckDB); `ranked_rel` is the ranked-orders relation — the
+    inline CTE for DuckDB, a checkpointed temp view for Spark (see the
+    register notes). Every other token is common ANSI, which is the
+    point of the query: the SAME recursive fixpoint runs on both
+    engines."""
+    return f"""
+    WITH RECURSIVE walk(ck, rk, cum) AS (
+      SELECT ck, rk, cents FROM {ranked_rel} WHERE rk = 1
+      UNION ALL
+      SELECT r.ck, r.rk, w.cum + r.cents
+      FROM walk w JOIN {ranked_rel} r ON r.ck = w.ck AND r.rk = w.rk + 1
+      WHERE w.cum < {_RW_CAP} AND w.rk < {_RW_HORIZON}),
+    fin AS (
+      SELECT ck, MAX(rk) AS steps, MAX(cum) AS cum FROM walk GROUP BY ck)
+    SELECT steps, CAST(cum >= {_RW_CAP} AS INT) AS reached,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cum) {intdiv} COUNT(*) AS BIGINT) AS avg_cum_cents
+    FROM fin GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "sql_recursive_walk",
+    section="2.11",
+    oracle=_recursive_walk_sql("//", f"({_RW_RANKED})"),
+    notes="ANSI WITH RECURSIVE executed NATIVELY by Spark 4.1 — the "
+    "declarative-fixpoint sibling of sql_scripting_surface's WHILE "
+    "loop. Per customer, walk their orders in (date, orderkey) order "
+    "accumulating exact cents until the running total clears $1M: a "
+    "DATA-DEPENDENT recursion depth per key (few big orders converge "
+    "in 3 steps, many small ones walk their whole history), then "
+    f"bucket customers by (steps taken, cap reached); a {_RW_HORIZON}-"
+    "order horizon bounds worst-case depth without changing the "
+    "common cap-convergence exit. The oracle is "
+    "the IDENTICAL recursive CTE in DuckDB (only the integer-division "
+    "token differs), so the hash match certifies Spark's recursion "
+    "semantics — anchor row, working-table join, monotone accumulator, "
+    "termination by join exhaustion OR the cum < cap predicate — "
+    "against an independent fixpoint engine, not a hand-unrolled "
+    "re-encoding. Scale: each iteration joins the shrinking frontier "
+    "(only customers still under the cap) against ranked orders on "
+    "(custkey, rank) — keyed equi-join, no cartesian; depth is bounded "
+    "by orders-per-customer (<= 41 in TPC-H-shaped data at ANY scale "
+    "factor, under Spark's default 100-level recursion limit), and the "
+    "frontier shrinks monotonically, so total work is O(sum of "
+    "walk lengths), corpus-linear. The Spark side localCheckpoints the "
+    "ranked relation first — UnionLoop re-plans every subtree INSIDE "
+    "the loop, so an inline ranked CTE re-runs the 150k-row window "
+    "sort each of the ~15 iterations (the sql_recursive_cte lesson; "
+    "measured 8.8 s -> ~2 s at sf0.1)",
+)
+def sql_recursive_walk(spark, sf_dir):
+    register_views(spark, sf_dir)
+    # the walk emits one row per (customer, step): ~orders-count rows
+    # total, corpus-linear — but Spark's recursive CTE ships a 1M-row
+    # safety valve (spark.sql.cteRecursionRowLimit) that the 100x
+    # scale probe tripped (RECURSION_ROW_LIMIT_EXCEEDED at ~10M walk
+    # rows). Disable it for this bounded-depth recursion: depth is
+    # capped by the horizon predicate + the 100-level limit (kept),
+    # so the row count is data-sized, exactly like any other scan.
+    # Deliberately NOT restored: the limit is read at EXECUTION time,
+    # and the driver contract collects the returned DataFrame after
+    # this function exits — a restore here would re-trip it
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    ranked = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.row_number()
+            .over(
+                W.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            .cast("long")
+            .alias("rk"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .localCheckpoint()
+    )
+    ranked.createOrReplaceTempView("walk_ranked")
+    return spark.sql(_recursive_walk_sql("DIV", "walk_ranked"))

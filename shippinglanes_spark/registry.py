@@ -135,6 +135,7 @@ def _load_all() -> None:
         stats11,
         stats12,
         stats13,
+        stats14,
         subqueries,
         timeseries,
         tpch,

@@ -210,8 +210,13 @@ def source_python_stream(spark, sf_dir):
     from ..session import stream_partitions
 
     # the pin must outlive start(): micro-batch 0 reads the conf on the
-    # stream thread, which may plan after start() returns
-    with stream_partitions(spark):
+    # stream thread, which may plan after start() returns. 2 state
+    # partitions, not the helper's default 8: the feed aggregates to
+    # _STREAM_BATCHES keyed groups, and every micro-batch dispatches
+    # one state task per partition — measured 8->2 saves 2-4 s of pure
+    # task dispatch on a 5-group state (the state store should be
+    # sized to the KEY cardinality, not the session default)
+    with stream_partitions(spark, 2):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
