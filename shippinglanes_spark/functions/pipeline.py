@@ -679,86 +679,132 @@ def semdedup_pipeline(
     from .text import connected_components
 
     emb = table(spark, sf_dir, "embeddings")
-    q = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
-        .select(
-            "vec_id",
-            "dim",
-            F.floor(F.col("xf") * 1e6).cast("long").alias("x"),
-        )
-        .localCheckpoint()
+    # Quantized vectors in ARRAY form, one row per vector. The previous
+    # per-dim exploded relation (64x the rows) was checkpointed and then
+    # joined per Lloyd round against per-dim centroids — a 64N-row
+    # materialization plus an N*k*64-row join+aggregate per round. The
+    # array form computes the same exact-integer distance with a k-row
+    # centroid broadcast and NO post-join aggregate (guide §2.3/§2.4:
+    # shuffle fewer bytes, remove the exchange outright); the per-dim
+    # relation now only materializes inside the centroid update, where
+    # it is genuinely needed.
+    qarr = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1e6).cast("long")
+        ).alias("xq"),
+    ).localCheckpoint()
+    cent = qarr.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
     )
-    cent = q.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c")
+    # exact BIGINT squared distance: (x-c)^2 <= 4e12 per dim, *64 dims
+    # <= 2.6e14 — every partial sum exact in long, same value as the
+    # oracle's per-dim SUM
+    sqdist = F.aggregate(
+        F.zip_with("xq", "cq", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
     )
     assign = None
     for i in range(iters):
-        d = (
-            q.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                )
-                .cast("long")
-                .alias("dist")
+        d = qarr.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", sqdist.alias("dist")
+        )
+        # argmin via min(struct(dist, cid)): lexicographic struct order ==
+        # ROW_NUMBER() OVER (ORDER BY dist, cid) rk=1, but with map-side
+        # partial aggregation instead of a full window sort (guide §2.3)
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select(
+                "vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
             )
         )
-        rk = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("dist", "cid")
-        )
-        assign = d.withColumn("rk", rk).where(F.col("rk") == 1).drop("rk")
         if i < iters - 1:
-            # fuse the assign step into the centroid update: only the
-            # FINAL iteration's assignment is consumed downstream, so
-            # intermediate rounds checkpoint one relation (cent, k x dim
-            # rows) instead of two — one driver action per Lloyd round,
-            # not two, with the plan still reset each round
+            # centroid update keeps the exact per-dim formulation
+            # (floor(sum/count) per (cid, dim), matching the oracle),
+            # then reassembles the k arrays; one driver action per round
             cent = (
-                assign.join(q, "vec_id")
+                assign.join(qarr, "vec_id")
+                .select("cid", F.posexplode("xq").alias("dim", "x"))
                 .groupBy("cid", "dim")
                 .agg(
                     F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
                     .cast("long")
                     .alias("c")
                 )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                        lambda s: s["c"],
+                    ).alias("cq")
+                )
                 .localCheckpoint()
             )
     # the last round's assignment IS read twice downstream (pair sides +
     # keep rule) and CC re-checkpoints plans built over it — pin it
     assign = assign.localCheckpoint()
-    qe = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1e6).cast("double"),
-        ).alias("v"),
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    nr = qe.select("vec_id", dot(F.col("v"), F.col("v")).alias("nn"))
-    ax = assign.select(F.col("vec_id").alias("id_a"), F.col("cid").alias("ca"))
-    ay = assign.select(F.col("vec_id").alias("id_b"), F.col("cid").alias("cb"))
-    side_a = ax.join(
-        # corpus-sized vector/norm tables: UNHINTED (AQE broadcasts
-        # when small; a forced hint OOMs exactly at scale)
-        qe.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(nr.select(F.col("vec_id").alias("id_a"), F.col("nn").alias("na")), "id_a")
-    side_b = ay.join(
-        qe.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b"
-    ).join(nr.select(F.col("vec_id").alias("id_b"), F.col("nn").alias("nb")), "id_b")
-    cos = F.round(
-        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 4
+    # Within-cluster pair stage as ONE grouped Arrow pass with a numpy
+    # GEMM per cluster (guide §4.2: hand whole batches to vectorized
+    # native code). The previous form self-joined two vector-carrying
+    # sides on cid and evaluated an INTERPRETED higher-order zip_with
+    # dot per candidate pair — the repo's own round-1 lesson (~100x
+    # slower than block matmul) re-materialized. Exactness: quantized
+    # values are <= 2e6 in magnitude, so every GEMM product (<= 4e12)
+    # and every partial sum (<= 64 * 4e12 = 2.6e14 < 2^53) is an exact
+    # integer in float64 regardless of summation order — numpy and the
+    # zip_with fold produce bit-identical dot/norm doubles. The numpy
+    # side only PRE-FILTERS with a safe margin below the threshold
+    # (round-at-4dp can promote cos >= thr - 5e-5 up to thr); the
+    # authoritative predicate ROUND(dot/sqrt(na*nb), 4) >= thr stays in
+    # Spark SQL, bit-identical to the previous plan and the oracle.
+    av = assign.join(qarr, "vec_id").select("cid", "vec_id", "xq")
+    _thr = thr
+
+    def _cluster_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "dq": pd.Series(dtype="float64"),
+                "na": pd.Series(dtype="float64"),
+                "nb": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.vstack(pdf["xq"].to_numpy()[order]).astype(np.float64)
+        G = M @ M.T
+        nn = np.einsum("ij,ij->i", M, M)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        dq = G[iu, ju]
+        na, nb = nn[iu], nn[ju]
+        keep = dq / np.sqrt(na * nb) >= _thr - 1e-4  # safe pre-filter only
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "dq": dq[keep],
+                "na": na[keep],
+                "nb": nb[keep],
+            }
+        )
+
+    cand = av.groupBy("cid").applyInPandas(
+        _cluster_pairs, schema="id_a long, id_b long, dq double, na double, nb double"
     )
     pairs = (
-        side_a.join(
-            side_b,
-            (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")),
+        cand.where(
+            F.round(F.col("dq") / F.sqrt(F.col("na") * F.col("nb")), 4) >= thr
         )
-        .where(cos >= thr)
         .select("id_a", "id_b")
         # pin the pair set: CC's distributed branch re-checkpoints its
         # frontier, and checkpointing a plan that self-joins the SAME

@@ -349,22 +349,41 @@ def text_heaps_law(spark, sf_dir):
     "with map-side partial aggregation, no all-pairs anything",
 )
 def text_self_bleu(spark, sf_dir):
+    from pyspark.sql import Window
+
     from .text import shingles_of_tokens
 
     d = table(spark, sf_dir, "documents")
-    tri = d.select(
+    # Tokenize in a Project BEFORE the explode so split(text) runs once
+    # per document; inlining it into the transform lambda re-evaluates
+    # the split per element_at (3x per trigram) in the Generate node.
+    # NULL-lang rows: the old aggregate-join-back form dropped them via
+    # the inner join on lang (as the oracle still does); the window form
+    # would keep them as their own partition — filter explicitly so the
+    # semantics stay identical on ANY data, not just the fixture.
+    tri = d.where(F.col("lang").isNotNull()).select(
+        "lang", "source", F.split("text", " ").alias("toks")
+    ).select(
         "lang",
         "source",
-        F.explode(shingles_of_tokens(F.split("text", " "), 3)).alias("g"),
+        F.explode(shingles_of_tokens(F.col("toks"), 3)).alias("g"),
     )
     cnt = tri.groupBy("lang", "source", "g").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    tot = cnt.groupBy("lang", "g").agg(F.sum("c").cast("long").alias("ct"))
+    # Language total per trigram as a WINDOW over the per-source counts,
+    # not an aggregate joined back: the join form re-scans and re-explodes
+    # the whole corpus for the build side (broadcast defeats exchange
+    # reuse — two FileScans + two Generates in the plan), and broadcasts
+    # a vocabulary-sized relation, which is exactly what cannot scale.
+    # Window form: ONE scan, ONE explode, ct computed in place. Same
+    # exact integer ct = SUM(c) OVER (lang, g).
+    withct = cnt.withColumn(
+        "ct", F.sum("c").over(Window.partitionBy("lang", "g"))
+    )
     clipped = F.least(F.col("c"), F.col("ct") - F.col("c"))
     return (
-        cnt.join(tot, ["lang", "g"])
-        .groupBy("lang", "source")
+        withct.groupBy("lang", "source")
         .agg(
             F.sum("c").cast("long").alias("tri_total"),
             F.sum(clipped).cast("long").alias("tri_clipped"),
