@@ -40,7 +40,15 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     No shingle-dedup pass: min() over repeated shingles equals min()
     over the distinct set, so the signature is set-semantics-exact
     without paying a distinct's extra shuffle. fan_out lifts the
-    explode off a single-split source (see core.fan_out)."""
+    explode off a single-split source (see core.fan_out).
+
+    Deliberately the explode + 32-way min AGGREGATE, not a per-row
+    array_min(transform(...)) map: higher-order functions evaluate
+    interpreted and the collapsed projection re-inlines the shingle
+    expression into every transform, so the map form measures 5x SLOWER
+    here (0.70 s -> 3.70 s at sf0.1). The map form only wins when the
+    shingle array is already materialized by a checkpoint — see
+    containment_lsh_candidates."""
     # two-step tokenize-then-shingle: explode over the inlined HOF
     # expression evaluates it interpreted per generated row (~10x cost,
     # see text.shingles perf note)
@@ -418,19 +426,27 @@ def containment_lsh_candidates(
         .select(id_col, "s", F.size("s").alias("n"))
         .localCheckpoint()  # reused by signatures AND exact verification
     )
-    mins = [
-        F.min(F.hash("shingle", F.lit(seed))).alias(f"h{seed}")
+    # Signature as per-row array_min(transform(...)) MAP work over the
+    # checkpointed shingle array — the former explode + 32-way min
+    # aggregation shuffled every (id, shingle) row for the same values
+    # (hash(x, seed) is the same two-arg hash the aggregate computed;
+    # measured 1.59 s -> 0.22 s at sf0.1, rows bit-identical). Only
+    # valid BECAUSE `s` comes from the checkpoint: on an unmaterialized
+    # pipeline the collapsed projection re-inlines the shingle HOF into
+    # all 32 transforms and the map form is 5x slower — see
+    # minhash_signatures, which keeps the aggregate for that reason.
+    minexprs = [
+        F.expr(f"array_min(transform(s, x -> hash(x, {seed})))").alias(
+            f"h{seed}"
+        )
         for seed in range(N_HASHES)
     ]
-    sig = (
-        base.select(id_col, "n", F.explode("s").alias("shingle"))
-        .groupBy(id_col)
-        .agg(F.max("n").alias("n"), *mins)
-        .withColumn(
-            "st", F.expr("cast(floor(log2(cast(n as double))) as int)")
-        )
-        .localCheckpoint()  # feeds probe AND host key emission
-    )
+    sig = base.select(
+        id_col,
+        "n",
+        *minexprs,
+        F.expr("cast(floor(log2(cast(n as double))) as int)").alias("st"),
+    ).localCheckpoint()  # feeds probe AND host key emission
     # one-row stratum ceiling: probes never emit keys for strata no
     # host occupies (a probe-row-count valve, not a correctness gate)
     max_st = sig.agg(F.max("st").alias("max_st"))
