@@ -43,11 +43,12 @@ ALLOWED = {
         "operators/windows.py",
         'for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()',
     ): 1,
-    # agg_spearman fused dual-axis bucket histogram: rows = 2 axes x
-    # N_RANK_BUCKETS (<= 64), same metadata-scale map as the line above
+    # agg_spearman fused dual-axis bucket histogram, 2D cell form:
+    # rows = N_RANK_BUCKETS^2 (<= 1024), same metadata-scale map as the
+    # line above (the per-axis histograms are its marginals)
     (
         "operators/windows.py",
-        '.agg(F.count(F.lit(1)).alias("hist_cnt")).collect()',
+        ".collect()",
     ): 1,
     ("testing.py", "spdf = sdf.toPandas()"): 1,
     ("functions/embeddings.py", ").collect()"): 1,
