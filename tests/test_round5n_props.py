@@ -262,6 +262,30 @@ def test_betweenness_matches_brandes_reference(spark, sf_dir):
         assert abs(got[v] - bt[v] / 2.0) < 1e-4, v
 
 
+def test_betweenness_local_path_matches_distributed(spark, sf_dir):
+    """The size-gated driver fast path must be BIT-identical to the
+    distributed level-synchronous plan it replaces (same float fold
+    order, same long->double casts) — the divergence guard for the
+    round-11 fast path."""
+    from shippinglanes_spark.operators.graph import (
+        _betweenness_distributed,
+        _trade_und,
+    )
+    from shippinglanes_spark.registry import all_queries
+
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["graph_betweenness"].fn(spark, sf_dir).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in _betweenness_distributed(
+            spark, _trade_und(spark, sf_dir)
+        ).collect()
+    )
+    assert got == dist
+
+
 def test_cohen_kappa_matches_confusion_reference(spark, sf_dir):
     from shippinglanes_spark.registry import all_queries as Q
 
