@@ -119,9 +119,21 @@ def agg_distinct(spark, sf_dir):
 )
 def agg_approx_distinct(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
-        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    # Distinct-first, then ONE aggregation: HLL register state is
+    # duplicate-insensitive, so the sketch over deduped (event_type,
+    # user_id) pairs is bit-identical to the sketch over raw events —
+    # and countDistinct becomes a plain count. The fused form planned
+    # the distinct rewrite's 4 HashAggregates with the rsd=0.01 sketch's
+    # 2^14-register buffer carried through BOTH exchanges: 2.27 s vs
+    # 0.92 s at sf0.1, values identical (exceptAll = 0 both ways).
+    g = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
+            F.count(F.lit(1)).cast("long").alias("exact_users"),
+        )
     )
     bound = 0.05 * F.col("exact_users")
     return g.select(
