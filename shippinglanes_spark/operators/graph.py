@@ -642,6 +642,51 @@ def graph_closeness(spark, sf_dir):
     one-time edge aggregation touches the corpus; the BFS cost is
     independent of data volume."""
     und = _trade_und(spark, sf_dir)
+    edge_rows = _und_local_edges(und)
+    if edge_rows is not None:
+        return _closeness_local(spark, und, edge_rows)
+    return _closeness_distributed(spark, und)
+
+
+def _closeness_local(spark, und, edge_rows):
+    """Driver-side exact replica of the distributed min-plus loop for
+    the size-gated fast path (the betweenness discipline): all-integer
+    distances, and the only floats are the same two single divisions
+    the Spark aggregate performs ((n-1)*1.0/sum and hsum/60.0, exact
+    long->double casts)."""
+    from pyspark.sql import types as T
+
+    adj = _local_adj(edge_rows)
+    dist = _local_bfs_dist(adj)
+    per_s: dict[int, list[int]] = {s: [] for s in adj}
+    for (s, _v), d in dist.items():
+        per_s[s].append(d)
+    out = []
+    for s in sorted(adj):
+        ds = per_s[s]
+        reachable = len(ds) - 1
+        dist_sum = sum(ds)
+        closeness = (
+            float(reachable) / float(dist_sum)
+            if dist_sum
+            else float("nan")
+        )
+        hsum = sum(60 // d for d in ds if d > 0)
+        out.append((s, reachable, dist_sum, closeness, float(hsum) / 60.0))
+    ntype = und.schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("nation_id", ntype, True),
+            T.StructField("reachable", T.LongType(), True),
+            T.StructField("dist_sum", T.LongType(), True),
+            T.StructField("closeness", T.DoubleType(), True),
+            T.StructField("harmonic", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _closeness_distributed(spark, und):
     bidir = und.select(
         F.col("a").alias("x"), F.col("b").alias("y")
     ).unionByName(und.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -1158,12 +1203,56 @@ def _betweenness_oracle() -> str:
     )
 
 
-# Driver fast-path gate for betweenness: the trade graph's node domain
-# is nation keys (fixed ~25 at any corpus size). 64 nodes bounds the
-# all-triples fold at ~131k Python iterations; the edge probe cap is
-# the complete graph on that many nodes.
+# Driver fast-path gate for the BFS-family centralities: the trade
+# graph's node domain is nation keys (fixed ~25 at any corpus size).
+# 64 nodes bounds betweenness's all-triples fold at ~131k Python
+# iterations; the edge probe cap is the complete graph on that many
+# nodes. Over either cap the distributed loops run unchanged.
 _BT_LOCAL_MAX_NODES = 64
 _BT_LOCAL_MAX_EDGES = _BT_LOCAL_MAX_NODES * (_BT_LOCAL_MAX_NODES - 1) // 2
+
+
+def _und_local_edges(und):
+    """Capped edge probe shared by the nation-graph driver fast paths:
+    returns the collected edge list when the graph fits the local gate,
+    None when the distributed path must run. The collect is bounded by
+    construction (limit cap+1) — see tests/test_driver_fence.py."""
+    rows = und.limit(_BT_LOCAL_MAX_EDGES + 1).collect()
+    if len(rows) > _BT_LOCAL_MAX_EDGES:
+        return None
+    nodes = {r["a"] for r in rows} | {r["b"] for r in rows}
+    if len(nodes) > _BT_LOCAL_MAX_NODES:
+        return None
+    return rows
+
+
+def _local_adj(edge_rows):
+    adj: dict[int, list[int]] = {}
+    for r in edge_rows:
+        adj.setdefault(r["a"], []).append(r["b"])
+        adj.setdefault(r["b"], []).append(r["a"])
+    return adj
+
+
+def _local_bfs_dist(adj):
+    """(s, v) -> d for all pairs within _CL_ITERS hops — the exact
+    replica of the distributed min-plus loop (which also never sees a
+    pair past _CL_ITERS iterations)."""
+    dist: dict[tuple[int, int], int] = {}
+    for s in adj:
+        dist[(s, s)] = 0
+        frontier = [s]
+        for lvl in range(1, _CL_ITERS + 1):
+            nxt = []
+            for p in frontier:
+                for y in adj[p]:
+                    if (s, y) not in dist:
+                        dist[(s, y)] = lvl
+                        nxt.append(y)
+            if not nxt:
+                break
+            frontier = nxt
+    return dist
 
 
 @register(
@@ -1202,11 +1291,9 @@ def graph_betweenness(spark, sf_dir):
     so the result is bit-identical — certified by the DuckDB hash
     oracle and the independent Brandes reference test."""
     und = _trade_und(spark, sf_dir)
-    edge_rows = und.limit(_BT_LOCAL_MAX_EDGES + 1).collect()
-    if len(edge_rows) <= _BT_LOCAL_MAX_EDGES:
-        nodes_local = {r["a"] for r in edge_rows} | {r["b"] for r in edge_rows}
-        if len(nodes_local) <= _BT_LOCAL_MAX_NODES:
-            return _betweenness_local(spark, und, edge_rows)
+    edge_rows = _und_local_edges(und)
+    if edge_rows is not None:
+        return _betweenness_local(spark, und, edge_rows)
     return _betweenness_distributed(spark, und)
 
 
@@ -1220,10 +1307,7 @@ def _betweenness_local(spark, und, edge_rows):
 
     from pyspark.sql import types as T
 
-    adj: dict[int, list[int]] = {}
-    for r in edge_rows:
-        adj.setdefault(r["a"], []).append(r["b"])
-        adj.setdefault(r["b"], []).append(r["a"])
+    adj = _local_adj(edge_rows)
     nodes_sorted = sorted(adj)
     dist: dict[tuple[int, int], int] = {}
     sig: dict[tuple[int, int], int] = {}
@@ -1426,6 +1510,51 @@ def _eccentricity_oracle() -> str:
 )
 def graph_eccentricity(spark, sf_dir):
     und = _trade_und(spark, sf_dir)
+    edge_rows = _und_local_edges(und)
+    if edge_rows is not None:
+        return _eccentricity_local(spark, und, edge_rows)
+    return _eccentricity_distributed(spark, und)
+
+
+def _eccentricity_local(spark, und, edge_rows):
+    """Driver-side exact replica for the size-gated fast path (the
+    betweenness discipline): every output is an exact integer."""
+    from pyspark.sql import types as T
+
+    adj = _local_adj(edge_rows)
+    dist = _local_bfs_dist(adj)
+    ecc: dict[int, int] = {s: 0 for s in adj}
+    for (s, _v), d in dist.items():
+        if d > ecc[s]:
+            ecc[s] = d
+    diameter = max(ecc.values())
+    radius = min(ecc.values())
+    out = [
+        (
+            s,
+            e,
+            diameter,
+            radius,
+            1 if e == diameter else 0,
+            1 if e == radius else 0,
+        )
+        for s, e in sorted(ecc.items())
+    ]
+    ntype = und.schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("nation_id", ntype, True),
+            T.StructField("ecc", T.LongType(), True),
+            T.StructField("diameter", T.LongType(), True),
+            T.StructField("radius", T.LongType(), True),
+            T.StructField("is_peripheral", T.LongType(), True),
+            T.StructField("is_central", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _eccentricity_distributed(spark, und):
     bidir = und.select(
         F.col("a").alias("x"), F.col("b").alias("y")
     ).unionByName(und.select(F.col("b").alias("x"), F.col("a").alias("y")))

@@ -51,12 +51,13 @@ ALLOWED = {
         ".collect()",
     ): 1,
     ("testing.py", "spdf = sdf.toPandas()"): 1,
-    # graph_betweenness local fast path: edge probe capped at the
-    # complete graph on _BT_LOCAL_MAX_NODES (= 64) nodes; over the cap
-    # the distributed level-synchronous path runs instead
+    # nation-graph driver fast paths (betweenness/closeness/
+    # eccentricity): one shared edge probe capped at the complete graph
+    # on _BT_LOCAL_MAX_NODES (= 64) nodes; over the cap the distributed
+    # level-synchronous paths run instead
     (
         "operators/graph.py",
-        "edge_rows = und.limit(_BT_LOCAL_MAX_EDGES + 1).collect()",
+        "rows = und.limit(_BT_LOCAL_MAX_EDGES + 1).collect()",
     ): 1,
     ("functions/embeddings.py", ").collect()"): 1,
     ("functions/text.py", "for r in pairs.collect():"): 1,

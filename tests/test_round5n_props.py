@@ -286,6 +286,27 @@ def test_betweenness_local_path_matches_distributed(spark, sf_dir):
     assert got == dist
 
 
+def test_closeness_and_eccentricity_local_match_distributed(spark, sf_dir):
+    """Same divergence guard for the other two BFS-family fast paths."""
+    from shippinglanes_spark.operators.graph import (
+        _closeness_distributed,
+        _eccentricity_distributed,
+        _trade_und,
+    )
+    from shippinglanes_spark.registry import all_queries
+
+    und = _trade_und(spark, sf_dir)
+    for name, dfn in [
+        ("graph_closeness", _closeness_distributed),
+        ("graph_eccentricity", _eccentricity_distributed),
+    ]:
+        got = sorted(
+            tuple(r) for r in all_queries()[name].fn(spark, sf_dir).collect()
+        )
+        ref = sorted(tuple(r) for r in dfn(spark, und).collect())
+        assert got == ref, name
+
+
 def test_cohen_kappa_matches_confusion_reference(spark, sf_dir):
     from shippinglanes_spark.registry import all_queries as Q
 
