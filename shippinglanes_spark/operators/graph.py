@@ -1210,6 +1210,10 @@ def _betweenness_oracle() -> str:
 # nodes. Over either cap the distributed loops run unchanged.
 _BT_LOCAL_MAX_NODES = 64
 _BT_LOCAL_MAX_EDGES = _BT_LOCAL_MAX_NODES * (_BT_LOCAL_MAX_NODES - 1) // 2
+# graph_connected_components' probe sees DIRECTED nation pairs, and its
+# local work is O(E) union-find (no V^3 stage), so the cap is just the
+# directed complete graph on the same node bound.
+_CC_LOCAL_MAX_EDGES = _BT_LOCAL_MAX_NODES * (_BT_LOCAL_MAX_NODES - 1)
 
 
 def _und_local_edges(und):
@@ -2254,6 +2258,31 @@ def graph_conductance(spark, sf_dir):
     )
 
 
+def _trade_cc_edges(spark, sf_dir):
+    """The one corpus-sized pass of graph_connected_components: the
+    directed nation-pair trade weights, checkpointed."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    ls = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_orderkey").alias("okey"),
+                 F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("okey"), F.col("c_nationkey").alias("src")
+    )
+    return (
+        ls.join(oc, "okey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+
+
 @register(
     "graph_connected_components",
     section="2.9",
@@ -2328,26 +2357,60 @@ def graph_connected_components(spark, sf_dir):
     billion-edge scale the same loop runs with the alternating
     large-star/small-star optimization — the per-iteration plan
     (join edges to labels, min per vertex) is unchanged."""
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
-    ls = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .groupBy(F.col("l_orderkey").alias("okey"),
-                 F.col("s_nationkey").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    e = _trade_cc_edges(spark, sf_dir)
+    # Size-gated driver fast path (the betweenness discipline): e is
+    # nation-pair-sized (fixed key domain at any corpus size), and
+    # everything after it — symmetrize, top-30 pick, min-label fixpoint,
+    # component sizes — is exact integer arithmetic on <= a few hundred
+    # rows, while the distributed loop below costs ~6 checkpoint/count
+    # driver round-trips of pure scheduling. Over the cap the
+    # distributed path runs unchanged.
+    e_rows = e.limit(_CC_LOCAL_MAX_EDGES + 1).collect()
+    if len(e_rows) <= _CC_LOCAL_MAX_EDGES:
+        return _trade_cc_local(spark, e, e_rows)
+    return _trade_cc_distributed(spark, e)
+
+
+def _trade_cc_local(spark, e, e_rows):
+    from pyspark.sql import types as T
+
+    u: dict[tuple[int, int], int] = {}
+    nations = set()
+    for r in e_rows:
+        nations.add(r["src"])
+        nations.add(r["dst"])
+        k = (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        u[k] = u.get(k, 0) + r["w"]
+    top = sorted(u.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    parent = {v: v for v in nations}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), _w in top:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {v: find(v) for v in nations}
+    sizes: dict[int, int] = {}
+    for lbl in label.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    out = [(v, label[v], sizes[label[v]]) for v in sorted(nations)]
+    ntype = e.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("nation_id", ntype, True),
+            T.StructField("component", T.LongType(), True),
+            T.StructField("comp_size", T.LongType(), True),
+        ]
     )
-    oc = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("o_orderkey").alias("okey"), F.col("c_nationkey").alias("src")
-    )
-    e = (
-        ls.join(oc, "okey")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .localCheckpoint()
-    )
+    return spark.createDataFrame(out, schema)
+
+
+def _trade_cc_distributed(spark, e):
     u = (
         e.groupBy(
             F.least("src", "dst").alias("a"),

@@ -59,6 +59,12 @@ ALLOWED = {
         "operators/graph.py",
         "rows = und.limit(_BT_LOCAL_MAX_EDGES + 1).collect()",
     ): 1,
+    # graph_connected_components fast path: directed nation-pair probe,
+    # same 64-node bound (O(E) union-find, no cubic stage)
+    (
+        "operators/graph.py",
+        "e_rows = e.limit(_CC_LOCAL_MAX_EDGES + 1).collect()",
+    ): 1,
     ("functions/embeddings.py", ").collect()"): 1,
     ("functions/text.py", "for r in pairs.collect():"): 1,
     ("functions/ranking.py", ").collect()[0]"): 1,

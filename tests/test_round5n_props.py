@@ -307,6 +307,30 @@ def test_closeness_and_eccentricity_local_match_distributed(spark, sf_dir):
         assert got == ref, name
 
 
+def test_trade_cc_local_matches_distributed(spark, sf_dir):
+    """Divergence guard for graph_connected_components' union-find fast
+    path vs the distributed batched min-label loop."""
+    from shippinglanes_spark.operators.graph import (
+        _trade_cc_distributed,
+        _trade_cc_edges,
+    )
+    from shippinglanes_spark.registry import all_queries
+
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["graph_connected_components"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in _trade_cc_distributed(
+            spark, _trade_cc_edges(spark, sf_dir)
+        ).collect()
+    )
+    assert got == ref
+
+
 def test_cohen_kappa_matches_confusion_reference(spark, sf_dir):
     from shippinglanes_spark.registry import all_queries as Q
 
