@@ -2091,9 +2091,63 @@ def _lpa_oracle() -> str:
     "edge list never reshuffles after its first groupBy",
 )
 def graph_label_propagation(spark, sf_dir):
+    u = _lpa_backbone(spark, sf_dir)
+    u_rows = _lpa_local_rows(u)
+    if u_rows is not None:
+        from pyspark.sql import types as T
+
+        labels = _lpa_local_labels(u_rows)
+        ntype = u.schema["a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("nation_id", ntype, True),
+                T.StructField("community", T.LongType(), True),
+            ]
+        )
+        return spark.createDataFrame(sorted(labels.items()), schema)
+    return _lpa_distributed(spark, u)
+
+
+def _lpa_local_rows(u):
+    """Capped backbone probe for the LPA-family driver fast paths (the
+    betweenness discipline): the sparsified nation graph has a fixed
+    key domain at any corpus size."""
+    rows = u.limit(_BT_LOCAL_MAX_EDGES + 1).collect()
+    if len(rows) > _BT_LOCAL_MAX_EDGES:
+        return None
+    nodes = {r["a"] for r in rows} | {r["b"] for r in rows}
+    if len(nodes) > _BT_LOCAL_MAX_NODES:
+        return None
+    return rows
+
+
+def _lpa_local_labels(u_rows):
+    """Driver-side exact replica of the distributed LPA loop below:
+    synchronous weighted label propagation, all exact integers, ties to
+    the smallest label — v -> final label after _LPA_ITERS rounds."""
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in u_rows:
+        adj.setdefault(r["a"], []).append((r["b"], r["uw"]))
+        adj.setdefault(r["b"], []).append((r["a"], r["uw"]))
+    labels = {v: v for v in adj}
+    for _ in range(_LPA_ITERS):
+        nxt = {}
+        for v, nbrs in adj.items():
+            ws: dict[int, int] = {}
+            for nb, uw in nbrs:
+                lbl = labels[nb]
+                ws[lbl] = ws.get(lbl, 0) + uw
+            # ROW_NUMBER over (ws DESC, lbl ASC): max weight, ties to
+            # the smallest label; a node with no neighbors would keep
+            # its own id (the distributed LEFT-join coalesce)
+            nxt[v] = min(ws, key=lambda l: (-ws[l], l)) if ws else v
+        labels = nxt
+    return labels
+
+
+def _lpa_distributed(spark, u):
     from pyspark.sql import Window as W
 
-    u = _lpa_backbone(spark, sf_dir)
     adj = (
         u.select(F.col("a").alias("v"), F.col("b").alias("nb"), "uw")
         .unionByName(
@@ -2201,10 +2255,68 @@ def _conductance_oracle() -> str:
     "division. Zero floats end to end, like LPA itself",
 )
 def graph_conductance(spark, sf_dir):
-    labels = graph_label_propagation(spark, sf_dir).select(
+    # ONE backbone pass serves both the LPA labels and the vol/cut
+    # readout (the former composition built it twice); below the local
+    # gate the whole labels -> vol/cut/ppm chain is exact-integer
+    # driver arithmetic, else the distributed composition runs on the
+    # shared relation.
+    u = _lpa_backbone(spark, sf_dir)
+    u_rows = _lpa_local_rows(u)
+    if u_rows is not None:
+        return _conductance_local(spark, u, u_rows)
+    labels = _lpa_distributed(spark, u).select(
         F.col("nation_id").alias("v"), F.col("community").alias("lbl")
     )
-    u = _lpa_backbone(spark, sf_dir)
+    return _conductance_distributed(spark, u, labels)
+
+
+def _conductance_local(spark, u, u_rows):
+    from pyspark.sql import types as T
+
+    labels = _lpa_local_labels(u_rows)
+    vol_w: dict[int, int] = {}
+    members: dict[int, set] = {}
+    cut_w: dict[int, int] = {}
+    total = 0
+    for r in u_rows:
+        a, b, uw = r["a"], r["b"], r["uw"]
+        la, lb = labels[a], labels[b]
+        total += 2 * uw
+        vol_w[la] = vol_w.get(la, 0) + uw
+        vol_w[lb] = vol_w.get(lb, 0) + uw
+        members.setdefault(la, set()).add(a)
+        members.setdefault(lb, set()).add(b)
+        if la != lb:
+            cut_w[la] = cut_w.get(la, 0) + uw
+            cut_w[lb] = cut_w.get(lb, 0) + uw
+    out = []
+    for lbl in sorted(vol_w):
+        den = min(vol_w[lbl], total - vol_w[lbl])
+        if den <= 0:
+            continue
+        cw = cut_w.get(lbl, 0)
+        out.append(
+            (
+                lbl,
+                len(members[lbl]),
+                vol_w[lbl],
+                cw,
+                cw * 1_000_000 // den,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("community", T.LongType(), True),
+            T.StructField("n_members", T.LongType(), True),
+            T.StructField("vol_w", T.LongType(), True),
+            T.StructField("cut_w", T.LongType(), True),
+            T.StructField("conductance_ppm", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _conductance_distributed(spark, u, labels):
     adj = u.select(F.col("a").alias("v"), "uw").unionByName(
         u.select(F.col("b").alias("v"), "uw")
     )

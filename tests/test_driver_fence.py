@@ -65,6 +65,12 @@ ALLOWED = {
         "operators/graph.py",
         "e_rows = e.limit(_CC_LOCAL_MAX_EDGES + 1).collect()",
     ): 1,
+    # LPA-family fast paths (label propagation, conductance): capped
+    # probe of the sparsified backbone, same 64-node bound
+    (
+        "operators/graph.py",
+        "rows = u.limit(_BT_LOCAL_MAX_EDGES + 1).collect()",
+    ): 1,
     ("functions/embeddings.py", ").collect()"): 1,
     ("functions/text.py", "for r in pairs.collect():"): 1,
     ("functions/ranking.py", ").collect()[0]"): 1,

@@ -331,6 +331,43 @@ def test_trade_cc_local_matches_distributed(spark, sf_dir):
     assert got == ref
 
 
+def test_lpa_and_conductance_local_match_distributed(spark, sf_dir):
+    """Divergence guard for the LPA-family fast paths."""
+    from pyspark.sql import functions as F
+
+    from shippinglanes_spark.operators.graph import (
+        _conductance_distributed,
+        _lpa_backbone,
+        _lpa_distributed,
+    )
+    from shippinglanes_spark.registry import all_queries
+
+    u = _lpa_backbone(spark, sf_dir)
+    labels_dist = _lpa_distributed(spark, u)
+    got_lpa = sorted(
+        tuple(r)
+        for r in all_queries()["graph_label_propagation"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert got_lpa == sorted(tuple(r) for r in labels_dist.collect())
+    got_cond = sorted(
+        tuple(r)
+        for r in all_queries()["graph_conductance"].fn(spark, sf_dir).collect()
+    )
+    ref_cond = sorted(
+        tuple(r)
+        for r in _conductance_distributed(
+            spark,
+            u,
+            labels_dist.select(
+                F.col("nation_id").alias("v"), F.col("community").alias("lbl")
+            ),
+        ).collect()
+    )
+    assert got_cond == ref_cond
+
+
 def test_cohen_kappa_matches_confusion_reference(spark, sf_dir):
     from shippinglanes_spark.registry import all_queries as Q
 
