@@ -62,11 +62,22 @@ def text_repetition(spark, sf_dir):
     toks = F.split(F.col("text"), " ")
     g2 = shingles(F.col("text"), 2)
     g3 = shingles(F.col("text"), 3)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
-        )
+    # Max token multiplicity = longest run in the SORTED token array:
+    # one O(n log n) sort + O(n) fold per row, where the former
+    # distinct x filter-count form was O(n * n_distinct) interpreted
+    # per row (quadratic in doc length; same integers, measured
+    # 1.17 s -> 0.91 s at sf0.1 and asymptotically safe for long docs)
+    top_count = F.expr(
+        """
+        aggregate(
+          array_sort(split(text, ' ')),
+          struct(cast(null as string) as prev, 0 as run, 0 as best),
+          (acc, x) -> struct(
+            x as prev,
+            if(x = acc.prev, acc.run + 1, 1) as run,
+            greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),
+          acc -> acc.best)
+        """
     )
     dup_frac = lambda g: F.round(
         1.0
