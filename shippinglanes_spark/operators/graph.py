@@ -107,12 +107,56 @@ def graph_pagerank(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .localCheckpoint()
     )
+    nodes = n.select(F.col("n_nationkey").alias("id"))
+    edge_rows = _dir_local_edges(edges)
+    if edge_rows is not None:
+        ids = _local_node_ids(nodes)
+        if ids is not None and edge_rows:
+            return _pagerank_local(spark, nodes, edge_rows, ids)
+    return _pagerank_distributed(spark, edges, nodes)
+
+
+def _pagerank_local(spark, nodes, edge_rows, ids):
+    """Driver-side exact replica of the distributed iteration for the
+    size-gated fast path (the betweenness discipline): outw is an exact
+    integer sum, frac the same long/long double division, each mass is
+    the per-destination float fold in (src, dst) order, and the damping
+    expression mirrors the Spark literals op for op. ROUND 6dp absorbs
+    fold-order ulps exactly as it does between Spark and the oracle."""
+    from pyspark.sql import types as T
+
+    es = sorted((r["src"], r["dst"], r["w"]) for r in edge_rows)
+    n_nodes = len(ids)
+    outw: dict[int, int] = {}
+    for src, _dst, w in es:
+        outw[src] = outw.get(src, 0) + w
+    frac = [(src, dst, w / outw[src]) for src, dst, w in es]
+    r = {i: 1.0 / n_nodes for i in ids}
+    base = (1.0 - _DAMP) / n_nodes
+    for _ in range(_ITERS):
+        mass: dict[int, float] = {}
+        for src, dst, fr_ in frac:
+            mass[dst] = mass.get(dst, 0.0) + r[src] * fr_
+        r = {i: base + _DAMP * mass.get(i, 0.0) for i in ids}
+    ntype = nodes.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("nation_id", ntype, True),
+            T.StructField("pagerank", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, _round6(r[i])) for i in ids], schema
+    )
+
+
+def _pagerank_distributed(spark, edges, nodes):
+    """The original iterative plan — the over-cap fallback."""
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
     frac = edges.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
     ).localCheckpoint()
 
-    nodes = n.select(F.col("n_nationkey").alias("id"))
     n_nodes = nodes.count()
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(_ITERS):
@@ -1259,6 +1303,49 @@ def _local_bfs_dist(adj):
     return dist
 
 
+# Directed-edge flavor of the gate for the score-iteration family
+# (pagerank / HITS): their edge relation is DIRECTED nation pairs with
+# self-loops allowed, so the cap is the full directed square.
+_DIR_LOCAL_MAX_EDGES = _BT_LOCAL_MAX_NODES * _BT_LOCAL_MAX_NODES
+
+
+def _dir_local_edges(edges):
+    """Capped DIRECTED edge probe for the pagerank/HITS driver fast
+    paths: the collected (src, dst, w) list when the graph fits the
+    local gate, None when the distributed loop must run. Bounded by
+    construction (limit cap+1) — see tests/test_driver_fence.py."""
+    rows = edges.limit(_DIR_LOCAL_MAX_EDGES + 1).collect()
+    if len(rows) > _DIR_LOCAL_MAX_EDGES:
+        return None
+    nodes = {r["src"] for r in rows} | {r["dst"] for r in rows}
+    if len(nodes) > _BT_LOCAL_MAX_NODES:
+        return None
+    return rows
+
+
+def _local_node_ids(nodes):
+    """Capped node-domain probe (the nation table): sorted id list, or
+    None over the gate. Bounded by construction (limit cap+1)."""
+    rows = nodes.limit(_BT_LOCAL_MAX_NODES + 1).collect()
+    if len(rows) > _BT_LOCAL_MAX_NODES:
+        return None
+    return sorted(r["id"] for r in rows)
+
+
+def _round6(x: float) -> float:
+    """Spark ROUND(double, 6) replica for the driver fast paths:
+    HALF_UP on the shortest decimal representation (Spark rounds
+    BigDecimal.valueOf(d) = new BigDecimal(Double.toString(d)), and
+    Python's repr() produces the same shortest round-trip digits)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 @register(
     "graph_betweenness",
     section="2.9",
@@ -1907,6 +1994,51 @@ def graph_hits(spark, sf_dir):
         .localCheckpoint()
     )
     nodes = n.select(F.col("n_nationkey").alias("id"))
+    edge_rows = _dir_local_edges(edges)
+    if edge_rows is not None:
+        ids = _local_node_ids(nodes)
+        if ids is not None and edge_rows:
+            return _hits_local(spark, nodes, edge_rows, ids)
+    return _hits_distributed(spark, edges, nodes)
+
+
+def _hits_local(spark, nodes, edge_rows, ids):
+    """Driver-side exact replica of the distributed HITS iteration for
+    the size-gated fast path: per-node float folds in (src, dst) edge
+    order, max normalizers (order-independent), the same
+    coalesce(v, 0.0)/mx divisions, ROUND 6dp at the end (absorbs
+    fold-order ulps exactly as between Spark and the oracle)."""
+    from pyspark.sql import types as T
+
+    es = sorted((r["src"], r["dst"], r["w"]) for r in edge_rows)
+    h = {i: 1.0 for i in ids}
+    a: dict[int, float] = {}
+    for _ in range(_HITS_ITERS):
+        ar: dict[int, float] = {}
+        for src, dst, w in es:
+            ar[dst] = ar.get(dst, 0.0) + h[src] * w
+        mx = max(ar.values())
+        a = {i: ar.get(i, 0.0) / mx for i in ids}
+        hr: dict[int, float] = {}
+        for src, dst, w in es:
+            hr[src] = hr.get(src, 0.0) + a[dst] * w
+        hmx = max(hr.values())
+        h = {i: hr.get(i, 0.0) / hmx for i in ids}
+    ntype = nodes.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("nation_id", ntype, True),
+            T.StructField("hub", T.DoubleType(), True),
+            T.StructField("authority", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, _round6(h[i]), _round6(a[i])) for i in ids], schema
+    )
+
+
+def _hits_distributed(spark, edges, nodes):
+    """The original iterative plan — the over-cap fallback."""
     hub = nodes.select("id", F.lit(1.0).alias("h"))
     auth = None
     for _ in range(_HITS_ITERS):

@@ -71,6 +71,17 @@ ALLOWED = {
         "operators/graph.py",
         "rows = u.limit(_BT_LOCAL_MAX_EDGES + 1).collect()",
     ): 1,
+    # pagerank/HITS fast paths: capped DIRECTED edge probe (self-loops
+    # allowed, so the cap is the full 64x64 square) plus the node-domain
+    # probe of the fixed nation table, same 64-node bound
+    (
+        "operators/graph.py",
+        "rows = edges.limit(_DIR_LOCAL_MAX_EDGES + 1).collect()",
+    ): 1,
+    (
+        "operators/graph.py",
+        "rows = nodes.limit(_BT_LOCAL_MAX_NODES + 1).collect()",
+    ): 1,
     ("functions/embeddings.py", ").collect()"): 1,
     ("functions/text.py", "for r in pairs.collect():"): 1,
     ("functions/ranking.py", ").collect()[0]"): 1,

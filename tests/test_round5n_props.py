@@ -922,3 +922,50 @@ def test_burstiness_coefficient_matches_pandas(spark, sf_dir):
         assert r.n_gaps == n
         assert abs(r.mean_gap_min - mu) < 2e-4
         assert abs(r.burstiness - (sigma - mu) / (sigma + mu)) < 2e-6
+
+
+def test_pagerank_and_hits_local_match_distributed(spark, sf_dir):
+    """Divergence guard for the score-iteration fast paths (pagerank,
+    HITS): the size-gated driver replica must produce the same ROUND-6dp
+    relation as the distributed iterative plan it replaces."""
+    from pyspark.sql import functions as F
+
+    from shippinglanes_spark.operators.graph import (
+        _hits_distributed,
+        _pagerank_distributed,
+    )
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.registry import all_queries
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = n.select(F.col("n_nationkey").alias("id"))
+
+    got_pr = sorted(
+        tuple(r)
+        for r in all_queries()["graph_pagerank"].fn(spark, sf_dir).collect()
+    )
+    ref_pr = sorted(
+        tuple(r) for r in _pagerank_distributed(spark, edges, nodes).collect()
+    )
+    assert got_pr == ref_pr
+
+    got_h = sorted(
+        tuple(r)
+        for r in all_queries()["graph_hits"].fn(spark, sf_dir).collect()
+    )
+    ref_h = sorted(
+        tuple(r) for r in _hits_distributed(spark, edges, nodes).collect()
+    )
+    assert got_h == ref_h
