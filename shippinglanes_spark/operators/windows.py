@@ -859,11 +859,20 @@ def win_rolling_corr(spark, sf_dir):
     seq = ev.select(
         "user_id",
         "event_id",
+        "ts",
         F.row_number().over(wi).cast("long").alias("i"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
         F.floor((us - F.lag(us).over(wi)) / 1000000).cast("long").alias("x"),
     ).where(F.col("x").isNotNull())
-    f = Window.partitionBy("user_id").orderBy("i").rowsBetween(-19, 0)
+    # frame ordered by (ts, event_id) — the exact order i numbers, so the
+    # row sequence is identical — because ordering by i itself forces a
+    # SECOND per-partition sort (Spark can't prove i is sort-equivalent);
+    # sharing wi's sort drops that Sort node from the plan
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
     w = seq.select(
         "user_id",
         "event_id",
