@@ -417,14 +417,21 @@ def rank_err(spark, sf_dir):
 )
 def ts_ljung_box(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    d0 = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the daily rollup feeds THREE consumers (spine types, spine days,
+    # the zero-fill left join) and m re-derives d — without a cut the
+    # planner inlines the subtree everywhere (observed: 6 parquet scans
+    # of events for a <= |types|*|days| row relation). localCheckpoint
+    # the tiny rollup so the corpus is scanned exactly once.
+    d0 = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     types = d0.select("event_type").distinct()
     days = d0.select("day").distinct()
     d = (
         types.crossJoin(days)
-        .join(d0, ["event_type", "day"], "left")
+        .join(F.broadcast(d0), ["event_type", "day"], "left")
         .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
     )
     m = d.groupBy("event_type").agg(
@@ -522,14 +529,19 @@ def ts_ljung_box(spark, sf_dir):
 )
 def agg_cronbach_alpha(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    d0 = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # checkpoint the daily rollup BEFORE its three consumers (types,
+    # days, left join) — checkpointing only d still scanned events 3x
+    # inside the one materialization job (the ts_ljung_box lesson)
+    d0 = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     types = d0.select("event_type").distinct()
     days = d0.select("day").distinct()
     d = (
         types.crossJoin(days)
-        .join(d0, ["event_type", "day"], "left")
+        .join(F.broadcast(d0), ["event_type", "day"], "left")
         .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
         .localCheckpoint()  # k x days grid, read twice (items + totals)
     )

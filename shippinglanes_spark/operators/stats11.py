@@ -619,9 +619,14 @@ def agg_deming(spark, sf_dir):
 )
 def ts_sample_entropy(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    h0 = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # hourly rollup feeds bounds, types AND the zero-fill left join —
+    # checkpoint it so the corpus is scanned once, not 3x, inside the
+    # grid materialization (the ts_ljung_box lesson)
+    h0 = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     bounds = h0.agg(
         F.min("h").alias("hmin"),
         F.expr(
@@ -636,7 +641,7 @@ def ts_sample_entropy(spark, sf_dir):
     types = h0.select("event_type").distinct()
     g = (
         types.crossJoin(spine)
-        .join(h0, ["event_type", "h"], "left")
+        .join(F.broadcast(h0), ["event_type", "h"], "left")
         .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
         .localCheckpoint()  # calendar-sized grid, read twice below
     )
@@ -675,8 +680,12 @@ def ts_sample_entropy(spark, sf_dir):
         F.col("c1").alias("bc1"),
         F.col("c2").alias("bc2"),
     )
+    # b is calendar-bounded (<= |types| * _SE_HOURS rows at ANY corpus
+    # size) — broadcast it deliberately: the checkpointed grid carries
+    # no size stats, so the estimate-driven BHJ stopped firing once g
+    # became an RDD (observed BHJ->SMJ flip at the audit SF)
     j = (
-        a.join(b, (F.col("a.event_type") == F.col("bet")))
+        a.join(F.broadcast(b), (F.col("a.event_type") == F.col("bet")))
         .where(F.col("bt") > F.col("a.t"))
         .join(F.broadcast(rt), F.col("a.event_type") == rt.event_type)
     )
