@@ -42,9 +42,29 @@ def _scratch(name: str) -> str:
     notes="write partitioned parquet, read back, aggregate; oracle aggregates the source",
 )
 def sink_parquet(spark, sf_dir):
+    import math
+
     li = table(spark, sf_dir, "lineitem")
     out = _scratch(f"sink_parquet_{os.path.basename(sf_dir.rstrip('/'))}")
-    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # Plan the file layout before the write (guide §6/§8): aim for
+    # ~128 MB output files by spreading each partition value over
+    # k = ceil(input_bytes / target) salted sub-groups, then shuffle by
+    # (partition value, sub-group) so every write task encodes exactly
+    # its own files. Without this the dynamic-partition writer encodes
+    # from however many tasks the scan happened to produce — locally ONE
+    # (a single parquet row group), so a 3-way-parallel encode ran
+    # single-threaded; at scale it is the many-small-files hazard. The
+    # salt is deterministic (xxhash64 of the row key, never rand — task
+    # retries must reproduce the same placement).
+    target = 128 << 20
+    est = int(
+        str(li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    k = max(1, math.ceil(est / target))
+    shaped = li.repartition(
+        F.col("l_returnflag"), F.pmod(F.xxhash64("l_orderkey"), F.lit(k))
+    )
+    shaped.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -163,9 +183,17 @@ def sink_bucketed(spark, sf_dir):
         "o_orderkey", "o_orderpriority"
     )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    (o.write.mode("overwrite").format("parquet").option("path", o_path)
+    # Shuffle by the bucket key into numBuckets partitions before the
+    # bucketed write: repartition(8, key) is the SAME Murmur3-pmod the
+    # bucket id uses, so each write task holds exactly one bucket —
+    # parallel encode, one file per bucket, and the per-task sortBy
+    # sorts only its own bucket (guide §2.4/§6; measured 2.03 -> 0.96 s
+    # steady for the two writes vs encoding from the scan's task layout)
+    (o.repartition(8, "o_orderkey")
+     .write.mode("overwrite").format("parquet").option("path", o_path)
      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_name))
-    (li.write.mode("overwrite").format("parquet").option("path", l_path)
+    (li.repartition(8, "l_orderkey")
+     .write.mode("overwrite").format("parquet").option("path", l_path)
      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(l_name))
     ob, lb = spark.table(o_name), spark.table(l_name)
     return (
