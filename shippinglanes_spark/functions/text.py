@@ -1124,20 +1124,29 @@ def join_set_containment(spark, sf_dir):
             ).alias("s")
         )
         .select("doc_id", "s", F.size("s").alias("n"))
+        # both explode sides read this relation — cut it so the
+        # rarity join + collect_list aggregation runs once, not twice
+        .localCheckpoint()
     )
     # probe prefix length na - ceil(0.8*na) + 1; ceil(4n/5) = (4n+4) div 5
     plen = (
         F.col("n") - ((F.lit(4) * F.col("n") + 4) / 5).cast("long") + 1
     )
+    # The explode sides carry IDs + sizes ONLY: shipping the full
+    # shingle arrays through the token join replicates each |s|-array
+    # once per exploded token (quadratic bytes in doc length across the
+    # exchange — guide §8: move decisions on lightweight proxies, then
+    # attach the payload once). The arrays are re-attached to the
+    # DEDUPED candidate pairs from the checkpointed d; array_intersect
+    # cardinality is order-independent, so the raw distinct-shingle
+    # arrays verify identically to the rarity-sorted ones.
     a = ordered.select(
         F.col("doc_id").alias("doc_in"),
-        F.col("s").alias("sa"),
         F.col("n").alias("na"),
         F.explode(F.slice("s", 1, plen)).alias("tok"),
     )
     b = ordered.select(
         F.col("doc_id").alias("doc_host"),
-        F.col("s").alias("sb"),
         F.col("n").alias("nb"),
         F.explode("s").alias("tok"),
     )
@@ -1147,8 +1156,21 @@ def join_set_containment(spark, sf_dir):
             (F.col("doc_in") != F.col("doc_host"))
             & (F.col("nb") * 5 >= 4 * F.col("na"))
         )
-        .select("doc_in", "doc_host", "sa", "sb", "na")
+        .select("doc_in", "doc_host", "na")
         .dropDuplicates(["doc_in", "doc_host"])
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_in"), F.col("toks").alias("sa")
+            ),
+            "doc_in",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_host"),
+                F.col("toks").alias("sb"),
+            ),
+            "doc_host",
+        )
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
