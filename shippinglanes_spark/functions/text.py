@@ -698,29 +698,44 @@ def join_set_similarity(spark, sf_dir):
             ).alias("s")
         )
         .select("doc_id", "s", F.size("s").alias("n"))
+        # both prefix-explode sides read this relation — cut it so the
+        # rarity join + collect_list aggregation runs once, not twice
+        .localCheckpoint()
     )
     # prefix length n - ceil(0.6n) + 1, ceil as exact integer arithmetic
     plen = F.col("n") - ((F.lit(3) * F.col("n") + 4) / 5).cast("long") + 1
+    # IDs + sizes only through the prefix-token join: carrying the full
+    # shingle arrays replicates each |s|-array once per prefix token
+    # across the exchange (guide §8 — decide on lightweight proxies,
+    # attach the payload once). Arrays re-attach to the DEDUPED pairs
+    # from the checkpointed d; array_intersect cardinality is
+    # order-independent, so raw distinct arrays verify identically.
     pref = ordered.select(
-        "doc_id", "s", "n", F.explode(F.slice("s", 1, plen)).alias("ptok")
+        "doc_id", "n", F.explode(F.slice("s", 1, plen)).alias("ptok")
     )
     a = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("s").alias("sa"),
-        F.col("n").alias("na"),
-        "ptok",
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "ptok"
     )
     b = pref.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("s").alias("sb"),
-        F.col("n").alias("nb"),
-        "ptok",
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "ptok"
     )
     cand = (
         a.join(b, "ptok")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb", "na", "nb")
+        .select("doc_a", "doc_b", "na", "nb")
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_a"), F.col("toks").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_b"), F.col("toks").alias("sb")
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.col("na") + F.col("nb") - inter
