@@ -1583,21 +1583,28 @@ def text_burrows_delta(spark, sf_dir):
     tok = fan_out(d.select("source", "text")).select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
-    top = (
-        tok.groupBy("tok")
+    # ONE corpus pass: the (source, token) count table answers every
+    # downstream question (global top terms, per-source totals, grid
+    # counts). Without the cut the token explode re-inlined into each
+    # consumer and their consumers — the plan read the documents
+    # parquet 16 times. stc is |sources| x vocabulary-sized: the
+    # natural proxy relation (guide §8), checkpointed once.
+    stc = (
+        tok.groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    top = (
+        stc.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("c"))
         .orderBy(F.desc("c"), "tok")
         .limit(_BD_TOP)
         .select("tok")
     )
-    tot = tok.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("tot")
+    tot = stc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("tot")
     )
-    cnt = (
-        tok.join(F.broadcast(top), "tok")
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    cnt = stc.join(F.broadcast(top), "tok").select("source", "tok", "c")
     grid = (
         tot.crossJoin(F.broadcast(top))
         .join(cnt, ["source", "tok"], "left")

@@ -1935,6 +1935,11 @@ def evt_logrank(spark, sf_dir):
 
 
 _MK_ITERS = 8
+# Size gate for the driver-side power-iteration fast path: the
+# transition matrix is |states|^2-bounded (states are event types — a
+# fixed vocabulary at ANY corpus size); over the cap the distributed
+# loop runs instead (the graph-family discipline).
+_MK_LOCAL_MAX = 64 * 64
 
 _MK_EDGES_SQL = """
     e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
@@ -2016,6 +2021,47 @@ def evt_markov_stationary(spark, sf_dir):
     p = tc.join(rt, "from_type").select(
         "from_type", "to_type", (F.col("n") / F.col("tot")).alias("frac")
     ).localCheckpoint()
+    p_rows = p.limit(_MK_LOCAL_MAX + 1).collect()
+    if len(p_rows) <= _MK_LOCAL_MAX:
+        return _markov_local(spark, p, p_rows)
+    return _markov_distributed(spark, p)
+
+
+def _markov_local(spark, p, p_rows):
+    """Driver-side exact replica for the size-gated fast path (the
+    graph_pagerank discipline): the collected fracs are the identical
+    long/long doubles, the matrix-vector fold runs in sorted
+    (from_type, to_type) order, and each iteration's support is exactly
+    the reachable to_type set (matching the distributed join+groupBy).
+    ROUND 6dp absorbs fold-order ulps exactly as it does between Spark
+    and the oracle."""
+    from pyspark.sql import types as T
+
+    from .graph import _round6
+
+    rows = sorted((r["from_type"], r["to_type"], r["frac"]) for r in p_rows)
+    states = sorted({ft for ft, _tt, _f in rows})
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(_MK_ITERS):
+        new: dict[str, float] = {}
+        for ft, tt, frac in rows:
+            if ft in pi:
+                new[tt] = new.get(tt, 0.0) + pi[ft] * frac
+        pi = new
+    stype = p.schema["from_type"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("state", stype, True),
+            T.StructField("stationary_prob", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(s, _round6(v)) for s, v in sorted(pi.items())], schema
+    )
+
+
+def _markov_distributed(spark, p):
+    """The original iterative plan — the over-cap fallback."""
     states = p.select(F.col("from_type").alias("state")).distinct()
     n_states = states.count()
     pi = states.select("state", F.lit(1.0 / n_states).alias("pr"))

@@ -1809,6 +1809,50 @@ def _bridges_oracle() -> str:
 )
 def graph_bridges(spark, sf_dir):
     und = _trade_und(spark, sf_dir)
+    edge_rows = _und_local_edges(und)
+    if edge_rows is not None:
+        return _bridges_local(spark, und, edge_rows)
+    return _bridges_distributed(spark, und)
+
+
+def _bridges_local(spark, und, edge_rows):
+    """Driver-side exact replica for the size-gated fast path (the
+    betweenness discipline): per edge, BFS from its a-endpoint with
+    that one edge excluded in BOTH directions, capped at _CL_ITERS
+    levels exactly like the distributed loop; all-integer output."""
+    from pyspark.sql import types as T
+
+    adj = _local_adj(edge_rows)
+    out = []
+    for r in edge_rows:
+        ea, eb = r["a"], r["b"]
+        seen = {ea}
+        frontier = [ea]
+        for _ in range(_CL_ITERS):
+            nxt = []
+            for p in frontier:
+                for y in adj[p]:
+                    if (p == ea and y == eb) or (p == eb and y == ea):
+                        continue
+                    if y not in seen:
+                        seen.add(y)
+                        nxt.append(y)
+            if not nxt:
+                break
+            frontier = nxt
+        out.append((ea, eb, 0 if eb in seen else 1))
+    ntype = und.schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("a", ntype, True),
+            T.StructField("b", ntype, True),
+            T.StructField("is_bridge", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _bridges_distributed(spark, und):
     bidir = und.select(
         F.col("a").alias("x"), F.col("b").alias("y")
     ).unionByName(und.select(F.col("b").alias("x"), F.col("a").alias("y")))

@@ -804,6 +804,12 @@ def profile_k_anonymity(spark, sf_dir):
 
 
 _IPF_ITERS = 3
+# Size gate for the driver-side raking fast path: the cell table is
+# QI-cardinality (nations x segments — fixed at ANY corpus size); over
+# the cap the distributed loop runs instead (the graph-family
+# discipline). The margin tables' domains are subsets of the cells', so
+# the one capped probe bounds all three collects.
+_IPF_LOCAL_MAX = 4096
 
 _IPF_BASE_SQL = """
     cells AS (SELECT c_nationkey AS n, c_mktsegment AS s,
@@ -904,6 +910,75 @@ def agg_ipf_raking(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("tc"))
         .localCheckpoint()
     )
+    cell_rows = cells.limit(_IPF_LOCAL_MAX + 1).collect()
+    if len(cell_rows) <= _IPF_LOCAL_MAX:
+        return _ipf_local(spark, cells, cell_rows, trow, tcol)
+    return _ipf_distributed(spark, cells, trow, tcol)
+
+
+def _ipf_local(spark, cells, cell_rows, trow, tcol):
+    """Driver-side exact replica for the size-gated fast path (the
+    graph_pagerank discipline): margin sums are exact Python ints, the
+    two scaling steps replicate Spark's double expression tree op for
+    op (w_double * (t_double * 1000000.0) / margin_double, floored),
+    so every weight is bit-identical to the distributed loop's."""
+    import math
+
+    from pyspark.sql import types as T
+
+    tr = {r["n"]: r["tr"] for r in trow.collect()}
+    tc = {r["s"]: r["tc"] for r in tcol.collect()}
+    cl = sorted((r["n"], r["s"], r["seed"]) for r in cell_rows)
+    w = {(n, s): seed * 1_000_000 for n, s, seed in cl}
+    for _ in range(_IPF_ITERS):
+        # margin sums run over the CURRENT cell set, then the inner
+        # join with the target margins drops unmatched cells — exactly
+        # the distributed plan's order of operations
+        rs: dict[int, int] = {}
+        for (n, s), wv in w.items():
+            rs[n] = rs.get(n, 0) + wv
+        w = {
+            (n, s): math.floor(
+                float(wv) * (float(tr[n]) * 1000000.0) / float(rs[n])
+            )
+            for (n, s), wv in w.items()
+            if n in tr
+        }
+        cs: dict[str, int] = {}
+        for (n, s), wv in w.items():
+            cs[s] = cs.get(s, 0) + wv
+        w = {
+            (n, s): math.floor(
+                float(wv) * (float(tc[s]) * 1000000.0) / float(cs[s])
+            )
+            for (n, s), wv in w.items()
+            if s in tc
+        }
+    ntype = cells.schema["n"].dataType
+    stype = cells.schema["s"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("nationkey", ntype, True),
+            T.StructField("mktsegment", stype, True),
+            T.StructField("seed", T.LongType(), True),
+            T.StructField("raked_weight", T.DoubleType(), True),
+        ]
+    )
+    out = [
+        (
+            n,
+            s,
+            seed,
+            math.floor(float(w[(n, s)]) / 1000000.0 * 1e4) / 1e4,
+        )
+        for n, s, seed in cl
+        if (n, s) in w  # the final cells-to-weights inner join
+    ]
+    return spark.createDataFrame(out, schema)
+
+
+def _ipf_distributed(spark, cells, trow, tcol):
+    """The original iterative plan — the over-cap fallback."""
     w = cells.select("n", "s", (F.col("seed") * 1000000).alias("w"))
     for _ in range(_IPF_ITERS):
         rs = w.groupBy("n").agg(F.sum("w").cast("long").alias("rs"))

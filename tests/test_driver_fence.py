@@ -82,6 +82,28 @@ ALLOWED = {
         "operators/graph.py",
         "rows = nodes.limit(_BT_LOCAL_MAX_NODES + 1).collect()",
     ): 1,
+    # evt_markov_stationary fast path: capped probe of the |states|^2-
+    # bounded transition matrix (states = event types, a fixed
+    # vocabulary); over the cap the distributed power iteration runs
+    (
+        "operators/events.py",
+        "p_rows = p.limit(_MK_LOCAL_MAX + 1).collect()",
+    ): 1,
+    # agg_ipf_raking fast path: capped probe of the QI-cardinality
+    # (nation x segment) cell table; the margin tables' domains are
+    # subsets of the cells', so the one cap bounds all three collects
+    (
+        "operators/stats6.py",
+        "cell_rows = cells.limit(_IPF_LOCAL_MAX + 1).collect()",
+    ): 1,
+    (
+        "operators/stats6.py",
+        'tr = {r["n"]: r["tr"] for r in trow.collect()}',
+    ): 1,
+    (
+        "operators/stats6.py",
+        'tc = {r["s"]: r["tc"] for r in tcol.collect()}',
+    ): 1,
     ("functions/embeddings.py", ").collect()"): 1,
     ("functions/text.py", "for r in pairs.collect():"): 1,
     ("functions/ranking.py", ").collect()[0]"): 1,

@@ -969,3 +969,111 @@ def test_pagerank_and_hits_local_match_distributed(spark, sf_dir):
         tuple(r) for r in _hits_distributed(spark, edges, nodes).collect()
     )
     assert got_h == ref_h
+
+
+def test_bridges_local_matches_distributed(spark, sf_dir):
+    """Divergence guard for the graph_bridges size-gated fast path: the
+    driver-side per-edge BFS (edge excluded both directions, depth
+    capped at _CL_ITERS) must reproduce the distributed keyed
+    multi-source BFS relation exactly."""
+    from shippinglanes_spark.operators.graph import (
+        _bridges_distributed,
+        _trade_und,
+    )
+    from shippinglanes_spark.registry import all_queries
+
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["graph_bridges"].fn(spark, sf_dir).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in _bridges_distributed(spark, _trade_und(spark, sf_dir)).collect()
+    )
+    assert got == ref
+
+
+def test_markov_local_matches_distributed(spark, sf_dir):
+    """Divergence guard for the evt_markov_stationary size-gated fast
+    path: the driver-side power iteration (sorted (from, to) fold,
+    support tracking the reachable to-set per iteration) must reproduce
+    the distributed broadcast-join loop's ROUND-6dp relation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.core import epoch_us
+    from shippinglanes_spark.operators.events import _markov_distributed
+    from shippinglanes_spark.registry import all_queries
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tc = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    rt = tc.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    p = tc.join(rt, "from_type").select(
+        "from_type", "to_type", (F.col("n") / F.col("tot")).alias("frac")
+    ).localCheckpoint()
+
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["evt_markov_stationary"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    ref = sorted(tuple(r) for r in _markov_distributed(spark, p).collect())
+    assert got == ref
+
+
+def test_ipf_local_matches_distributed(spark, sf_dir):
+    """Divergence guard for the agg_ipf_raking size-gated fast path:
+    the driver-side recurrence (exact integer margin sums, Spark's
+    double expression tree replicated op for op, inner-join drop
+    semantics) must reproduce the distributed loop's relation."""
+    from pyspark.sql import functions as F
+
+    from shippinglanes_spark.io import table
+    from shippinglanes_spark.operators.stats6 import _ipf_distributed
+    from shippinglanes_spark.registry import all_queries
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        c.groupBy(
+            F.col("c_nationkey").alias("n"),
+            F.col("c_mktsegment").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("seed"))
+        .localCheckpoint()
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    trow = (
+        oc.groupBy(F.col("c_nationkey").alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tr"))
+        .localCheckpoint()
+    )
+    tcol = (
+        oc.groupBy(F.col("c_mktsegment").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .localCheckpoint()
+    )
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["agg_ipf_raking"].fn(spark, sf_dir).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in _ipf_distributed(spark, cells, trow, tcol).collect()
+    )
+    assert got == ref
