@@ -766,35 +766,81 @@ def emb_kmeans_iters(spark, sf_dir):
     cent = q.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c")
     )
-    assign = None
-    for _ in range(_KM_ITERS):
-        d = (
-            q.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cid")
+
+    def _assign(cent):
+        # centroids pivoted to one row per dim (k = 4 columns): the
+        # k distance sums and the argmin then fuse into ONE keyed
+        # aggregation — the agg+window form paid a second exchange and
+        # a per-partition sort every round for the same exact integers
+        cent_w = cent.groupBy("dim").agg(
+            *[
+                F.sum(F.when(F.col("cid") == i, F.col("c"))).alias(f"c{i}")
+                for i in range(_KM_K)
+            ]
+        )
+        dsums = (
+            q.join(F.broadcast(cent_w), "dim")
+            .groupBy("vec_id")
             .agg(
-                F.sum(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-                )
-                .cast("long")
-                .alias("dist")
+                *[
+                    F.sum(
+                        (F.col("x") - F.col(f"c{i}"))
+                        * (F.col("x") - F.col(f"c{i}"))
+                    )
+                    .cast("long")
+                    .alias(f"d{i}")
+                    for i in range(_KM_K)
+                ]
             )
         )
-        rk = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("dist", "cid")
+        # min struct = (smallest dist, smallest cid on ties) — the
+        # row_number(orderBy dist, cid) tiebreak; a centroid with no
+        # members vanishes (all-null sums), matching the join form
+        best = F.array_min(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"d{i}").alias("dist"),
+                            F.lit(i).cast("long").alias("cid"),
+                        )
+                        for i in range(_KM_K)
+                    ]
+                ),
+                lambda s: s["dist"].isNotNull(),
+            )
         )
-        assign = (
-            d.withColumn("rk", rk).where(F.col("rk") == 1).drop("rk")
-        ).localCheckpoint()
-        cent = (
-            assign.join(q, "vec_id")
+        return dsums.select(
+            "vec_id",
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
+
+    def _update(assign_df):
+        return (
+            q.join(
+                F.broadcast(assign_df.select("vec_id", "cid")), "vec_id"
+            )
             .groupBy("cid", "dim")
             .agg(
                 F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
                 .cast("long")
                 .alias("c")
             )
-            .localCheckpoint()
         )
+
+    # Intermediate rounds run assign + update as ONE job (the
+    # assignment is only consumed by the update, so materializing it
+    # bought nothing but a scheduling round-trip); only the final
+    # assignment is checkpointed — it feeds both the stats aggregate
+    # and the last centroid update.
+    assign = None
+    for it in range(_KM_ITERS):
+        if it < _KM_ITERS - 1:
+            cent = _update(_assign(cent)).localCheckpoint()
+        else:
+            assign = _assign(cent).localCheckpoint()
+            cent = _update(assign)
     stats = assign.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum("dist").cast("long").alias("inertia"),

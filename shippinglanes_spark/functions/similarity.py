@@ -379,10 +379,15 @@ def pq_knn(spark, emb, m: int = 8, ksub: int = 256, k: int = 1):
             # only for clarity)
             d2 = sub_sq - 2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            for c in range(len(cb)):
-                members = sub[assign == c]
-                if len(members):
-                    cb[c] = members.mean(axis=0)
+            # vectorized centroid update: the 256-way per-centroid mask
+            # loop cost ~0.9 s of single-threaded driver time per build
+            # (ksub x iters x m = 16k O(n) masks); scatter-add + bincount
+            # is one O(n) pass per iteration
+            counts = np.bincount(assign, minlength=len(cb))
+            sums = np.zeros_like(cb)
+            np.add.at(sums, assign, sub)
+            nz = counts > 0
+            cb[nz] = sums[nz] / counts[nz, None]
         books.append(cb)
     b_books = spark.sparkContext.broadcast(np.asarray(books))
 
