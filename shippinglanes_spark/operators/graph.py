@@ -1072,8 +1072,53 @@ def graph_random_walks(spark, sf_dir):
     """The corpus reduces to the edge list once (shared _trade_und
     pass); each of the 4 unrolled steps is a frontier->adjacency
     equi-join with a derandomized pick — the skip-gram pair generator
-    for graph embeddings, minus any RNG state."""
+    for graph embeddings, minus any RNG state. The walk domain is the
+    nation graph (fixed ~25 nodes at ANY corpus size), so below the
+    64-node gate the 4-step recurrence runs driver-side over the
+    collected (capped, fenced) edge list — the betweenness/pagerank
+    discipline; the distributed loop is unchanged as the over-cap
+    fallback."""
     und = _trade_und(spark, sf_dir)
+    edge_rows = _und_local_edges(und)
+    if edge_rows is not None:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("walk_id", T.LongType(), True),
+                T.StructField("step", T.LongType(), True),
+                T.StructField("node", T.LongType(), True),
+            ]
+        )
+        return spark.createDataFrame(_walks_local_rows(edge_rows), schema)
+    return _walks_distributed(spark, und)
+
+
+def _walks_local_rows(edge_rows):
+    """Driver-side replica of the distributed walk loop: sorted
+    adjacency, pick = ('0x'+md5('walk:'+id+':'+t)[:13]) % degree.
+    All-integer — no float divergence surface at all."""
+    import hashlib
+
+    adj: dict[int, list[int]] = {}
+    for r in edge_rows:
+        adj.setdefault(r["a"], []).append(r["b"])
+        adj.setdefault(r["b"], []).append(r["a"])
+    for v in adj:
+        adj[v].sort()
+    out = []
+    for v in sorted(adj):
+        cur = v
+        out.append((v, 0, cur))
+        for t in range(1, _WALK_STEPS + 1):
+            nb = adj[cur]
+            h = hashlib.md5(f"walk:{v}:{t}".encode()).hexdigest()[:13]
+            cur = nb[int(h, 16) % len(nb)]
+            out.append((v, t, cur))
+    return out
+
+
+def _walks_distributed(spark, und):
     bidir = und.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -1156,10 +1201,35 @@ def graph_random_walks(spark, sf_dir):
     "from graph_random_walks; everything after is graph-sized",
 )
 def graph_node2vec_pairs(spark, sf_dir):
-    """walks x walks within a walk_id, |step gap| in [1, 2]: the
-    localCheckpoint pins the 4-step iterative lineage so the self-join
-    doesn't re-run it twice."""
-    walks = graph_random_walks(spark, sf_dir).localCheckpoint()
+    """walks x walks within a walk_id, |step gap| in [1, 2]. Under the
+    same 64-node gate as graph_random_walks the pair extraction is a
+    driver-side integer count over the locally generated walks (25
+    walks x 5 steps); over the cap, the distributed self-join runs on
+    the checkpointed distributed walk table."""
+    und = _trade_und(spark, sf_dir)
+    edge_rows = _und_local_edges(und)
+    if edge_rows is not None:
+        from pyspark.sql import types as T
+
+        bywalk: dict[int, list[tuple[int, int]]] = {}
+        for wid, step, node in _walks_local_rows(edge_rows):
+            bywalk.setdefault(wid, []).append((step, node))
+        counts: dict[tuple[int, int], int] = {}
+        for sn in bywalk.values():
+            for sa, na in sn:
+                for sb, nb in sn:
+                    if 1 <= abs(sa - sb) <= 2:
+                        counts[(na, nb)] = counts.get((na, nb), 0) + 1
+        schema = T.StructType(
+            [
+                T.StructField("center", T.LongType(), True),
+                T.StructField("context", T.LongType(), True),
+                T.StructField("n_pairs", T.LongType(), True),
+            ]
+        )
+        rows = [(c, x, n) for (c, x), n in sorted(counts.items())]
+        return spark.createDataFrame(rows, schema)
+    walks = _walks_distributed(spark, und).localCheckpoint()
     wa = walks.alias("wa")
     wb = walks.alias("wb")
     gap = F.abs(F.col("wa.step") - F.col("wb.step"))

@@ -1077,3 +1077,54 @@ def test_ipf_local_matches_distributed(spark, sf_dir):
         for r in _ipf_distributed(spark, cells, trow, tcol).collect()
     )
     assert got == ref
+
+
+def test_walks_local_match_distributed(spark, sf_dir):
+    """Divergence guard for the graph_random_walks /
+    graph_node2vec_pairs size-gated fast paths: the driver-side
+    derandomized walk recurrence (md5 pick into the sorted adjacency)
+    and the pair count built on it must reproduce the distributed
+    4-step broadcast-join loop exactly — all-integer, so equality is
+    exact, no tolerance."""
+    from pyspark.sql import functions as F
+
+    from shippinglanes_spark.operators.graph import (
+        _trade_und,
+        _walks_distributed,
+    )
+    from shippinglanes_spark.registry import all_queries
+
+    und = _trade_und(spark, sf_dir)
+    got_w = sorted(
+        tuple(r)
+        for r in all_queries()["graph_random_walks"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    ref_w = sorted(tuple(r) for r in _walks_distributed(spark, und).collect())
+    assert got_w == ref_w
+
+    walks = _walks_distributed(spark, und).localCheckpoint()
+    wa = walks.alias("wa")
+    wb = walks.alias("wb")
+    gap = F.abs(F.col("wa.step") - F.col("wb.step"))
+    ref_p = sorted(
+        tuple(r)
+        for r in wa.join(
+            wb,
+            (F.col("wa.walk_id") == F.col("wb.walk_id")) & gap.between(1, 2),
+        )
+        .groupBy(
+            F.col("wa.node").alias("center"),
+            F.col("wb.node").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .collect()
+    )
+    got_p = sorted(
+        tuple(r)
+        for r in all_queries()["graph_node2vec_pairs"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert got_p == ref_p
