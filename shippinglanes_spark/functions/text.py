@@ -309,7 +309,15 @@ def text_ngram_jaccard(spark, sf_dir):
     sh = (
         fan_out(d.select("doc_id", "text"))
         .join(F.broadcast(cand_docs), "doc_id")
-        .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        # two-step tokenize-then-shingle (the r4 HOF-under-Generate
+        # lesson shingles() itself documents): inlining split() into the
+        # exploded HOF evaluates it interpreted per generated row —
+        # measured 0.81 -> 0.44 s for this stage at sf0.1
+        .select("doc_id", F.split("text", " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("__toks"))).alias("shingle"),
+        )
         .where(F.col("shingle") != "")
         .distinct()
         .localCheckpoint()
