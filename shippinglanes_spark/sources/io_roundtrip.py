@@ -238,6 +238,12 @@ def source_binaryfile(spark, sf_dir):
     (
         d.where(F.col("doc_id") < 100)
         .select("doc_id", "text")
+        # spread the 100 partition-dir creates over 8 writer tasks: the
+        # single-row-group fixture scan is ONE task, so the dynamic-
+        # partition write was 100 sequential file commits (guide §6 —
+        # measured 1.55 -> 0.54 s; each doc_id still lands in exactly
+        # one task, so the one-file-per-object layout is unchanged)
+        .repartition(8, "doc_id")
         .write.mode("overwrite")
         .partitionBy("doc_id")
         .text(out)
@@ -404,7 +410,11 @@ def multimodal_blob_dedup(spark, sf_dir):
     planted = a.join(
         F.broadcast(b), (F.col("doc_id") % 7) == F.col("src_id")
     ).select("doc_id", "text")
-    planted.write.mode("overwrite").partitionBy("doc_id").text(out)
+    # same 8-task spread as source_binaryfile: 100 partition-dir
+    # commits in parallel instead of one sequential writer task
+    planted.repartition(8, "doc_id").write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(out)
     back = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")
