@@ -499,8 +499,9 @@ def geo_stop_detect(spark, sf_dir):
     """,
     notes="AIS encounter detection: vessel pairs with fixes within 0.5 "
     "degrees AND 1 hour of each other, counted per pair. Spatio-TEMPORAL "
-    "grid bucketing: probes replicate to 3x3 neighbor cells x 3 adjacent "
-    "hour buckets (27 copies), homes stay put, so the spacetime "
+    "grid bucketing (double-cell scheme: 2*eps cells, probes replicate "
+    "to the <= 2 cells per axis their eps-ball touches, <= 8 copies), "
+    "homes stay put, so the spacetime "
     "theta-join becomes a plain equi-join on (cell, bucket) + exact "
     "residual filter — keyed shuffle scaling with bucket occupancy, "
     "never n²; every qualifying fix pair meets exactly once (home cell "
