@@ -58,39 +58,87 @@ BOILERPLATE_MIN_DOCS = 5
     "top-token share; per-row array math, zero shuffles",
 )
 def text_repetition(spark, sf_dir):
+    # INTEGER counting happens in one vectorized-boundary Arrow pass
+    # (dict/set work is C-speed per doc); every FLOAT expression — the
+    # three ROUND(... / ...) columns — stays in the JVM, byte-identical
+    # to the previous form, so there is no Python float surface at all.
+    #
+    # Why not pure Catalyst: the previous form (array_sort + aggregate
+    # fold + two array_distinct HOFs per row) evaluated INTERPRETED and
+    # was BIMODAL under JIT — measured 1.08-1.58 s steady but 4.1 s
+    # (driver r11 sweep), 5.76 s and 11.2 s (r12 clean-JVM/in-sweep)
+    # when the generated/interpreted path failed to reach C2. The
+    # counting pass removes the giant expression tree outright.
+    #
+    # Counting replicas (rows certified by the unchanged DuckDB oracle
+    # and the A/B equivalence test):
+    # - tokens: Python text.split(" ") == F.split(text, " ") (Spark uses
+    #   Java split with limit -1: trailing empties kept, same as Python).
+    # - top_count: max token multiplicity == the old sorted-run fold.
+    # - k-gram lists replicate shingles(): empty below k tokens, else
+    #   " ".join over a sliding window (concat_ws == join: no nulls).
     d = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = F.split(F.col("text"), " ")
-    g2 = shingles(F.col("text"), 2)
-    g3 = shingles(F.col("text"), 3)
-    # Max token multiplicity = longest run in the SORTED token array:
-    # one O(n log n) sort + O(n) fold per row, where the former
-    # distinct x filter-count form was O(n * n_distinct) interpreted
-    # per row (quadratic in doc length; same integers, measured
-    # 1.17 s -> 0.91 s at sf0.1 and asymptotically safe for long docs)
-    top_count = F.expr(
-        """
-        aggregate(
-          array_sort(split(text, ' ')),
-          struct(cast(null as string) as prev, 0 as run, 0 as best),
-          (acc, x) -> struct(
-            x as prev,
-            if(x = acc.prev, acc.run + 1, 1) as run,
-            greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),
-          acc -> acc.best)
-        """
+
+    def _counts(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": [],
+                "top_count": [],
+                "d2": [],
+                "l2": [],
+                "d3": [],
+                "l3": [],
+            }
+            for t in pdf["text"]:
+                if t is None:
+                    # NULL text: size(NULL)=NULL and every derived column
+                    # is NULL — replicate the propagation
+                    for k in ("n_tokens", "top_count", "d2", "l2", "d3", "l3"):
+                        out[k].append(None)
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                out["n_tokens"].append(n)
+                out["top_count"].append(max(Counter(toks).values()))
+                g2 = (
+                    [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+                    if n >= 2
+                    else []
+                )
+                g3 = (
+                    [" ".join(toks[i : i + 3]) for i in range(n - 2)]
+                    if n >= 3
+                    else []
+                )
+                out["d2"].append(len(set(g2)))
+                out["l2"].append(len(g2))
+                out["d3"].append(len(set(g3)))
+                out["l3"].append(len(g3))
+            yield pd.DataFrame(out)
+
+    c = d.mapInPandas(
+        _counts,
+        schema="doc_id long, n_tokens long, top_count long, "
+        "d2 long, l2 long, d3 long, l3 long",
     )
-    dup_frac = lambda g: F.round(
+    dup_frac = lambda dcol, lcol: F.round(
         1.0
-        - F.size(F.array_distinct(g)).cast("double")
-        / F.greatest(F.size(g), F.lit(1)),
+        - F.col(dcol).cast("double") / F.greatest(F.col(lcol), F.lit(1)),
         4,
     )
-    return d.select(
+    return c.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(top_count.cast("double") / F.size(toks), 4).alias("top_tok_frac"),
-        dup_frac(g2).alias("dup2_frac"),
-        dup_frac(g3).alias("dup3_frac"),
+        "n_tokens",
+        F.round(
+            F.col("top_count").cast("double") / F.col("n_tokens"), 4
+        ).alias("top_tok_frac"),
+        dup_frac("d2", "l2").alias("dup2_frac"),
+        dup_frac("d3", "l3").alias("dup3_frac"),
     )
 
 

@@ -1992,6 +1992,50 @@ def _bridges_distributed(spark, und):
 )
 def graph_transitivity(spark, sf_dir):
     und = _trade_und(spark, sf_dir)
+    edge_rows = _und_local_edges(und)
+    if edge_rows is not None:
+        return _transitivity_local(spark, edge_rows)
+    return _transitivity_distributed(und)
+
+
+def _transitivity_local(spark, edge_rows):
+    """Driver-side exact replica for the size-gated fast path (the
+    betweenness discipline): ALL-INTEGER — triangles enumerated exactly
+    as the oracle's a<b<c oriented-edge join, wedges as sum d(d-1)/2,
+    ppm as one floor-division of positive BIGINTs (Spark `div` truncates
+    toward zero == Python // for positive operands). No float surface.
+    The distributed triangle join scheduled 3 broadcast exchanges + a
+    cross join on a fixed ~25-node relation at ANY corpus size."""
+    from pyspark.sql import types as T
+
+    edges = {(r["a"], r["b"]) for r in edge_rows}
+    adj_gt: dict[int, list[int]] = {}
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        adj_gt.setdefault(a, []).append(b)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n_tri = 0
+    for x, y in edges:
+        for z in adj_gt.get(y, ()):
+            if (x, z) in edges:
+                n_tri += 1
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    schema = T.StructType(
+        [
+            T.StructField("n_tri", T.LongType(), True),
+            T.StructField("n_wedges", T.LongType(), True),
+            T.StructField("transitivity_ppm", T.LongType(), True),
+        ]
+    )
+    if n_wedges <= 0:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [(n_tri, n_wedges, 3 * n_tri * 1000000 // n_wedges)], schema
+    )
+
+
+def _transitivity_distributed(und):
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))

@@ -77,6 +77,48 @@ def test_repetition_matches_declared_query(spark, sf_dir):
         assert r["dup3_frac"] <= r["dup2_frac"] + 1e-9 or r["n_tokens"] < 3
 
 
+def test_repetition_counts_match_catalyst_form(spark, sf_dir):
+    """The round-12 Arrow counting pass must be EXACTLY the old pure-
+    Catalyst expression form on the real fixture (the A/B equivalence
+    guard for the internals change: Python split/Counter/set replicas
+    vs split/aggregate-fold/array_distinct)."""
+    from shippinglanes_spark.functions.text import shingles
+    from shippinglanes_spark.io import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    top_count = F.expr(
+        """
+        aggregate(
+          array_sort(split(text, ' ')),
+          struct(cast(null as string) as prev, 0 as run, 0 as best),
+          (acc, x) -> struct(
+            x as prev,
+            if(x = acc.prev, acc.run + 1, 1) as run,
+            greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best),
+          acc -> acc.best)
+        """
+    )
+    dup_frac = lambda g: F.round(
+        1.0
+        - F.size(F.array_distinct(g)).cast("double")
+        / F.greatest(F.size(g), F.lit(1)),
+        4,
+    )
+    old = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(top_count.cast("double") / F.size(toks), 4).alias(
+            "top_tok_frac"
+        ),
+        dup_frac(shingles(F.col("text"), 2)).alias("dup2_frac"),
+        dup_frac(shingles(F.col("text"), 3)).alias("dup3_frac"),
+    )
+    new = text_repetition(spark, sf_dir)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_boilerplate_fraction_bounds(spark, sf_dir):
     out = text_boilerplate(spark, sf_dir).collect()
     assert len(out) > 0

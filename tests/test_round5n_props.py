@@ -331,6 +331,29 @@ def test_trade_cc_local_matches_distributed(spark, sf_dir):
     assert got == ref
 
 
+def test_transitivity_local_matches_distributed(spark, sf_dir):
+    """Divergence guard for graph_transitivity's all-integer driver
+    fast path vs the distributed oriented-edge triangle join (the
+    round-12 fast path). Also asserts the gate actually FIRES on the
+    fixture so the guard can't degenerate to distributed==distributed."""
+    from shippinglanes_spark.operators.graph import (
+        _trade_und,
+        _transitivity_distributed,
+        _und_local_edges,
+    )
+    from shippinglanes_spark.registry import all_queries
+
+    und = _trade_und(spark, sf_dir)
+    assert _und_local_edges(und) is not None  # fixture must take the gate
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["graph_transitivity"].fn(spark, sf_dir).collect()
+    )
+    ref = sorted(tuple(r) for r in _transitivity_distributed(und).collect())
+    assert got == ref
+    assert got and got[0][0] > 0  # fixture has triangles: non-vacuous
+
+
 def test_lpa_and_conductance_local_match_distributed(spark, sf_dir):
     """Divergence guard for the LPA-family fast paths."""
     from pyspark.sql import functions as F
