@@ -48,3 +48,36 @@ def fan_out(df, min_partitions: int | None = None):
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# Work-based fan-out width: one task per this many estimated input
+# bytes. Sized so a cheap codegen'd per-row map (JSON parse: ~100 ms of
+# single-core work per MB of compressed input) still gets a few ms of
+# work per task; heavy Python/HOF fan-outs should keep plain fan_out
+# (their per-byte work is 10-100x larger, so defaultParallelism-wide
+# splits stay justified at fixture scale).
+FAN_OUT_TASK_BYTES = 256 << 10
+
+
+def fan_out_scaled(df, bytes_per_task: int = FAN_OUT_TASK_BYTES):
+    """fan_out with the width derived from the INPUT SIZE instead of the
+    core count: ceil(estimated bytes / bytes_per_task) clamped to
+    [2, defaultParallelism].
+
+    Why: a width of defaultParallelism turns a tiny relation into 32
+    near-empty tasks whose scheduling outweighs their work — measured as
+    the fn_json 8-vs-32-core inversion in the round-11 driver bench
+    (0.048 s @8 vs 0.235 s @32 on identical code; guide §2.6). A
+    work-derived width is the same at ANY core count (no inversion by
+    construction) and still reaches full parallelism on large inputs,
+    where estimated bytes / bytes_per_task exceeds the clamp."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        width = max(2, min(cap, -(-est // bytes_per_task)))
+    except Exception:  # stats unavailable (exotic plan): previous behavior
+        width = cap
+    return fan_out(df, width)

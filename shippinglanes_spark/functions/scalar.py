@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..core import as_date, fan_out
+from ..core import as_date, fan_out, fan_out_scaled
 from ..io import table
 from ..registry import register
 
@@ -220,8 +220,13 @@ def fn_json(spark, sf_dir):
     # by ~25% at sf0.1; fan_out first because the parse, not the scan,
     # dominates this query and the fixture is a one-row-group file.
     # Re-measured round 5 (steady-state, sf0.1): 0.077 s with fan_out vs
-    # 0.447 s without — the repartition pays for itself 6x here; keep it.
-    src = fan_out(ev.select("event_id", "user_id", "props"))
+    # 0.447 s without — the repartition pays for itself 6x here.
+    # Round 12: width is now WORK-derived (bytes/256KB, ~8 tasks at
+    # sf0.1) instead of defaultParallelism — identical at any core
+    # count, killing the r11 driver bench's 8-vs-32-core inversion
+    # (0.048 s @8 vs 0.235 s @32); measured 0.060 vs 0.050 s steady @32
+    # locally (width 8 vs 32), the 10 ms buying core-count invariance.
+    src = fan_out_scaled(ev.select("event_id", "user_id", "props"))
     k = F.expr("try_variant_get(parse_json(props), '$.k', 'int')")
     return (
         src.withColumn("k", k)

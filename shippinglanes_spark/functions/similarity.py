@@ -85,30 +85,63 @@ def sim_cosine_pairs(spark, sf_dir):
     partition of the probe side matmuls against the broadcast index and
     emits only its above-threshold (id_a < id_b) pairs. ~100x faster than
     a self-join with interpreted higher-order lambdas, and the same shape
-    that runs behind an LSH candidate filter at 100 TB."""
+    that runs behind an LSH candidate filter at 100 TB.
+
+    Round 12 (same float64 values bit-for-bit, exactness arguments at
+    each step):
+    - probe side split into work-sized tasks (fan_out_scaled) so the
+      dense GEMM parallelizes — row-local math, split-invariant;
+    - mapInArrow with a zero-copy offsets/values reshape instead of a
+      per-row asarray loop (float32 -> float64 widening is exact either
+      way, verified array_equal);
+    - ROUND applied only to SURVIVING entries: np.round(x, 4) is
+      rint(x * 1e4) / 1e4, and rint (ties-to-even) >= 3000 iff
+      x * 1e4 >= 2999.5 — so the full-matrix rint+divide collapses to
+      one multiply+compare, with the kept entries rounded identically."""
     import numpy as np
+
+    from ..core import fan_out_scaled
 
     e, b_ids, b_mat = _broadcast_index(spark, sf_dir)
 
     def pairs(batches):
+        import numpy as np
+        import pyarrow as pa
+
         idx_ids = b_ids.value
         idx = b_mat.value
-        for pdf in batches:
-            q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        for batch in batches:
+            i_emb = batch.schema.get_field_index("embedding")
+            i_id = batch.schema.get_field_index("vec_id")
+            col = batch.column(i_emb)
+            off = col.offsets.to_numpy()
+            widths = np.diff(off)
+            if len(widths) and (widths == widths[0]).all() and not col.null_count:
+                flat = col.values.to_numpy(zero_copy_only=False)
+                q = flat[off[0] : off[-1]].reshape(
+                    len(widths), widths[0]
+                ).astype(np.float64)
+            else:  # ragged/null rows: the previous per-row form
+                q = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+                )
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ idx.T, 4)
-            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            keep = (sims >= 0.3) & (qids[:, None] < idx_ids[None, :])
+            y = (q @ idx.T) * 1e4
+            qids = batch.column(i_id).to_numpy(zero_copy_only=False)
+            keep = (y >= 2999.5) & (qids[:, None] < idx_ids[None, :])
             qi, ii = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[qi],
-                    "id_b": idx_ids[ii],
-                    "cos": sims[qi, ii],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[qi], type=pa.int64()),
+                    pa.array(idx_ids[ii], type=pa.int64()),
+                    pa.array(np.rint(y[qi, ii]) / 1e4, type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "cos"],
             )
 
-    return e.mapInPandas(pairs, schema="id_a long, id_b long, cos double")
+    return fan_out_scaled(e).mapInArrow(
+        pairs, schema="id_a long, id_b long, cos double"
+    )
 
 
 @register(
@@ -135,30 +168,57 @@ def sim_knn(spark, sf_dir):
 
     # Index ids are sorted ascending, so numpy argmax's lowest-index
     # tie-break equals the oracle's ORDER BY cos DESC, id_b ASC.
+    # Round 12: probe side split into work-sized tasks so the dense
+    # GEMM parallelizes (argmax is row-local, so the split cannot
+    # change any row), and the Arrow batch is reshaped zero-copy
+    # instead of a per-row asarray loop — same float64 matrix
+    # bit-for-bit (float32 -> float64 widening is exact either way).
     e, b_ids, b_mat = _broadcast_index(spark, sf_dir)
 
+    from ..core import fan_out_scaled
+
     def top1(batches):
+        import numpy as np
+        import pyarrow as pa
+
         idx_ids = b_ids.value
         idx = b_mat.value
-        for pdf in batches:
-            q = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+        for batch in batches:
+            i_emb = batch.schema.get_field_index("embedding")
+            i_id = batch.schema.get_field_index("vec_id")
+            col = batch.column(i_emb)
+            off = col.offsets.to_numpy()
+            widths = np.diff(off)
+            if len(widths) and (widths == widths[0]).all() and not col.null_count:
+                flat = col.values.to_numpy(zero_copy_only=False)
+                q = flat[off[0] : off[-1]].reshape(
+                    len(widths), widths[0]
+                ).astype(np.float64)
+            else:  # ragged/null rows: the previous per-row form
+                q = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+                )
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = q @ idx.T  # (batch, n_index) dense similarity block
-            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            qids = batch.column(i_id).to_numpy(zero_copy_only=False)
             self_mask = qids[:, None] == idx_ids[None, :]
             sims[self_mask] = -np.inf
             best = sims.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": qids,
-                    "nn_id": idx_ids[best],
-                    "sim": np.round(sims[np.arange(len(best)), best], 4),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids, type=pa.int64()),
+                    pa.array(idx_ids[best], type=pa.int64()),
+                    pa.array(
+                        np.round(sims[np.arange(len(best)), best], 4),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["vec_id", "nn_id", "sim"],
             )
 
-    return e.mapInPandas(top1, schema="vec_id long, nn_id long, sim double")
+    return fan_out_scaled(e).mapInArrow(
+        top1, schema="vec_id long, nn_id long, sim double"
+    )
 
 
 @register(

@@ -62,6 +62,16 @@ def udf_scalar_pandas(spark, sf_dir):
     notes="per-user OLS trend of value over time (days); exact oracle via regr_slope",
 )
 def udaf_grouped(spark, sf_dir):
+    # Round 12 (§4.5 once-per-task state, §2.3 dispatch cost): the
+    # custom aggregate runs as ONE mapInPandas pass over hash-
+    # repartitioned partitions instead of groupBy().applyInPandas —
+    # the latter dispatched a separate pandas frame + Python call per
+    # user (~10k tiny groups), which was nearly all of the query's
+    # cost. Same shuffle (hash on user_id, so every group is complete
+    # within its partition); the per-group numpy expressions are the
+    # applyInPandas `fit` body unchanged (same values, same slice
+    # order via a stable sort, numpy pairwise summation depends only
+    # on slice length), so each group's float path is bit-identical.
     ev = table(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
@@ -69,15 +79,43 @@ def udaf_grouped(spark, sf_dir):
         (epoch_us("ts") / F.lit(86400000000.0)).alias("ts_days"),
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        if not len(pdf):
+            return
+        uid = pdf["user_id"].to_numpy()
         x = pdf["ts_days"].to_numpy(dtype=np.float64)
         y = pdf["value"].to_numpy(dtype=np.float64)
-        xc = x - x.mean()
-        denom = float((xc * xc).sum())
-        slope = round(float((xc * (y - y.mean())).sum() / denom), 6) if denom > 0 else None
-        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "slope": [slope]})
+        order = np.argsort(uid, kind="stable")
+        uid, x, y = uid[order], x[order], y[order]
+        bounds = np.flatnonzero(
+            np.r_[True, uid[1:] != uid[:-1], True]
+        )
+        users = []
+        slopes = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            xg = x[lo:hi]
+            yg = y[lo:hi]
+            xc = xg - xg.mean()
+            denom = float((xc * xc).sum())
+            slopes.append(
+                round(float((xc * (yg - yg.mean())).sum() / denom), 6)
+                if denom > 0
+                else None
+            )
+            users.append(uid[lo])
+        yield pd.DataFrame({"user_id": users, "slope": slopes})
 
-    return e.groupBy("user_id").applyInPandas(fit, schema="user_id long, slope double")
+    return e.repartition("user_id").mapInPandas(
+        fit_partition, schema="user_id long, slope double"
+    )
 
 
 @register(
