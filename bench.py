@@ -99,6 +99,11 @@ STREAM_SKIP = set()
 TAIL_CAPTURE = 2000  # the driver's observed stdout-tail budget
 TAIL_HEADROOM = 200  # stay well inside it
 
+# In-sweep box-state probe cadence (round-12 heat hardening): a trivial
+# action timed between every N families, recorded in the DETAIL file
+# only, so per-entry heat adjudication is possible after the fact.
+FLOOR_PROBE_EVERY = 25
+
 # Committed previous-round family-timing snapshot: the regression gate's
 # reference. Refresh at round close with SPARK_GRAFT_BENCH_SNAPSHOT=1.
 REF_PATH = os.path.join(
@@ -172,12 +177,18 @@ def _isolated_child(names_csv: str) -> None:
     registry["agg_groupby"].fn(spark, sf_dir).collect()
     out = {}
     for name in names_csv.split(","):
-        # min of two full builds (re-planned each time, like the sweep) so
-        # the number reflects steady per-query cost on a quiet JVM, not
-        # first-run JIT compilation of this query's generated code
+        # min of THREE full builds (re-planned each time, like the sweep)
+        # so the number reflects steady per-query cost on a quiet JVM, not
+        # first-run JIT compilation of this query's generated code.
+        # Round 12: was min-of-2, which confirmed two FALSE regression
+        # flags — multi-stage metadata-sized queries need 3-4 runs before
+        # C2 reaches steady state (measured: agg_kruskal_wallis 2.1 ->
+        # 1.2 -> 0.92 -> 0.83 on one JVM vs its 0.904 in-sweep reference;
+        # emb_hard_negatives 2.7 -> 0.46). One extra run per isolated
+        # name keeps the child far inside its 600 s budget.
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 registry[name].fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -366,7 +377,32 @@ def main() -> None:
                 for n in sweep_names
                 if int(hashlib.md5(n.encode()).hexdigest(), 16) % 3 == 0
             ]
-        for name in sweep_names:
+        # Per-batch floor probes (round-12 heat hardening): one trivial
+        # action every FLOOR_PROBE_EVERY families, timed OUTSIDE the
+        # per-family timings, so a judge can separate box heat from a
+        # real regression PER ENTRY — the sweep itself exhausts this
+        # box's burst credits mid-run (observed: end-of-alphabet
+        # families inflate 3-9x in-sweep while the same queries read at
+        # reference on a clean JVM minutes later). A probe reading far
+        # above the ~35-50 ms single-action floor stamps the families
+        # timed after it as heat-suspect. Detail-file only; the timing
+        # path of every family is unchanged.
+        floor_probes: list[dict] = []
+
+        def _floor_probe(i: int) -> None:
+            t0 = time.perf_counter()
+            spark.range(1).selectExpr("id").collect()
+            floor_probes.append(
+                {
+                    "i": i,
+                    "after": sweep_names[i - 1] if i else None,
+                    "floor_sec": round(time.perf_counter() - t0, 4),
+                }
+            )
+
+        for i, name in enumerate(sweep_names):
+            if i % FLOOR_PROBE_EVERY == 0:
+                _floor_probe(i)
             t0 = time.perf_counter()
             try:
                 # noop sink: full distributed execution without the
@@ -380,6 +416,8 @@ def main() -> None:
                 family_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 continue
             families[name] = round(time.perf_counter() - t0, 3)
+        if sweep_names:
+            _floor_probe(len(sweep_names))  # closing probe
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -399,6 +437,8 @@ def main() -> None:
     out["regressions_ref_round"] = ref.get("round")
     if families:
         out["families"] = families
+        if floor_probes:
+            out["floor_probes"] = floor_probes  # detail file only
         out["families_total"] = round(sum(families.values()), 3)
         # Regression gate: diff in-sweep timings against the committed
         # previous-round snapshot. In-sweep numbers can inflate 3-10x from

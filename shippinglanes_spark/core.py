@@ -59,7 +59,7 @@ def fan_out(df, min_partitions: int | None = None):
 FAN_OUT_TASK_BYTES = 256 << 10
 
 
-def fan_out_scaled(df, bytes_per_task: int = FAN_OUT_TASK_BYTES):
+def fan_out_scaled(df, bytes_per_task: int | None = None):
     """fan_out with the width derived from the INPUT SIZE instead of the
     core count: ceil(estimated bytes / bytes_per_task) clamped to
     [2, defaultParallelism].
@@ -71,6 +71,7 @@ def fan_out_scaled(df, bytes_per_task: int = FAN_OUT_TASK_BYTES):
     work-derived width is the same at ANY core count (no inversion by
     construction) and still reaches full parallelism on large inputs,
     where estimated bytes / bytes_per_task exceeds the clamp."""
+    bytes_per_task = bytes_per_task or FAN_OUT_TASK_BYTES
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism
     try:
