@@ -1081,17 +1081,23 @@ def graph_random_walks(spark, sf_dir):
     und = _trade_und(spark, sf_dir)
     edge_rows = _und_local_edges(und)
     if edge_rows is not None:
-        from pyspark.sql import types as T
-
-        schema = T.StructType(
-            [
-                T.StructField("walk_id", T.LongType(), True),
-                T.StructField("step", T.LongType(), True),
-                T.StructField("node", T.LongType(), True),
-            ]
-        )
-        return spark.createDataFrame(_walks_local_rows(edge_rows), schema)
+        return _walks_local_df(spark, edge_rows)
     return _walks_distributed(spark, und)
+
+
+def _walks_local_df(spark, edge_rows):
+    """The gated local-walks entry shared by graph_random_walks and any
+    future walk consumer: one schema, one createDataFrame."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("walk_id", T.LongType(), True),
+            T.StructField("step", T.LongType(), True),
+            T.StructField("node", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(_walks_local_rows(edge_rows), schema)
 
 
 def _walks_local_rows(edge_rows):
@@ -1100,10 +1106,7 @@ def _walks_local_rows(edge_rows):
     All-integer — no float divergence surface at all."""
     import hashlib
 
-    adj: dict[int, list[int]] = {}
-    for r in edge_rows:
-        adj.setdefault(r["a"], []).append(r["b"])
-        adj.setdefault(r["b"], []).append(r["a"])
+    adj = _local_adj(edge_rows)
     for v in adj:
         adj[v].sort()
     out = []

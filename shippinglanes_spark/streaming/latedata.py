@@ -258,15 +258,17 @@ def stream_exactly_once_sink(spark, sf_dir):
 
 
 def _stage_chrono_with_flush(spark, sf_dir: str) -> str:
-    """Stage events as one data batch plus two far-future FLUSH files
-    holding one dummy row each.
+    """Stage events as one data batch plus ONE far-future FLUSH file
+    holding one dummy row.
     Outer-join null emission is watermark-driven: an unmatched left row
     surfaces only after the watermark passes its join bound, and the
-    watermark both (a) advances using the batch BEFORE last and (b)
-    evicts in the batch AFTER it advances — so two flush batches are
-    needed to push every real row's state out. Chronological order means
-    no real row ever arrives late (this query is about OUTER emission,
-    not drops — stream_late_accounting covers drops)."""
+    watermark advances using the batch BEFORE last and evicts in the
+    batch AFTER it advances. A second flush batch used to carry that
+    eviction pass; the engine's no-data micro-batch (on by default)
+    runs it after the flush batch advances the watermark, so one flush
+    suffices (round 12, hash-verified at all three SFs). Chronological
+    order means no real row ever arrives late (this query is about
+    OUTER emission, not drops — stream_late_accounting covers drops)."""
     import datetime
 
     import pyarrow as pa
@@ -299,14 +301,19 @@ def _stage_chrono_with_flush(spark, sf_dir: str) -> str:
             }
         ).select(t.column_names)
 
-    # one data batch + the two flush batches: chronological arrival only
+    # one data batch + ONE flush batch: chronological arrival only
     # matters ACROSS micro-batches (the watermark updates between them),
     # so splitting the real data into several batches buys nothing and
-    # each extra micro-batch pays a full incremental re-plan + state pass
+    # each extra micro-batch pays a full incremental re-plan + state
+    # pass. Round 12: the second flush batch dropped — after the flush
+    # batch advances the watermark past every real row's eviction bound,
+    # the engine's NO-DATA micro-batch (noDataMicroBatches, on by
+    # default) runs the eviction pass itself; the flush rows' own state
+    # never needs to evict because they are filtered from the result.
+    # Verified hash-equal to the batch interval join at all three SFs.
     parts = [
         ("b0_data.parquet", t),
         ("b2_flush.parquet", dummy(0)),
-        ("b3_flush.parquet", dummy(1)),
     ]
     now = time.time()
     for i, (fname, tab) in enumerate(parts):
@@ -334,11 +341,12 @@ def _stage_chrono_with_flush(spark, sf_dir: str) -> str:
     "emissions), outer nulls exist ONLY via watermark eviction — state "
     "for an unmatched purchase is held until the watermark passes its "
     "bound, then emitted with nulls. The drain stages events "
-    "chronologically and appends two far-future flush batches so every "
-    "real row's state evicts before the stream ends (watermark "
-    "advances on batch N-1, evicts on N); the flush rows are filtered "
-    "from the result. Hash-equal to the batch LEFT interval join — a "
-    "full value oracle for watermark-eviction semantics",
+    "chronologically and appends one far-future flush batch; the "
+    "engine's no-data micro-batch then runs the eviction pass, so "
+    "every real row's state evicts before the stream ends. Flush rows "
+    "are filtered from the result. Hash-equal to the batch LEFT "
+    "interval join — a full value oracle for watermark-eviction "
+    "semantics",
 )
 def stream_join_outer(spark, sf_dir):
     from .lift import _drain

@@ -1113,11 +1113,15 @@ def test_walks_local_match_distributed(spark, sf_dir):
 
     from shippinglanes_spark.operators.graph import (
         _trade_und,
+        _und_local_edges,
         _walks_distributed,
     )
     from shippinglanes_spark.registry import all_queries
 
     und = _trade_und(spark, sf_dir)
+    # the guard is vacuous (distributed==distributed) unless the fixture
+    # actually takes the local gate — fail loudly if it ever stops
+    assert _und_local_edges(und) is not None
     got_w = sorted(
         tuple(r)
         for r in all_queries()["graph_random_walks"]
