@@ -81,4 +81,12 @@ def fan_out_scaled(df, bytes_per_task: int | None = None):
         width = max(2, min(cap, -(-est // bytes_per_task)))
     except Exception:  # stats unavailable (exotic plan): previous behavior
         width = cap
+    if width < cap:
+        # small input: the stats already made the decision — skip
+        # fan_out's df.rdd.getNumPartitions() probe, which costs a
+        # second plan materialization per build (~0.1-0.2 s of py4j
+        # round-trips at fixture scale). An input this small cannot
+        # meaningfully exceed `width` native splits, and a keyless
+        # repartition of a handful of partitions is harmless.
+        return df.repartition(width)
     return fan_out(df, width)
